@@ -1,0 +1,57 @@
+"""Crawl configuration.
+
+Mirrors the knobs of the reference CFG that are observable from call
+sites (see SURVEY.md §3.1; reference: WebCrawler.scala:13-44,
+EvaluatePriorityMatrix.scala, NetworkEstimator.scala:126,
+SeedQueue.scala:45, Gather.scala:69,91).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # -- semantics knobs (reference parity) ------------------------------
+    seeds: tuple[str, ...] = ()
+    #: pages to process before shutdown (EvaluatePriorityMatrix.scala:296)
+    limit: int = 100
+    #: size of the target cluster, k (SemanticEstimator.scala:17; TargetVector default 9)
+    targets: int = 9
+    #: phase transition threshold factor*central (EvaluatePriorityMatrix.scala:250)
+    targeting: float = 0.01
+    #: drift threshold for full priority recalculation (NetworkEstimator.scala:126)
+    prioriting: float = 0.7
+    #: sparse-vector entry cutoff (Gather.scala:69 implicit accuracy)
+    accuracy: float = 0.0001
+    #: cross-host links allowed into any host (Gather.scala:91)
+    allhosts: bool = False
+    #: FIFO instead of priority order (NetworkEstimator.scala:43-48)
+    use_breadthsearch: bool = False
+    #: include unfetched nodes in GML export (GMLStorage.scala:41)
+    with_incomplete: bool = False
+    #: RNG seed for the initial-wave shuffle (reference uses an unseeded
+    #: scala.util.Random.shuffle at EvaluatePriorityMatrix.scala:200; we pin
+    #: a seed so runs are reproducible)
+    shuffle_seed: int = 42
+
+    # -- wave/scale knobs (new engine surface) ---------------------------
+    #: pages dispatched per wave; 1 == the reference's strictly-sequential
+    #: servers=1 oracle mode (SeedQueue.scala:45); >1 == wave batching
+    budget: int = 1
+    #: max pages dispatched per host per wave (politeness window)
+    per_host_budget: int = 0  # 0 = unlimited
+    #: honor the robots table if provided
+    respect_robots: bool = True
+    #: cap on |factor| entries broadcast to executors (0 = unlimited);
+    #: bounds broadcast size at huge vocab scale
+    factor_top_m: int = 0
+    #: export graph snapshot every K processed pages (EvaluatePriorityMatrix.scala:291)
+    dump_every: int = 500
+
+    # -- target-cluster policy: "target" (TargetVector.scala) or
+    #    "cluster" (TargetVectorCluster.scala sigma criterion)
+    cluster_policy: str = "target"
+
+    extra: dict = field(default_factory=dict, compare=False)
