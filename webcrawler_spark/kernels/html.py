@@ -89,6 +89,23 @@ class Node:
         return f"<{self.tag} {self.attrs}>"
 
 
+# tagsoup-style implied end tags: opening key closes an open value at the top
+_IMPLIED_END = {
+    "p": {"p"},
+    "li": {"li"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "tr": {"tr", "td", "th"},
+    "dd": {"dd", "dt"},
+    "dt": {"dd", "dt"},
+    "option": {"option"},
+}
+# block containers also imply </p>
+_CLOSES_P = frozenset(
+    "p div ul ol table h1 h2 h3 h4 h5 h6 blockquote pre section article".split()
+)
+
+
 class _LenientParser(HTMLParser):
     """Stack-based lenient HTML -> Node tree (tagsoup-style recovery)."""
 
@@ -98,6 +115,15 @@ class _LenientParser(HTMLParser):
         self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
+        if tag == "body":
+            # <body> implicitly closes <head> and anything left open in it
+            while self.stack[-1].tag not in ("html", "#document"):
+                self.stack.pop()
+        closes = _IMPLIED_END.get(tag, ())
+        while len(self.stack) > 1 and self.stack[-1].tag in closes:
+            self.stack.pop()
+        if tag in _CLOSES_P and self.stack[-1].tag == "p":
+            self.stack.pop()
         node = Node(tag, attrs, self.stack[-1])
         self.stack[-1].children.append(node)
         if tag not in VOID_TAGS:
