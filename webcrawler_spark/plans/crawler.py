@@ -1,0 +1,653 @@
+"""The Spark crawl engine: an iterative wave loop of declarative DataFrame
+jobs over a simulated-web ``pages`` table.
+
+Architecture (SURVEY.md §1.4, §7): the reference's per-page actor feedback
+loop becomes a per-wave batch job. Tiny state (the semantic estimator:
+target cluster + running average + topic factor — KB-sized) lives on the
+driver and is broadcast down; big state is distributed DataFrames
+checkpointed per wave through SnapshotCatalog:
+
+    frontier   (seed_id, url, host, priority, parents)      — pending links
+    seen       (url)                                        — emitted-link set (D1)
+    url_ids    (url, seed_id)                               — first-seen dense ids
+    page_terms (seed_id, url, word, tf)                     — fetched page vectors
+    net_edges  (src, dst)                                   — estimator link graph
+    corpus     (ord, seed_id, url, text, wave)              — extracted intel (S3)
+    accepted   (ord, url)                                   — promoted pages (S4)
+    gml_log    (ord, url, links, terms)                     — export feed (S5/S7)
+    linkctx    (ord, url, link, feature, weight)            — sampler feed (P6/S9)
+    hosts      (host)                                       — allowlist (D2)
+
+Wave dataflow (estimating steady state):
+  1. dispatch: politeness-windowed top-k over the frontier
+     (ORDER BY priority DESC, seed_id ASC — F1; per-host row_number
+     window — F5), or the wave-1 FIFO while it lasts (SeedQueue exhaust
+     semantics, SeedQueue.scala:69-90);
+  2. fetch: inner join of the broadcast batch against ``pages`` — one
+     hash-filtered scan, no shuffle of the big side;
+  3. parse: one mapInPandas pass producing text/links/terms/linkctx (P1-P6);
+  4. admission: host-allowlist join (D2), robots prefix filter (new
+     surface), first-emitter dedup + seen anti-join (D1);
+  5. ids: first-seen dense id assignment via row_number over (dispatch
+     rank, link position) — reproduces the reference RevMap order
+     (EvaluatePriorityMatrix.scala:103-129);
+  6. driver fold: the batch's term vectors stream into the semantic
+     estimator in dispatch order (accept => promotion — A3/A5); new-link
+     priorities = dot(emitting page vector, factor) (A6; parents are
+     singletons because the seen-filter admits each link exactly once);
+  7. merge: frontier/seen/edges/corpus updates; drift-triggered or
+     transition full re-score (A7) via page_terms x broadcast-factor join
+     + propagate along net_edges + groupBy(dst).max — run BEFORE this
+     wave's merge for estimating drift (check precedes update,
+     EvaluatePriorityMatrix.scala:329-330) and AFTER it for the targeting
+     transition (update precedes calculate, :243-253);
+  8. snapshot commit with metrics + lineage (SnapshotCatalog).
+
+With budget=1 (one page per wave) this reproduces the sequential oracle
+(plans/oracle.py) exactly — dispatch order, accepted set, URL-seen set —
+the round-trip correctness gate. With budget=B it is the documented wave
+semantics: factor frozen at wave boundaries, equivalent to the reference
+with servers=B.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from webcrawler_spark.config import CrawlConfig
+from webcrawler_spark.functions.udfs import PARSED_SCHEMA, parse_pages
+from webcrawler_spark.kernels.urls import url_host
+from webcrawler_spark.kernels.vectors import SparseVector
+from webcrawler_spark.plans.estimators import SemanticEstimator
+from webcrawler_spark.sources.catalog import SnapshotCatalog
+
+_FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("seed_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("parents", T.ArrayType(T.LongType())),
+    ]
+)
+
+_STATE_TABLES = (
+    "frontier", "seen", "url_ids", "page_terms", "net_edges",
+    "corpus", "accepted", "gml_log", "linkctx", "hosts",
+)
+
+
+@dataclass
+class CrawlResult:
+    dispatched: list[str] = field(default_factory=list)
+    accepted: list[str] = field(default_factory=list)
+    processed: int = 0
+    waves: int = 0
+    aborted: bool = False
+
+
+class SparkCrawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        pages: DataFrame,
+        workdir: str,
+        robots: DataFrame | None = None,
+        checkpoint_every: int = 8,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.pages = pages
+        self.catalog = SnapshotCatalog(spark, workdir)
+        self.checkpoint_every = max(1, checkpoint_every)
+
+        # driver state ------------------------------------------------------
+        self.phase = "init"
+        self.ns = 0
+        self.wave = 0
+        self.next_id = 1  # RevMap ids start at 1
+        self.next_ord = 0
+        self.sense: SemanticEstimator | None = None
+        self.pfactor = SparseVector({}, cfg.accuracy)
+        self.central_acc = SparseVector({}, cfg.accuracy)
+        self.fifo: list[str] = []
+        self.rng = random.Random(cfg.shuffle_seed)
+        self.stopped = False
+        self.result = CrawlResult()
+        self._resumed = False
+
+        # distributed state ---------------------------------------------------
+        s = spark
+        self.tables: dict[str, DataFrame] = {
+            "frontier": s.createDataFrame([], _FRONTIER_SCHEMA),
+            "seen": s.createDataFrame([], "url string"),
+            "url_ids": s.createDataFrame([], "url string, seed_id long"),
+            "page_terms": s.createDataFrame(
+                [], "seed_id long, url string, word string, tf double"
+            ),
+            "net_edges": s.createDataFrame([], "src long, dst long"),
+            "corpus": s.createDataFrame(
+                [], "ord long, seed_id long, url string, text string, wave int"
+            ),
+            "accepted": s.createDataFrame([], "ord long, url string"),
+            "gml_log": s.createDataFrame(
+                [], "ord long, url string, links array<string>, terms map<string,double>"
+            ),
+            "linkctx": s.createDataFrame(
+                [], "ord long, url string, link string, feature string, weight double"
+            ),
+            "hosts": s.createDataFrame(
+                [(h,) for h in sorted({x for x in (url_host(u) for u in cfg.seeds) if x})]
+                or [],
+                "host string",
+            ),
+        }
+
+        robots = robots if (robots is not None and cfg.respect_robots) else None
+        self.robots_flat = (
+            robots.select("host", F.explode("disallow_prefixes").alias("prefix")).cache()
+            if robots is not None
+            else None
+        )
+
+    # -- small helpers ------------------------------------------------------
+    def _t(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+    def _set(self, name: str, df: DataFrame):
+        self.tables[name] = df
+
+    def _ids_df(self, ids: list[int], col: str = "sid") -> DataFrame:
+        return F.broadcast(self.spark.createDataFrame([(i,) for i in ids], f"{col} long"))
+
+    # ------------------------------------------------------------------
+    # dispatch (F1/F4/F5 + robots)
+    # ------------------------------------------------------------------
+    def _dispatch(self) -> list[tuple[int, str]]:
+        cfg = self.cfg
+        if self.fifo:
+            batch, self.fifo = self.fifo[: cfg.budget], self.fifo[cfg.budget :]
+            return list(enumerate(batch))
+        if self.phase != "estimating":
+            return []
+        cand = self._t("frontier")
+        if cfg.per_host_budget > 0:
+            w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seed_id"))
+            cand = cand.withColumn("rk", F.row_number().over(w)).filter(
+                F.col("rk") <= cfg.per_host_budget
+            )
+        order = (
+            [F.asc("seed_id")]
+            if cfg.use_breadthsearch
+            else [F.desc("priority"), F.asc("seed_id")]
+        )
+        rows = cand.orderBy(*order).limit(cfg.budget).collect()
+        if not rows:
+            return []
+        ids = [r["seed_id"] for r in rows]
+        # eliminate (NetworkEstimator.scala:131-141)
+        self._set(
+            "frontier",
+            self._t("frontier").join(
+                self._ids_df(ids), F.col("seed_id") == F.col("sid"), "left_anti"
+            ),
+        )
+        self._set(
+            "net_edges",
+            self._t("net_edges").join(
+                self._ids_df(ids), F.col("dst") == F.col("sid"), "left_anti"
+            ),
+        )
+        return [(i, r["url"]) for i, r in enumerate(rows)]
+
+    # ------------------------------------------------------------------
+    # one wave
+    # ------------------------------------------------------------------
+    def _run_wave(self, batch: list[tuple[int, str]]):
+        cfg, spark = self.cfg, self.spark
+        self.result.dispatched.extend(u for _, u in batch)
+
+        batch_df = F.broadcast(
+            spark.createDataFrame(list(batch), "dr long, url string")
+        )
+        hits = self.pages.join(batch_df, "url").select("dr", "url", "html")
+        parsed = (
+            hits.mapInPandas(parse_pages, PARSED_SCHEMA)
+            .filter(F.col("ok"))
+            .localCheckpoint()
+        )
+
+        # ---- admission: host allowlist (D2) ------------------------------
+        links = parsed.select(
+            "dr",
+            F.col("host").alias("src_host"),
+            F.explode("links").alias("l"),
+        ).select(
+            "dr",
+            "src_host",
+            F.col("l.pos").alias("pos"),
+            F.col("l.url").alias("dst"),
+            F.col("l.host").alias("dst_host"),
+        )
+        if cfg.allhosts:
+            admitted = links.drop("src_host")
+        else:
+            allowed = F.broadcast(
+                self._t("hosts")
+                .withColumnRenamed("host", "dst_host")
+                .withColumn("_allowed", F.lit(True))
+            )
+            admitted = (
+                links.join(allowed, "dst_host", "left")
+                .filter(
+                    F.col("_allowed").isNotNull()
+                    | (F.col("dst_host") == F.col("src_host"))
+                )
+                .drop("_allowed", "src_host")
+            )
+        admitted = admitted.localCheckpoint()
+
+        # ---- D1: first-emitter-wins within the wave + seen anti-join -----
+        first_emit = (
+            admitted.groupBy("dst")
+            .agg(
+                F.min(F.struct("dr", "pos")).alias("fp"),
+                F.first("dst_host").alias("dst_host"),
+            )
+            .select(
+                "dst", F.col("fp.dr").alias("dr"), F.col("fp.pos").alias("pos"),
+                "dst_host",
+            )
+        )
+        new_links = first_emit.join(
+            self._t("seen").withColumnRenamed("url", "dst"), "dst", "left_anti"
+        ).localCheckpoint()
+
+        # ---- driver fold (dispatch order) ---------------------------------
+        fold_rows = parsed.select("dr", "url", "terms").orderBy("dr").collect()
+        vecs = {
+            r["dr"]: SparseVector(dict(r["terms"] or {}), cfg.accuracy)
+            for r in fold_rows
+        }
+        upd_factors: dict[int, SparseVector] = {}
+        stop_dr = None
+        recalc_pre = None  # estimating drift: calculate BEFORE merge
+        recalc_post = None  # targeting transition: calculate AFTER merge
+        for r in fold_rows:
+            dr, url = r["dr"], r["url"]
+            vec = vecs[dr]
+            self.ns += 1
+            if self.phase == "init":
+                self._accept(url)
+                self.central_acc = self.central_acc + vec
+                continue
+            if self.phase == "estimating" and self.ns > cfg.limit:
+                self.stopped = True
+                stop_dr = dr
+                break
+            acc: list[str] = []
+            if self.phase == "targeting":
+                self.sense = self.sense.estimate(vec.normal, lambda: acc.append(url))
+                upd_factors[dr] = self.sense.factor  # post-fold (:243-245)
+                if self.sense.factor.dot(self.sense.central) > cfg.targeting:
+                    recalc_post = self.sense.factor  # transition (:250-253)
+                    self.phase = "estimating"
+            else:
+                old_factor = self.sense.factor
+                sense1 = self.sense.estimate(vec.normal, lambda: acc.append(url))
+                if sense1.factor.normal.dot(self.pfactor) < cfg.prioriting:
+                    recalc_pre = sense1.factor.normal  # drift (:126-129)
+                upd_factors[dr] = old_factor  # update with OLD factor (:330)
+                self.sense = sense1
+            for a in acc:
+                self._accept(a)
+        self.result.processed += len(
+            [r for r in fold_rows if stop_dr is None or r["dr"] < stop_dr]
+        )
+
+        # Gather-side state applies to every parsed page, all phases
+        self._merge_gather_state(parsed, admitted)
+
+        if self.sense is None:
+            # init wave: build wave-1 FIFO (shuffled — :200) and the estimator
+            wave1 = [
+                r["dst"] for r in new_links.orderBy("dr", "pos").select("dst").collect()
+            ]
+            self.rng.shuffle(wave1)
+            self.fifo.extend(wave1)
+            self.sense = SemanticEstimator.create(
+                self.central_acc.normal, cfg.targets, cfg.cluster_policy
+            )
+            self.phase = "targeting"
+            return
+
+        # EPM-side effects exclude pages at/after the stop
+        parsed_epm = parsed if stop_dr is None else parsed.filter(F.col("dr") < stop_dr)
+        new_links = (
+            new_links if stop_dr is None else new_links.filter(F.col("dr") < stop_dr)
+        )
+
+        # estimating drift re-score uses state BEFORE this wave's merge
+        if recalc_pre is not None:
+            self._calculate(recalc_pre)
+
+        # ---- first-seen ids (RevMap order) --------------------------------
+        page_ent = (
+            parsed_epm.select("dr", "url")
+            .join(self._t("url_ids"), "url", "left_anti")
+            .select("dr", F.lit(-1).alias("pos"), "url")
+        )
+        link_ent = new_links.select("dr", "pos", F.col("dst").alias("url"))
+        entities = (
+            page_ent.unionByName(link_ent)
+            .groupBy("url")
+            .agg(F.min(F.struct("dr", "pos")).alias("fp"))
+            .select("url", F.col("fp.dr").alias("dr"), F.col("fp.pos").alias("pos"))
+        )
+        wnd = Window.orderBy("dr", "pos")
+        new_ids = entities.select(
+            "url",
+            (F.row_number().over(wnd) + F.lit(self.next_id - 1)).alias("seed_id"),
+        ).localCheckpoint()
+        self.next_id += new_ids.count()
+        self._set("url_ids", self._t("url_ids").unionByName(new_ids).localCheckpoint())
+
+        src_ids = (
+            parsed_epm.select("dr", "url")
+            .join(self._t("url_ids"), "url")
+            .select("dr", F.col("seed_id").alias("src_id"))
+        )
+
+        # ---- re-fetch overwrite (NetworkEstimator.scala:102): replace ------
+        self._set(
+            "net_edges",
+            self._t("net_edges").join(
+                src_ids.select("src_id"), F.col("src") == F.col("src_id"), "left_anti"
+            ),
+        )
+        self._set(
+            "page_terms",
+            self._t("page_terms").join(
+                src_ids.select("src_id"), F.col("seed_id") == F.col("src_id"), "left_anti"
+            ),
+        )
+
+        # ---- new frontier rows: priority = dot(src vector, update factor) --
+        scores = [
+            (dr, float(vecs[dr].dot(fct))) for dr, fct in upd_factors.items()
+        ]
+        scores_df = F.broadcast(
+            spark.createDataFrame(scores, "dr long, score double")
+            if scores
+            else spark.createDataFrame([], "dr long, score double")
+        )
+        add = (
+            new_links.join(scores_df, "dr")
+            .join(src_ids, "dr")
+            .join(new_ids.withColumnRenamed("url", "dst"), "dst")
+        )
+        if self.robots_flat is not None:
+            # robots.txt compliance (new surface): anti-join against
+            # (host, disallow-prefix) matches so fan-out never duplicates rows
+            disallowed = (
+                add.join(
+                    F.broadcast(
+                        self.robots_flat.withColumnRenamed("host", "dst_host")
+                    ),
+                    "dst_host",
+                )
+                .filter(
+                    F.coalesce(
+                        F.expr("startswith(parse_url(dst, 'PATH'), prefix)"),
+                        F.lit(False),
+                    )
+                )
+                .select("dst")
+            )
+            add = add.join(disallowed, "dst", "left_anti")
+        self._set(
+            "frontier",
+            self._t("frontier").unionByName(
+                add.select(
+                    "seed_id",
+                    F.col("dst").alias("url"),
+                    F.col("dst_host").alias("host"),
+                    F.col("score").alias("priority"),
+                    F.array("src_id").alias("parents"),
+                )
+            ),
+        )
+        self._set(
+            "net_edges",
+            self._t("net_edges").unionByName(
+                add.select(F.col("src_id").alias("src"), F.col("seed_id").alias("dst"))
+            ),
+        )
+        self._set(
+            "page_terms",
+            self._t("page_terms").unionByName(
+                parsed_epm.select("dr", "url", F.explode("terms").alias("word", "tf"))
+                .join(src_ids, "dr")
+                .select(F.col("src_id").alias("seed_id"), "url", "word", "tf")
+            ),
+        )
+
+        # targeting transition re-score runs AFTER the merge (:243-253)
+        if recalc_post is not None:
+            self._calculate(recalc_post)
+
+    def _accept(self, url: str):
+        self.result.accepted.append(url)
+        self._accepts_wave.append(url)
+
+    def _merge_gather_state(self, parsed, admitted):
+        """Seen set, host allowlist, corpus, gml log, link context — Gather
+        runs for every fetched page regardless of EPM phase."""
+        base_ord = self.next_ord
+        parsed_o = parsed.withColumn("ord", F.col("dr") + F.lit(base_ord))
+        self._set(
+            "seen",
+            self._t("seen")
+            .unionByName(admitted.select(F.col("dst").alias("url")))
+            .distinct()
+            .localCheckpoint(),
+        )
+        self._set(
+            "hosts", self._t("hosts").unionByName(parsed.select("host")).distinct()
+        )
+        self._set(
+            "corpus",
+            self._t("corpus").unionByName(
+                parsed_o.join(self._t("url_ids"), "url", "left").select(
+                    "ord", "seed_id", "url", "text", F.lit(self.wave).alias("wave")
+                )
+            ),
+        )
+        gml_links = (
+            admitted.groupBy("dr")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "dst"))).alias("ls"))
+            .select("dr", F.col("ls.dst").alias("links"))
+        )
+        self._set(
+            "gml_log",
+            self._t("gml_log").unionByName(
+                parsed_o.drop("links").join(gml_links, "dr", "left").select(
+                    "ord",
+                    "url",
+                    F.coalesce("links", F.array().cast("array<string>")).alias("links"),
+                    "terms",
+                )
+            ),
+        )
+        self._set(
+            "linkctx",
+            self._t("linkctx").unionByName(
+                parsed_o.select("ord", "url", F.explode("linkctx").alias("c")).select(
+                    "ord", "url", "c.link", "c.feature", "c.weight"
+                )
+            ),
+        )
+
+    def _calculate(self, factor: SparseVector):
+        """NetworkEstimator.calculate (:67-84) as a distributed plan:
+        page_terms x broadcast(factor.normal) -> per-page score ->
+        propagate along net_edges -> groupBy(dst).max -> frontier rewrite.
+        Frontier rows covered by no edge vanish (reference quirk).
+        Sets pfactor to the factor argument (raw at the targeting
+        transition, normalized on drift — exactly the reference)."""
+        fn = factor.normal
+        if self.cfg.factor_top_m > 0 and len(fn.d) > self.cfg.factor_top_m:
+            top = sorted(fn.d.items(), key=lambda kv: -abs(kv[1]))
+            fn = SparseVector(dict(top[: self.cfg.factor_top_m]), self.cfg.accuracy)
+        factor_df = F.broadcast(
+            self.spark.createDataFrame(list(fn.d.items()), "word string, w double")
+            if fn.d
+            else self.spark.createDataFrame([], "word string, w double")
+        )
+        pscores = (
+            self._t("page_terms")
+            .join(factor_df, "word")
+            .groupBy("seed_id")
+            .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+        )
+        pr = (
+            self._t("net_edges")
+            .join(pscores.withColumnRenamed("seed_id", "src"), "src", "left")
+            .na.fill({"score": 0.0})
+            .groupBy("dst")
+            .agg(F.max("score").alias("new_priority"))
+        )
+        fr = self._t("frontier")
+        self._set(
+            "frontier",
+            fr.join(pr, fr.seed_id == pr.dst, "inner")
+            .select(
+                "seed_id", "url", "host",
+                F.col("new_priority").alias("priority"), "parents",
+            ),
+        )
+        self.pfactor = factor
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    def _checkpoint(self, force: bool = False):
+        if not force and (self.wave % self.checkpoint_every) != 0:
+            for name in _STATE_TABLES:
+                self._set(name, self._t(name).localCheckpoint())
+            return
+        state = {
+            "phase": self.phase,
+            "ns": self.ns,
+            "next_id": self.next_id,
+            "next_ord": self.next_ord,
+            "wave": self.wave,
+            "fifo": self.fifo,
+            "stopped": self.stopped,
+            "processed": self.result.processed,
+            "central_acc": {k: v for k, v in self.central_acc.items()},
+            "pfactor": {k: v for k, v in self.pfactor.items()},
+            "sense": self.sense.to_dict() if self.sense else None,
+            "dispatched": self.result.dispatched,
+            "accepted": self.result.accepted,
+            "metrics": {
+                "frontier_adds_total": self.next_id - 1,
+                "target_size": self.sense.size if self.sense else 0,
+            },
+        }
+        self.catalog.commit(self.wave, dict(self.tables), state)
+        for name in _STATE_TABLES:
+            self._set(name, self.catalog.load_table(self.wave, name))
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+    def run(self, max_waves: int = 100_000) -> CrawlResult:
+        cfg = self.cfg
+        if self._resumed:
+            batch = self._dispatch()
+        else:
+            batch = list(enumerate(cfg.seeds))
+        while batch and not self.stopped and self.result.waves < max_waves:
+            self._accepts_wave: list[str] = []
+            self._run_wave(batch)
+            self._record_accepts()
+            self.next_ord += len(batch)
+            self._checkpoint()
+            self.wave += 1
+            self.result.waves += 1
+            if self.stopped:
+                break
+            batch = self._dispatch()
+            if not batch and self.phase == "targeting" and not self.fifo:
+                self.result.aborted = True  # too little casualties (:225-229)
+                break
+        self._checkpoint(force=True)
+        self._write_vocabulary()
+        return self.result
+
+    def _record_accepts(self):
+        if self._accepts_wave:
+            rows = [(self.next_ord + i, u) for i, u in enumerate(self._accepts_wave)]
+            self._set(
+                "accepted",
+                self._t("accepted").unionByName(
+                    self.spark.createDataFrame(rows, "ord long, url string")
+                ),
+            )
+
+    def _write_vocabulary(self):
+        """S8: at crawl end the factor decoded to words -> vocabulary table."""
+        if self.sense is None:
+            return
+        rows = sorted(self.sense.factor.d.items(), key=lambda kv: (-kv[1], kv[0]))
+        df = (
+            self.spark.createDataFrame(rows, "word string, weight double")
+            if rows
+            else self.spark.createDataFrame([], "word string, weight double")
+        )
+        df.write.mode("overwrite").parquet(f"{self.catalog.root}/vocabulary")
+
+    # ------------------------------------------------------------------
+    # resume
+    # ------------------------------------------------------------------
+    @classmethod
+    def resume(
+        cls,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        pages: DataFrame,
+        workdir: str,
+        robots: DataFrame | None = None,
+        checkpoint_every: int = 8,
+    ) -> "SparkCrawler":
+        """Rebuild from the latest committed wave; the remaining crawl
+        replays exactly (kill-and-resume invariant of the north rule)."""
+        self = cls(spark, cfg, pages, workdir, robots, checkpoint_every)
+        m = self.catalog.latest()
+        if m is None:
+            return self
+        st, w = m["state"], m["wave"]
+        self.phase = st["phase"]
+        self.ns = st["ns"]
+        self.next_id = st["next_id"]
+        self.next_ord = st["next_ord"]
+        self.wave = w + 1
+        self.fifo = list(st["fifo"])
+        self.stopped = st["stopped"]
+        self.central_acc = SparseVector(st["central_acc"], cfg.accuracy)
+        self.pfactor = SparseVector(st["pfactor"], cfg.accuracy)
+        self.sense = SemanticEstimator.from_dict(st["sense"]) if st["sense"] else None
+        self.result.dispatched = list(st["dispatched"])
+        self.result.accepted = list(st["accepted"])
+        self.result.processed = st["processed"]
+        for name in _STATE_TABLES:
+            self._set(name, self.catalog.load_table(w, name))
+        self._resumed = True
+        return self
