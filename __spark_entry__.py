@@ -3,36 +3,60 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All operator implementations live in ``webcrawler_spark.queries``
+(the registry maps SURVEY.md §2 ids to each entry); this module is the
+thin driver-facing adapter.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from webcrawler_spark import queries as _q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the politeness-budgeted
+    frontier dispatch — per-host row_number window + global priority/tie
+    top-k (SURVEY.md §2.5 F1+F5), the core scheduling idiom of the crawl
+    engine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)  # per-host politeness budget
+        .select(
+            F.col("event_id").alias("seed_id"),
+            F.col("user_id").alias("host"),
+            F.col("value").alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("seed_id"))  # F1 queue order
+        .limit(64)  # global wave budget
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (and the
+    training-data-pipeline surface). Each callable takes (spark, sf_dir)
+    and returns a DataFrame with columns aliased to match ``oracle_sql``."""
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent per query; entries absent here
+    (crawl_wave_e2e, ann_ivf, multimodal_decode) are genuinely
+    non-SQL-expressible — iterative feedback loop / element-wise centroid
+    math / Arrow-batched binary decode — and get the rows-only check."""
+    return _q.oracle_sql()

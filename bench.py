@@ -1,0 +1,172 @@
+"""Benchmark harness (driver contract): runs the headline workload at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline metric (BASELINE.json): frontier-expansion throughput —
+URLs scheduled+fetched per second — on a synthetic Common-Crawl-style
+``pages`` table under a fixed seed list + politeness budget, plus
+per-query seconds for the analytic operator suite at the sf dir.
+
+``--scaling`` mode runs the same crawl at local[8] and local[32] on the
+same input and reports throughput at both plus scaling efficiency
+(the sandbox stand-in for N vs 4N executors; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# analytic headline queries (names in webcrawler_spark.queries.REGISTRY)
+HEADLINE = [
+    "frontier_topk",
+    "politeness_window",
+    "seen_antijoin",
+    "score_propagation",
+    "first_seen_ids",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "ann_cosine_topk",
+    "token_stats",
+    "tpch_q1",
+    "tpch_q3_topk",
+]
+
+# crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "20000"))
+CRAWL_LIMIT = int(os.environ.get("SPARK_GRAFT_CRAWL_LIMIT", "2000"))
+CRAWL_BUDGET = int(os.environ.get("SPARK_GRAFT_CRAWL_BUDGET", "512"))
+PER_HOST_BUDGET = int(os.environ.get("SPARK_GRAFT_PER_HOST_BUDGET", "128"))
+
+
+def make_spark(cpus: int, app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def crawl_bench(spark, workdir: str) -> dict:
+    """Measure frontier-expansion throughput on the synthetic web."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.plans.crawler import SparkCrawler
+    from webcrawler_spark.sources.synth import SiteSpec, gen_pages_df, gen_page
+
+    spec = SiteSpec(n_pages=CRAWL_PAGES, n_hosts=16, seed=42, hot_host_frac=0.25)
+    pages = gen_pages_df(spark, spec).select("url", "html")
+    pages = pages.persist()
+    n_pages = pages.count()  # materialize input before the clock starts
+
+    seeds = tuple(
+        gen_page(spec, i)["url"] for i in range(4)
+    )
+    cfg = CrawlConfig(
+        seeds=seeds,
+        limit=CRAWL_LIMIT,
+        targets=9,
+        targeting=0.0,
+        allhosts=True,
+        budget=CRAWL_BUDGET,
+        per_host_budget=PER_HOST_BUDGET,
+        factor_top_m=256,
+    )
+    t0 = time.time()
+    crawler = SparkCrawler(spark, cfg, pages, workdir, checkpoint_every=10**9)
+    res = crawler.run(max_waves=64)
+    dt = time.time() - t0
+    fetched = res.processed
+    scheduled = crawler.next_id - 1  # URLs that entered the id space/frontier
+    pages.unpersist()
+    return {
+        "n_pages_input": n_pages,
+        "fetched": fetched,
+        "scheduled": scheduled,
+        "waves": res.waves,
+        "crawl_sec": round(dt, 2),
+        "urls_per_sec": round((fetched + scheduled) / dt, 2),
+    }
+
+
+def query_bench(spark, sf_dir: str) -> dict:
+    from webcrawler_spark.queries import REGISTRY
+
+    out = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full execution, no result transfer cost
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_once(cpus: int) -> dict:
+    spark = make_spark(cpus, f"bench_{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+    with tempfile.TemporaryDirectory() as td:
+        crawl = crawl_bench(spark, td)
+    queries = query_bench(spark, SF_DIR)
+    spark.stop()
+    return {"crawl": crawl, "queries": queries}
+
+
+def main():
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            spark = make_spark(cpus, f"bench_scaling_{cpus}")
+            spark.sparkContext.setLogLevel("ERROR")
+            with tempfile.TemporaryDirectory() as td:
+                results[cpus] = crawl_bench(spark, td)
+            spark.stop()
+        eff = (results[32]["urls_per_sec"] / results[8]["urls_per_sec"]) / 4.0
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency local[8] -> local[32]",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "local8": results[8],
+                    "local32": results[32],
+                }
+            )
+        )
+        return
+
+    res = run_once(CPUS)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "frontier-expansion throughput (URLs scheduled+fetched/sec)",
+        "value": res["crawl"]["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": res["queries"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": res["crawl"],
+        "total_query_sec": round(sum(res["queries"].values()), 2),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,925 @@
+"""Operator registry: every SQL-expressible operator from SURVEY.md §2 as a
+(Spark DataFrame callable, DuckDB oracle SQL) pair over the driver's
+testdata tables, plus Spark-only entries (rows-only checks) for the
+genuinely non-SQL-expressible ops (the iterative crawl, IVF ANN, the
+multimodal decode plumbing).
+
+Design rules (driver compare = row-count + schema + order-insensitive
+value hash):
+- every computed column is aliased identically on both sides;
+- floating-point results of *aggregations* are rounded (4-6 dp) on both
+  sides; per-row arithmetic follows identical operation order (sequential
+  folds) so it is bit-identical before rounding;
+- integer-typed results are casted so Spark and DuckDB agree (row_number
+  -> int vs bigint, size() -> int vs len() -> bigint);
+- timestamps are formatted to strings to dodge timezone representation
+  differences.
+
+Operator-id cross references point into SURVEY.md §2 and the reference
+(/root/reference/src/main/scala/ru/wordmetrix/webcrawler/...).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# tokenization must match regexp_split_to_array(lower(text), '\s+') + strip ''
+_TOKS = r"filter(split(lower(text), '\\s+'), t -> t <> '')"
+_SQL_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "is", "to", "for")
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+_SPARK_STOPLIST = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("toks", F.expr(_TOKS))
+
+
+def _dot_expr(a: str, b: str) -> str:
+    """Sequential-fold dot product of two float arrays, computed in double —
+    identical fold order on both engines => bit-identical before rounding
+    (A1, SURVEY §2.6; reference vector ops are external lib call sites)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    )
+
+
+def _sqdist_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. frontier / scheduling operators (SURVEY §2.5) over `events` as frontier:
+#    event_id ~ seed_id, user_id ~ host, value ~ priority
+# ---------------------------------------------------------------------------
+
+
+def q_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — priority-queue head order: ORDER BY priority DESC, seed_id ASC
+    (EvaluatePriorityMatrix.scala:81-97)."""
+    return (
+        _read(spark, sf_dir, "events")
+        .select(F.col("event_id").alias("seed_id"), F.col("value").alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("seed_id"))
+        .limit(100)
+    )
+
+
+SQL_FRONTIER_TOPK = """
+SELECT event_id AS seed_id, value AS priority
+FROM events ORDER BY value DESC, event_id ASC LIMIT 100
+"""
+
+
+def q_breadth_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — breadth-first mode: FIFO by seed_id (NetworkEstimator.scala:43-48)."""
+    return (
+        _read(spark, sf_dir, "events")
+        .select(F.col("event_id").alias("seed_id"), F.col("event_type").alias("kind"))
+        .orderBy(F.asc("seed_id"))
+        .limit(100)
+    )
+
+
+SQL_BREADTH_FIFO = """
+SELECT event_id AS seed_id, event_type AS kind
+FROM events ORDER BY event_id ASC LIMIT 100
+"""
+
+
+def q_politeness_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — per-host politeness budget: row_number window per host, keep
+    top-3 by (priority DESC, seed_id ASC) (SeedQueue.scala:92-133 semantics
+    re-expressed as a window)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("event_id").alias("seed_id"),
+            F.col("user_id").alias("host"),
+            F.col("value").alias("priority"),
+            "rk",
+        )
+    )
+
+
+SQL_POLITENESS_WINDOW = """
+SELECT event_id AS seed_id, user_id AS host, value AS priority, rk
+FROM (
+  SELECT event_id, user_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INTEGER) AS rk
+  FROM events
+) t WHERE rk <= 3
+"""
+
+
+def q_first_seen_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RevMap — dense first-seen id assignment from 1
+    (EvaluatePriorityMatrix.scala:103-129): entity order = first occurrence."""
+    ev = _read(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("event_id").alias("first_ev"))
+    w = Window.orderBy("first_ev")
+    return firsts.select(
+        "user_id", F.row_number().over(w).cast("long").alias("seed_id")
+    )
+
+
+SQL_FIRST_SEEN_IDS = """
+SELECT user_id, CAST(row_number() OVER (ORDER BY first_ev ASC) AS BIGINT) AS seed_id
+FROM (SELECT user_id, min(event_id) AS first_ev FROM events GROUP BY user_id) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. dedup / membership (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — URL-seen filter as an anti-join (Gather.scala:126,165-177):
+    newly-emitted (user, day) click pairs with no matching view = links not
+    in the seen set."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "d", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click").select("user_id", "d").distinct()
+    )
+    seen = ev.filter(F.col("event_type") == "view").select("user_id", "d")
+    return clicks.join(seen, ["user_id", "d"], "left_anti")
+
+
+SQL_SEEN_ANTIJOIN = """
+SELECT user_id, d FROM (
+  SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d
+  FROM events WHERE event_type = 'click'
+) c WHERE NOT EXISTS (
+  SELECT 1 FROM events v
+  WHERE v.event_type = 'view' AND v.user_id = c.user_id
+    AND strftime(date_trunc('day', v.ts), '%Y-%m-%d') = c.d
+)
+"""
+
+
+def q_allowlist_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — host allowlist as a semi-join (Gather.scala:91,129-132)."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    return orders.join(
+        cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+SQL_ALLOWLIST_SEMIJOIN = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — hash-groupBy keeping the first-seen id per fingerprint
+    (training-data pipeline surface; reference analogue = the page cache
+    fetch-once idempotency, WebGet.scala:35-37)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by 3-gram shingle Jaccard >= 0.5 over candidate
+    pairs produced by a shingle-bucket join (no O(n^2) cross join)."""
+    docs = _tokens(_read(spark, sf_dir, "documents")).filter(F.expr("size(toks) >= 3"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), i -> "
+                "concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+        .join(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+        .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2),
+    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(i / (ca.n + cb.n - i), 4) AS jaccard
+FROM inter JOIN counts ca ON a_id = ca.doc_id JOIN counts cb ON b_id = cb.doc_id
+WHERE round(i / (ca.n + cb.n - i), 4) >= 0.5
+"""
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 8 salted min-hashes per doc over
+    3-gram shingles; LSH bands of 1 hash; candidates = pairs sharing any
+    band signature. The scale path for dedup (shingle -> minhash -> band ->
+    bucket join)."""
+    docs = _tokens(_read(spark, sf_dir, "documents")).filter(F.expr("size(toks) >= 3"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), i -> "
+                "concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    mins = (
+        sh.withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .withColumn(
+            "hv", F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle")))
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("sig"))
+    )
+    a = mins.alias("a")
+    b = mins.alias("b")
+    return (
+        a.join(b, ["h", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+SQL_MINHASH_LSH_CANDIDATES = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2),
+    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), mins AS (
+  SELECT doc_id, h, min(md5(h::VARCHAR || ':' || shingle)) AS sig
+  FROM sh, (SELECT unnest(range(8)) AS h) hs
+  GROUP BY doc_id, h
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM mins a JOIN mins b ON a.h = b.h AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) per document: token hash = first 8 md5 hex digits,
+    bit contributions weighted by term frequency — all-integer arithmetic,
+    exact on both engines."""
+    docs = _tokens(_read(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("hv", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    )
+    # signed contribution per bit position: +c if bit i of hv set else -c
+    bits = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
+        "c",
+        "hv",
+    ).withColumn(
+        "contrib",
+        F.when(
+            F.expr("(shiftright(hv, i) % 2) = 1"), F.col("c")
+        ).otherwise(-F.col("c")),
+    )
+    return (
+        bits.groupBy("doc_id", "i")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("shiftleft(bit, i)")).alias("simhash"))
+    )
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS c,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+  FROM toks GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (hv >> i) & 1 = 1 THEN c ELSE -c END) AS s
+  FROM tf, (SELECT unnest(range(32)) AS i) ii
+  GROUP BY doc_id, i
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. scoring / aggregation / graph (SURVEY §2.6-2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_score_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 — link-priority propagation: priority(dst) = max over parents of
+    parent score; max-combine per NetworkEstimator.scala:90,101-124."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_partkey").alias("dst"))
+        .agg(
+            F.max("o_totalprice").alias("priority"),
+            F.count("*").alias("n_parents"),
+        )
+    )
+
+
+SQL_SCORE_PROPAGATION = """
+SELECT l_partkey AS dst, max(o_totalprice) AS priority, count(*) AS n_parents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_partkey
+"""
+
+
+def q_cocitation_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — graph self-join (GMLStorage.scala:56-60): co-cited node pairs
+    (parts appearing in the same order) with counts."""
+    e = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+SQL_COCITATION_SELFJOIN = """
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_density_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — density over 'linked' vector pairs (same label), mean squared
+    L2 distance (GMLStorage.scala:205-219)."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, "label").filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    d2 = F.expr(_sqdist_expr("a.embedding", "b.embedding"))
+    return (
+        pairs.select("label", d2.alias("d2"))
+        .groupBy("label")
+        .agg(F.round(F.avg("d2"), 4).alias("mean_sq_dist"), F.count("*").alias("n_pairs"))
+    )
+
+
+SQL_DENSITY_NET = f"""
+SELECT label, round(avg(d2), 4) AS mean_sq_dist, count(*) AS n_pairs
+FROM (
+  SELECT a.label AS label, {_sql_sqdist('a.embedding', 'b.embedding')} AS d2
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+) t GROUP BY label
+"""
+
+
+def q_deviation_central(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — per-vector squared deviation from the reference vector
+    (vec_id=0 as 'central'; GMLStorage.scala:253-265)."""
+    e = _read(spark, sf_dir, "embeddings")
+    ref = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("ref"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "vec_id",
+            F.round(F.expr(_sqdist_expr("embedding", "ref")), 4).alias("sq_dev"),
+        )
+    )
+
+
+SQL_DEVIATION_CENTRAL = f"""
+SELECT e.vec_id AS vec_id, round({_sql_sqdist('e.embedding', 'r.ref')}, 4) AS sq_dev
+FROM embeddings e CROSS JOIN (SELECT embedding AS ref FROM embeddings WHERE vec_id = 0) r
+WHERE e.vec_id <> 0
+"""
+
+
+def q_feature_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — global feature-frequency filter, count > 10
+    (SampleHierarchy2Priority.scala:66-84)."""
+    docs = _tokens(_read(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode("toks").alias("feature"))
+        .groupBy("feature")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 10)
+    )
+
+
+SQL_FEATURE_COUNT_FILTER = f"""
+SELECT feature, count(*) AS n
+FROM (SELECT unnest({_SQL_TOKS}) AS feature FROM documents) t
+GROUP BY feature HAVING count(*) > 10
+"""
+
+
+def q_wave_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A12 — per-wave statistics rollup (GMLStorage.scala:88-108):
+    counts, mean and accumulated priority per event class."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SQL_WAVE_METRICS = """
+SELECT event_type, count(*) AS n,
+       round(avg(value), 6) AS avg_value,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3-adjacent — periodic snapshot cadence as an event-time rollup
+    (streaming-shaped aggregation expressed in batch)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        )
+        .groupBy("hour", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+SQL_HOURLY_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. text analysis (training-data pipeline surface over `documents`)
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: total, distinct, mean token length (integer sums —
+    exact)."""
+    docs = _tokens(_read(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.expr("cast(size(toks) as bigint)").alias("n_tokens"),
+        F.expr("cast(size(array_distinct(toks)) as bigint)").alias("n_uniq"),
+        F.expr(
+            "round(aggregate(toks, 0L, (acc, t) -> acc + length(t)) / cast(size(toks) as double), 4)"
+        ).alias("avg_tok_len"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq,
+       round(list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE, 4) AS avg_tok_len
+FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) t
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + length signal (linear, per-row
+    deterministic)."""
+    docs = _tokens(_read(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"round(size(array_intersect(toks, {_SPARK_STOPLIST})) / cast(size(toks) as double), 4)"
+        ).alias("stop_ratio"),
+        F.expr(
+            f"round(size(filter(toks, t -> array_contains({_SPARK_STOPLIST}, t))) / cast(size(toks) as double)"
+            " * 0.5 + least(size(toks), 100) / 200.0, 4)"
+        ).alias("quality"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+SELECT doc_id,
+  round(len(list_distinct(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t))))
+        / len(toks)::DOUBLE, 4) AS stop_ratio,
+  round(len(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t))) / len(toks)::DOUBLE * 0.5
+        + least(len(toks), 100) / 200.0, 4) AS quality
+FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English-stopword hit ratio threshold."""
+    docs = _tokens(_read(spark, sf_dir, "documents"))
+    ratio = F.expr(
+        f"size(filter(toks, t -> array_contains({_SPARK_STOPLIST}, t))) / cast(size(toks) as double)"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+        F.round(ratio, 4).alias("stop_ratio"),
+    )
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id, lang,
+  CASE WHEN len(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t))) / len(toks)::DOUBLE > 0.05
+       THEN 'en' ELSE 'other' END AS pred_lang,
+  round(len(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t))) / len(toks)::DOUBLE, 4) AS stop_ratio
+FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the query vector (vec_id=0) — the ANN
+    baseline; sequential-fold dot products, rounded."""
+    e = _read(spark, sf_dir, "embeddings")
+    ref = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("ref"))
+    dot = F.expr(_dot_expr("embedding", "ref"))
+    na = F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
+    nr = F.sqrt(F.expr(_dot_expr("ref", "ref")))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(ref))
+        .select("vec_id", F.round(dot / (na * nr), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+SQL_ANN_COSINE_TOPK = f"""
+SELECT e.vec_id AS vec_id,
+       round({_sql_dot('e.embedding', 'r.ref')} /
+             (sqrt({_sql_dot('e.embedding', 'e.embedding')}) * sqrt({_sql_dot('r.ref', 'r.ref')})), 4) AS cos
+FROM embeddings e CROSS JOIN (SELECT embedding AS ref FROM embeddings WHERE vec_id = 0) r
+WHERE e.vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 20
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within the same label bucket
+    (bucketed candidate generation, not O(n^2) global)."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.expr(_dot_expr("a.embedding", "b.embedding"))
+    na = F.sqrt(F.expr(_dot_expr("a.embedding", "a.embedding")))
+    nb = F.sqrt(F.expr(_dot_expr("b.embedding", "b.embedding")))
+    return (
+        a.join(b, "label")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(dot / (na * nb), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round({_sql_dot('a.embedding', 'b.embedding')} /
+             (sqrt({_sql_dot('a.embedding', 'a.embedding')}) * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_sql_dot('a.embedding', 'b.embedding')} /
+            (sqrt({_sql_dot('a.embedding', 'a.embedding')}) * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. relational coverage (SURVEY §2.10 checklist)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregation (partial+final agg, projections,
+    predicate pushdown to the parquet scan)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + aggregation + top-k (broadcast dim, shuffle agg)."""
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3_TOPK = """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Spark-only entries (no SQL oracle -> driver's rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_wave_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship non-SQL op: the iterative focused crawl itself on a
+    deterministic synthetic site (budget=1 oracle mode). Returns the
+    dispatch order — the reference's own end-to-end semantic
+    (TestEvaluatePriorityMatrix.scala:36-148). Not SQL-expressible: the
+    crawl is a feedback-driven iterative job."""
+    import tempfile
+
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.plans.crawler import SparkCrawler
+    from webcrawler_spark.sources.synth import SiteSpec, gen_pages, page_url
+
+    spec = SiteSpec(n_pages=40, n_hosts=3, seed=7, hot_host_frac=0.34, private_frac=0.0)
+    pages = gen_pages(spec)
+    pages_df = spark.createDataFrame(
+        [(p["url"], p["html"]) for p in pages], "url string, html binary"
+    )
+    cfg = CrawlConfig(
+        seeds=(pages[0]["url"], pages[1]["url"]),
+        limit=10,
+        targets=3,
+        targeting=0.0,
+        allhosts=True,
+        budget=1,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        crawler = SparkCrawler(spark, cfg, pages_df, td, checkpoint_every=1000)
+        res = crawler.run()
+    rows = [(i, u) for i, u in enumerate(res.dispatched)]
+    return spark.createDataFrame(rows, "ord int, url string")
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantize by label-centroid, probe the 2 cells
+    nearest to the query, exact search within. The scale path for
+    similarity search (search cost ~ nprobe/ncells of brute force).
+    Rows-only check: element-wise centroid means are not reasonably
+    expressible in portable SQL."""
+    e = _read(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    pos = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    cents = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.col("pc.c").alias("centroid"))
+    )
+    ref = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("ref"))
+    probe = (
+        cents.crossJoin(F.broadcast(ref))
+        .select("label", F.expr(_sqdist_expr("centroid", "ref")).alias("d2"))
+        .orderBy("d2")
+        .limit(2)
+        .select("label")
+    )
+    dot = F.expr(_dot_expr("embedding", "ref"))
+    na = F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
+    nr = F.sqrt(F.expr(_dot_expr("ref", "ref")))
+    return (
+        e.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(ref))
+        .select("vec_id", "label", F.round(dot / (na * nr), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat a binary column as opaque media, run an
+    Arrow-batched mapInPandas 'decode' producing typed metadata. The decode
+    itself is a deterministic stub (no image libs in this container); the
+    Spark-side schema/batching/partitioning is real."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("format", T.StringType()),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            n = pdf["blob"].map(len)
+            # STUB decode: deterministic fake dimensions from byte content.
+            # A real deployment plugs PIL/ffmpeg here; the batch shape,
+            # schema and partitioning are what this operator pins down.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "width": (n % 640).astype("int32"),
+                    "height": (n % 480).astype("int32"),
+                    "format": pdf["blob"].map(
+                        lambda b: "png" if len(b) % 2 == 0 else "jpeg"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(decode, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+#: name -> (spark callable, oracle SQL or None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # frontier / scheduling (SURVEY §2.5)
+    "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
+    "breadth_fifo": (q_breadth_fifo, SQL_BREADTH_FIFO),
+    "politeness_window": (q_politeness_window, SQL_POLITENESS_WINDOW),
+    "first_seen_ids": (q_first_seen_ids, SQL_FIRST_SEEN_IDS),
+    # dedup / membership (§2.4 + training-data surface)
+    "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
+    "allowlist_semijoin": (q_allowlist_semijoin, SQL_ALLOWLIST_SEMIJOIN),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    # scoring / aggregation / graph (§2.6-2.7)
+    "score_propagation": (q_score_propagation, SQL_SCORE_PROPAGATION),
+    "cocitation_selfjoin": (q_cocitation_selfjoin, SQL_COCITATION_SELFJOIN),
+    "density_net": (q_density_net, SQL_DENSITY_NET),
+    "deviation_central": (q_deviation_central, SQL_DEVIATION_CENTRAL),
+    "feature_count_filter": (q_feature_count_filter, SQL_FEATURE_COUNT_FILTER),
+    "wave_metrics": (q_wave_metrics, SQL_WAVE_METRICS),
+    "hourly_rollup": (q_hourly_rollup, SQL_HOURLY_ROLLUP),
+    # text analysis
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    # similarity search
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    # relational coverage
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3_TOPK),
+    # non-SQL-expressible (rows-only)
+    "crawl_wave_e2e": (q_crawl_wave_e2e, None),
+    "ann_ivf": (q_ann_ivf, None),
+    "multimodal_decode": (q_multimodal_decode, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -156,6 +156,40 @@ def gen_robots(spec: SiteSpec) -> list[dict]:
     return rows
 
 
+def gen_pages_df(spark, spec: SiteSpec, include_meta: bool = False):
+    """Distributed page generation: gen_page is a pure function of
+    (spec, i), so the synthetic web materializes as a mapInPandas over a
+    range — exactly how a 10^10-row bench input would be produced on a
+    cluster (no driver-side list, no collect)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: N812
+
+    n = spec.n_pages
+    base = spark.range(0, n).repartition(max(spark.sparkContext.defaultParallelism, 8))
+
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    if include_meta:
+        schema += ", _topic int, _host int"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                p = gen_page(spec, int(i))
+                row = [p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]]
+                if include_meta:
+                    row += [p["_topic"], p["_host"]]
+                rows.append(row)
+            cols = ["url", "warc_ts", "html", "text", "lang"]
+            if include_meta:
+                cols += ["_topic", "_host"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return base.mapInPandas(gen, schema)
+
+
 def pages_as_site(pages: list[dict]) -> dict[str, bytes]:
     """url -> html map for the oracle's fetch function."""
     return {p["url"]: p["html"] for p in pages}
