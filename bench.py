@@ -43,10 +43,10 @@ HEADLINE = [
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)
-CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "20000"))
-CRAWL_LIMIT = int(os.environ.get("SPARK_GRAFT_CRAWL_LIMIT", "2000"))
-CRAWL_BUDGET = int(os.environ.get("SPARK_GRAFT_CRAWL_BUDGET", "512"))
-PER_HOST_BUDGET = int(os.environ.get("SPARK_GRAFT_PER_HOST_BUDGET", "128"))
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "50000"))
+CRAWL_LIMIT = int(os.environ.get("SPARK_GRAFT_CRAWL_LIMIT", "6000"))
+CRAWL_BUDGET = int(os.environ.get("SPARK_GRAFT_CRAWL_BUDGET", "2048"))
+PER_HOST_BUDGET = int(os.environ.get("SPARK_GRAFT_PER_HOST_BUDGET", "512"))
 
 
 def make_spark(cpus: int, app: str):

@@ -52,7 +52,11 @@ with servers=B.
 
 from __future__ import annotations
 
+import os
 import random
+import time
+from collections import defaultdict
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -80,6 +84,12 @@ _STATE_TABLES = (
     "frontier", "seen", "url_ids", "page_terms", "net_edges",
     "corpus", "accepted", "gml_log", "linkctx", "hosts",
 )
+
+#: tables read by the next wave's joins — eagerly materialized every wave
+#: (lineage truncation keeps wave cost O(state scan), not O(history))
+_HOT_TABLES = ("frontier", "seen", "url_ids", "page_terms", "net_edges", "hosts")
+#: append-only export feeds — materialized only every K waves / at commit
+_COLD_TABLES = ("corpus", "accepted", "gml_log", "linkctx")
 
 
 @dataclass
@@ -156,6 +166,21 @@ class SparkCrawler:
             else None
         )
 
+        #: per-phase wall-clock accumulators (SPARK_CRAWLER_PROFILE=1 to print)
+        self.timings: dict[str, float] = defaultdict(float)
+        self._profile = os.environ.get("SPARK_CRAWLER_PROFILE") == "1"
+        #: bounded partition count for state snapshots — unions concatenate
+        #: partitions, so without a coalesce the state tables would gain
+        #: O(waves) partitions and every job would degrade to thousands of
+        #: empty tasks (on a cluster this is a repartition-by-key instead)
+        self._nparts = max(8, spark.sparkContext.defaultParallelism // 2)
+
+    @contextmanager
+    def _timer(self, name: str):
+        t0 = time.time()
+        yield
+        self.timings[name] += time.time() - t0
+
     # -- small helpers ------------------------------------------------------
     def _t(self, name: str) -> DataFrame:
         return self.tables[name]
@@ -170,6 +195,10 @@ class SparkCrawler:
     # dispatch (F1/F4/F5 + robots)
     # ------------------------------------------------------------------
     def _dispatch(self) -> list[tuple[int, str]]:
+        with self._timer("dispatch"):
+            return self._dispatch_inner()
+
+    def _dispatch_inner(self) -> list[tuple[int, str]]:
         cfg = self.cfg
         if self.fifo:
             batch, self.fifo = self.fifo[: cfg.budget], self.fifo[cfg.budget :]
@@ -217,11 +246,12 @@ class SparkCrawler:
             spark.createDataFrame(list(batch), "dr long, url string")
         )
         hits = self.pages.join(batch_df, "url").select("dr", "url", "html")
-        parsed = (
-            hits.mapInPandas(parse_pages, PARSED_SCHEMA)
-            .filter(F.col("ok"))
-            .localCheckpoint()
-        )
+        with self._timer("parse"):
+            parsed = (
+                hits.mapInPandas(parse_pages, PARSED_SCHEMA)
+                .filter(F.col("ok"))
+                .localCheckpoint()
+            )
 
         # ---- admission: host allowlist (D2) ------------------------------
         links = parsed.select(
@@ -251,26 +281,42 @@ class SparkCrawler:
                 )
                 .drop("_allowed", "src_host")
             )
-        admitted = admitted.localCheckpoint()
+        with self._timer("admission"):
+            admitted = admitted.localCheckpoint()
 
         # ---- D1: first-emitter-wins within the wave + seen anti-join -----
-        first_emit = (
-            admitted.groupBy("dst")
-            .agg(
-                F.min(F.struct("dr", "pos")).alias("fp"),
-                F.first("dst_host").alias("dst_host"),
+        with self._timer("first_emit"):
+            first_emit = (
+                admitted.groupBy("dst")
+                .agg(
+                    F.min(F.struct("dr", "pos")).alias("fp"),
+                    F.first("dst_host").alias("dst_host"),
+                )
+                .select(
+                    "dst", F.col("fp.dr").alias("dr"), F.col("fp.pos").alias("pos"),
+                    "dst_host",
+                )
+                .localCheckpoint()  # wave-sized; reused by 2 downstream jobs
             )
-            .select(
-                "dst", F.col("fp.dr").alias("dr"), F.col("fp.pos").alias("pos"),
-                "dst_host",
+        with self._timer("seen_antijoin"):
+            # stream-the-big-side membership check: semi-join the cumulative
+            # seen set against the broadcast wave (no shuffle of `seen`),
+            # then anti-join the wave against the (small) hit set. At 10^10
+            # scale the semi-join is additionally preceded by a bloom-filter
+            # partition prefilter; the shape stays the same.
+            seen_hits = (
+                self._t("seen")
+                .withColumnRenamed("url", "dst")
+                .join(F.broadcast(first_emit.select("dst")), "dst", "left_semi")
+                .localCheckpoint()
             )
-        )
-        new_links = first_emit.join(
-            self._t("seen").withColumnRenamed("url", "dst"), "dst", "left_anti"
-        ).localCheckpoint()
+            new_links = first_emit.join(
+                F.broadcast(seen_hits), "dst", "left_anti"
+            ).localCheckpoint()
 
         # ---- driver fold (dispatch order) ---------------------------------
-        fold_rows = parsed.select("dr", "url", "terms").orderBy("dr").collect()
+        with self._timer("fold_collect"):
+            fold_rows = parsed.select("dr", "url", "terms").orderBy("dr").collect()
         vecs = {
             r["dr"]: SparseVector(dict(r["terms"] or {}), cfg.accuracy)
             for r in fold_rows
@@ -312,7 +358,7 @@ class SparkCrawler:
         )
 
         # Gather-side state applies to every parsed page, all phases
-        self._merge_gather_state(parsed, admitted)
+        self._merge_gather_state(parsed, admitted, new_links)
 
         if self.sense is None:
             # init wave: build wave-1 FIFO (shuffled — :200) and the estimator
@@ -338,9 +384,16 @@ class SparkCrawler:
             self._calculate(recalc_pre)
 
         # ---- first-seen ids (RevMap order) --------------------------------
+        # same stream-big/broadcast-wave membership pattern as the seen filter
+        known_urls = (
+            self._t("url_ids")
+            .join(F.broadcast(parsed_epm.select("url")), "url", "left_semi")
+            .select("url")
+            .localCheckpoint()
+        )
         page_ent = (
             parsed_epm.select("dr", "url")
-            .join(self._t("url_ids"), "url", "left_anti")
+            .join(F.broadcast(known_urls), "url", "left_anti")
             .select("dr", F.lit(-1).alias("pos"), "url")
         )
         link_ent = new_links.select("dr", "pos", F.col("dst").alias("url"))
@@ -351,30 +404,47 @@ class SparkCrawler:
             .select("url", F.col("fp.dr").alias("dr"), F.col("fp.pos").alias("pos"))
         )
         wnd = Window.orderBy("dr", "pos")
-        new_ids = entities.select(
-            "url",
-            (F.row_number().over(wnd) + F.lit(self.next_id - 1)).alias("seed_id"),
-        ).localCheckpoint()
-        self.next_id += new_ids.count()
-        self._set("url_ids", self._t("url_ids").unionByName(new_ids).localCheckpoint())
+        with self._timer("ids"):
+            new_ids = entities.select(
+                "url",
+                (F.row_number().over(wnd) + F.lit(self.next_id - 1)).alias("seed_id"),
+            ).localCheckpoint()
+            self.next_id += new_ids.count()
+            self._set(
+                "url_ids",
+                self._t("url_ids")
+                .unionByName(new_ids)
+                .coalesce(self._nparts)
+                .localCheckpoint(),
+            )
 
-        src_ids = (
-            parsed_epm.select("dr", "url")
-            .join(self._t("url_ids"), "url")
-            .select("dr", F.col("seed_id").alias("src_id"))
-        )
+        # src_ids is wave-sized (one row per fetched page): materialize once
+        # and broadcast into every downstream merge — the whole merge section
+        # then runs map-side (no shuffle), so materializing the hot tables is
+        # a linear scan of (previous snapshot + wave delta)
+        with self._timer("src_ids"):
+            src_ids = (
+                F.broadcast(parsed_epm.select("dr", "url"))
+                .join(self._t("url_ids"), "url")
+                .select("dr", F.col("seed_id").alias("src_id"))
+                .localCheckpoint()
+            )
 
         # ---- re-fetch overwrite (NetworkEstimator.scala:102): replace ------
         self._set(
             "net_edges",
             self._t("net_edges").join(
-                src_ids.select("src_id"), F.col("src") == F.col("src_id"), "left_anti"
+                F.broadcast(src_ids.select("src_id")),
+                F.col("src") == F.col("src_id"),
+                "left_anti",
             ),
         )
         self._set(
             "page_terms",
             self._t("page_terms").join(
-                src_ids.select("src_id"), F.col("seed_id") == F.col("src_id"), "left_anti"
+                F.broadcast(src_ids.select("src_id")),
+                F.col("seed_id") == F.col("src_id"),
+                "left_anti",
             ),
         )
 
@@ -389,8 +459,8 @@ class SparkCrawler:
         )
         add = (
             new_links.join(scores_df, "dr")
-            .join(src_ids, "dr")
-            .join(new_ids.withColumnRenamed("url", "dst"), "dst")
+            .join(F.broadcast(src_ids), "dr")
+            .join(F.broadcast(new_ids.withColumnRenamed("url", "dst")), "dst")
         )
         if self.robots_flat is not None:
             # robots.txt compliance (new surface): anti-join against
@@ -411,6 +481,9 @@ class SparkCrawler:
                 .select("dst")
             )
             add = add.join(disallowed, "dst", "left_anti")
+        # materialize the wave delta once; frontier/net_edges appends reuse it
+        with self._timer("merge_build"):
+            add = add.localCheckpoint()
         self._set(
             "frontier",
             self._t("frontier").unionByName(
@@ -433,7 +506,7 @@ class SparkCrawler:
             "page_terms",
             self._t("page_terms").unionByName(
                 parsed_epm.select("dr", "url", F.explode("terms").alias("word", "tf"))
-                .join(src_ids, "dr")
+                .join(F.broadcast(src_ids), "dr")
                 .select(F.col("src_id").alias("seed_id"), "url", "word", "tf")
             ),
         )
@@ -446,21 +519,25 @@ class SparkCrawler:
         self.result.accepted.append(url)
         self._accepts_wave.append(url)
 
-    def _merge_gather_state(self, parsed, admitted):
+    def _merge_gather_state(self, parsed, admitted, new_links):
         """Seen set, host allowlist, corpus, gml log, link context — Gather
-        runs for every fetched page regardless of EPM phase."""
+        runs for every fetched page regardless of EPM phase.
+
+        ``new_links`` is already (a) deduped within the wave (first-emitter
+        per dst) and (b) anti-joined against ``seen``, so the seen update is
+        a pure append — no distinct() reshuffle of the cumulative set
+        (the O(|seen|)-per-page blocker of the reference, Gather.scala:177,
+        becomes O(wave) here)."""
         base_ord = self.next_ord
         parsed_o = parsed.withColumn("ord", F.col("dr") + F.lit(base_ord))
         self._set(
             "seen",
-            self._t("seen")
-            .unionByName(admitted.select(F.col("dst").alias("url")))
-            .distinct()
-            .localCheckpoint(),
+            self._t("seen").unionByName(new_links.select(F.col("dst").alias("url"))),
         )
-        self._set(
-            "hosts", self._t("hosts").unionByName(parsed.select("host")).distinct()
+        new_hosts = (
+            parsed.select("host").distinct().join(self._t("hosts"), "host", "left_anti")
         )
+        self._set("hosts", self._t("hosts").unionByName(new_hosts))
         self._set(
             "corpus",
             self._t("corpus").unionByName(
@@ -495,6 +572,10 @@ class SparkCrawler:
         )
 
     def _calculate(self, factor: SparseVector):
+        with self._timer("calculate"):
+            return self._calculate_inner(factor)
+
+    def _calculate_inner(self, factor: SparseVector):
         """NetworkEstimator.calculate (:67-84) as a distributed plan:
         page_terms x broadcast(factor.normal) -> per-page score ->
         propagate along net_edges -> groupBy(dst).max -> frontier rewrite.
@@ -538,9 +619,24 @@ class SparkCrawler:
     # checkpointing
     # ------------------------------------------------------------------
     def _checkpoint(self, force: bool = False):
+        with self._timer("checkpoint"):
+            return self._checkpoint_inner(force)
+
+    def _checkpoint_inner(self, force: bool = False):
         if not force and (self.wave % self.checkpoint_every) != 0:
-            for name in _STATE_TABLES:
-                self._set(name, self._t(name).localCheckpoint())
+            # hot tables: eager snapshot every wave — deferring was measured
+            # slower (downstream steps re-scan the unmaterialized unions)
+            for name in _HOT_TABLES:
+                if name == "url_ids":
+                    continue  # already materialized in the ids step
+                with self._timer(f"ckpt_{name}"):
+                    self._set(
+                        name, self._t(name).coalesce(self._nparts).localCheckpoint()
+                    )
+            # cold (export-feed) tables: truncate lineage every 4 waves only
+            if self.wave % 4 == 0:
+                for name in _COLD_TABLES:
+                    self._set(name, self._t(name).localCheckpoint())
             return
         state = {
             "phase": self.phase,
@@ -590,6 +686,9 @@ class SparkCrawler:
                 break
         self._checkpoint(force=True)
         self._write_vocabulary()
+        if self._profile:
+            total = sum(self.timings.values())
+            print("crawler timings:", {k: round(v, 1) for k, v in sorted(self.timings.items(), key=lambda kv: -kv[1])}, f"sum={total:.1f}s", flush=True)
         return self.result
 
     def _record_accepts(self):

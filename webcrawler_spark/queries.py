@@ -304,23 +304,32 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     band signature. The scale path for dedup (shingle -> minhash -> band ->
     bucket join)."""
     docs = _tokens(_read(spark, sf_dir, "documents")).filter(F.expr("size(toks) >= 3"))
-    sh = docs.select(
+    # signatures computed entirely map-side: per-doc shingle array ->
+    # array_min over salted md5 per hash — no explode, no shuffle until the
+    # candidate bucket join (the only shuffle this op needs)
+    sh_arr = docs.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(toks) - 2), i -> "
+            "concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"
+        ).alias("shingles"),
+    )
+    mins = sh_arr.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 2), i -> "
-                "concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("h"),
+                        F.expr(
+                            f"array_min(transform(shingles, s -> md5(concat('{h}', ':', s))))"
+                        ).alias("sig"),
+                    )
+                    for h in range(8)
+                ]
             )
-        ).alias("shingle"),
-    ).distinct()
-    mins = (
-        sh.withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(7))))
-        .withColumn(
-            "hv", F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle")))
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("sig"))
-    )
+        ).alias("hs"),
+    ).select("doc_id", "hs.h", "hs.sig")
     a = mins.alias("a")
     b = mins.alias("b")
     return (
