@@ -1,0 +1,93 @@
+"""TuneVocabulary (L1-L4) + sampler pivot (S9) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webcrawler_spark.plans.tune import (
+    build_pairs,
+    learn_epoch,
+    render_sample,
+    sampler_pivot,
+    tune_vocabulary,
+)
+
+
+def _graph(spark):
+    """Linked pages share 'linkword'; unlinked pairs share only noise."""
+    vectors = spark.createDataFrame(
+        [
+            (1, ["linkword", "alpha", "noise"]),
+            (2, ["linkword", "beta", "noise"]),
+            (3, ["linkword", "gamma"]),
+            (4, ["delta", "noise"]),
+            (5, ["epsilon", "noise"]),
+            (6, ["zeta"]),
+        ],
+        "id long, words array<string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    return vectors, edges
+
+
+def test_build_pairs_shapes(spark):
+    vectors, edges = _graph(spark)
+    pairs = build_pairs(vectors, edges, seed=7)
+    rows = pairs.collect()
+    pos = [r for r in rows if r["haslink"]]
+    neg = [r for r in rows if not r["haslink"]]
+    assert len(pos) == 3
+    assert len(neg) <= 3  # anti-joined vs edge set, dup ids possible
+    # positives carry the shared word
+    for r in pos:
+        assert "linkword" in set(r["w1"]) & set(r["w2"])
+
+
+def test_edges_require_known_endpoints(spark):
+    """readMatrix semi-join (TuneVocabulary.scala:86-89): edges touching
+    unknown ids are dropped."""
+    vectors, _ = _graph(spark)
+    edges = spark.createDataFrame([(1, 2), (1, 99)], "src long, dst long")
+    pairs = build_pairs(vectors, edges, seed=7)
+    assert pairs.filter("haslink").count() == 1
+
+
+def test_learn_separates(spark):
+    vectors, edges = _graph(spark)
+    net, errs = tune_vocabulary(vectors, edges, epochs=8, seed=7)
+    # the discriminative word gets positive weight
+    assert net.get("linkword", 0.0) > 0.0
+    # training error reaches 0 on this separable toy
+    assert errs[-1] == 0 or min(errs) < errs[0]
+
+
+def test_learn_epoch_counts_errors(spark):
+    vectors, edges = _graph(spark)
+    pairs = build_pairs(vectors, edges, seed=7)
+    # zero net: every linked pair scores 0 -> misclassified (dot <= 0);
+    # unlinked pairs score 0 -> correct (dot <= 0)
+    _, err = learn_epoch(pairs, {})
+    assert err == pairs.filter("haslink").count()
+
+
+def test_sampler_pivot_and_render(spark):
+    linkctx = spark.createDataFrame(
+        [("l1", "div", 1.0)] * 6
+        + [("l2", "div", 2.0)] * 6
+        + [("l1", "rare", 1.0)],
+        "link string, feature string, weight double",
+    )
+    prios = spark.createDataFrame(
+        [("l1", 0.5), ("l2", 0.1)], "link string, priority double"
+    )
+    piv = sampler_pivot(linkctx, prios, min_count=10)
+    rows = piv.collect()
+    # 'div' count = 12 > 10 kept; 'rare' dropped
+    assert piv.columns == ["link", "div", "priority"]
+    assert [r["link"] for r in rows] == ["l2", "l1"]  # ascending priority
+    assert rows[0]["div"] == 12.0  # sum of weights for l2
+    text = render_sample(piv)
+    assert text.splitlines()[-1] == "div"
+    assert text.splitlines()[0].endswith(": 12")

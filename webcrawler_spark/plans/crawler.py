@@ -701,6 +701,47 @@ class SparkCrawler:
                 ),
             )
 
+    def export_snapshot(self, outdir: str):
+        """S5/S6/S7 snapshot dump (the reference's every-500-pages GML dump,
+        EvaluatePriorityMatrix.scala:291-293): writes network.gml,
+        statistic.NNNNNNNN.txt and the vectors/ file set from the gml_log
+        feed using the current estimator state."""
+        import os as _os
+
+        from webcrawler_spark.plans.exports import (
+            compute_statistics,
+            gml_ids,
+            gml_matrix,
+            render_gml,
+            render_linked_vectors,
+            render_statistic,
+        )
+
+        if self.sense is None:
+            return
+        log = self._t("gml_log")
+        ids = gml_ids(log)
+        terms, out_edges = gml_matrix(log, ids)
+        central, factor = self.sense.central, self.sense.factor
+        _os.makedirs(outdir, exist_ok=True)
+        with open(_os.path.join(outdir, "network.gml"), "w") as f:
+            f.write(
+                render_gml(
+                    ids, terms, out_edges, central, factor, self.cfg.with_incomplete
+                )
+            )
+        stats = compute_statistics(
+            terms, out_edges, central, self.sense.target.normal, factor
+        )
+        n = stats["size"]
+        with open(_os.path.join(outdir, f"statistic.{n:08d}.txt"), "w") as f:
+            f.write(render_statistic(stats))
+        vdir = _os.path.join(outdir, "vectors")
+        _os.makedirs(vdir, exist_ok=True)
+        for name, body in render_linked_vectors(log).items():
+            with open(_os.path.join(vdir, name), "w") as f:
+                f.write(body)
+
     def _write_vocabulary(self):
         """S8: at crawl end the factor decoded to words -> vocabulary table."""
         if self.sense is None:

@@ -1,0 +1,205 @@
+"""Offline learning + sampling jobs (SURVEY.md §2.8, §2.1 S9).
+
+TuneVocabulary (reference: tunevocabulary/.../TuneVocabulary.scala):
+learns per-word weights predicting link existence with a perceptron over
+word-set intersections.
+
+- L1 read: consumes the engine's tables directly — page word sets +
+  edge list (the reference round-trips through the S7 text exports,
+  readVectors/readMatrix :69-90).
+- L2 sampling (:41-51): positives = linked pairs; negatives = |edges|
+  uniform random id pairs anti-joined against the edge set; shuffled.
+  We seed the RNG (the reference uses an unseeded scala.util.Random).
+- L3 learn (:12-39): feature vector = word-set intersection (weight 1
+  per word); misclassified-if (linked && net.v <= 0) or (!linked &&
+  net.v > 0); net += 0.01 * sum(+-v over misclassified); per-epoch
+  multiplicative decay 1e-4 toward zero (:55); keep best net by epoch
+  error (:53-67).
+- L4 (:100-103): 90/10 train/test split; 100k per-epoch subsample.
+
+Spark mapping: the pair table is distributed; each epoch is two jobs —
+(1) score pairs against the broadcast net (explode intersection, join,
+sum per pair), (2) aggregate the misclassified delta per word
+(partial+final sum). The net itself is vocab-sized driver state,
+broadcast down — same tiny-state/big-data split as the crawler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_pairs(
+    vectors: DataFrame, edges: DataFrame, seed: int = 42, neg_factor: float = 1.0
+) -> DataFrame:
+    """L2 — pair sample: (w1 array, w2 array, haslink boolean).
+
+    ``vectors``: (id long, words array<string>); ``edges``: (src, dst),
+    both endpoints must exist in vectors (readMatrix :86-89 semi-join)."""
+    ids = vectors.select(F.col("id")).distinct()
+    edges = (
+        edges.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    )
+    n_edges = edges.count()
+    n_ids = ids.count()
+    if n_ids == 0 or n_edges == 0:
+        return vectors.sparkSession.createDataFrame(
+            [], "w1 array<string>, w2 array<string>, haslink boolean"
+        )
+    # negatives: deterministic pseudo-random id pairs, anti-joined vs edges
+    # (TuneVocabulary.scala:47 `filterNot(m contains _)` — the anti-join
+    # exemplar of the reference)
+    idx = ids.orderBy("id").withColumn(
+        "rn", F.row_number().over(__import__("pyspark").sql.Window.orderBy("id")) - 1
+    )
+    cand = (
+        vectors.sparkSession.range(int(n_edges * neg_factor))
+        .select(
+            (F.xxhash64(F.col("id"), F.lit(seed)) % n_ids).alias("i"),
+            (F.xxhash64(F.col("id"), F.lit(seed + 1)) % n_ids).alias("j"),
+        )
+        .select(F.abs("i").alias("i"), F.abs("j").alias("j"))
+    )
+    cand = (
+        cand.join(F.broadcast(idx).select(F.col("rn").alias("i"), F.col("id").alias("src")), "i")
+        .join(F.broadcast(idx).select(F.col("rn").alias("j"), F.col("id").alias("dst")), "j")
+        .select("src", "dst")
+    )
+    negatives = cand.join(edges, ["src", "dst"], "left_anti").withColumn(
+        "haslink", F.lit(False)
+    )
+    positives = edges.select("src", "dst").withColumn("haslink", F.lit(True))
+    pairs = positives.unionByName(negatives)
+    v1 = vectors.select(F.col("id").alias("src"), F.col("words").alias("w1"))
+    v2 = vectors.select(F.col("id").alias("dst"), F.col("words").alias("w2"))
+    return (
+        pairs.join(v1, "src")
+        .join(v2, "dst")
+        .select("w1", "w2", "haslink")
+        # deterministic shuffle (reference Random.shuffle :45)
+        .orderBy(F.xxhash64("w1", "w2", "haslink", F.lit(seed)))
+    )
+
+
+def _net_df(spark: SparkSession, net: dict[str, float]) -> DataFrame:
+    rows = list(net.items())
+    return (
+        spark.createDataFrame(rows, "word string, nw double")
+        if rows
+        else spark.createDataFrame([], "word string, nw double")
+    )
+
+
+def learn_epoch(
+    pairs: DataFrame, net: dict[str, float]
+) -> tuple[dict[str, float], int]:
+    """L3 one epoch (learnstage :29-39): returns (new net, error count)."""
+    spark = pairs.sparkSession
+    net_b = F.broadcast(_net_df(spark, net))
+    feats = pairs.withColumn("pid", F.monotonically_increasing_id()).withColumn(
+        "feat", F.array_intersect("w1", "w2")
+    )
+    scored = (
+        feats.select("pid", "haslink", F.explode_outer("feat").alias("word"))
+        .join(net_b, "word", "left")
+        .groupBy("pid", "haslink")
+        .agg(F.sum(F.coalesce("nw", F.lit(0.0))).alias("dot"))
+        .withColumn(
+            "mis",
+            F.when(F.col("haslink"), F.col("dot") <= 0).otherwise(F.col("dot") > 0),
+        )
+    )
+    delta_rows = (
+        feats.join(scored.filter("mis").select("pid", "haslink"), ["pid", "haslink"], "left_semi")
+        .select(
+            F.explode("feat").alias("word"),
+            F.when(F.col("haslink"), F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
+        )
+        .groupBy("word")
+        .agg(F.sum("s").alias("d"))
+        .collect()
+    )
+    err = scored.filter("mis").count()
+    new_net = dict(net)
+    for r in delta_rows:
+        new_net[r["word"]] = new_net.get(r["word"], 0.0) + 0.01 * r["d"]
+    return new_net, err
+
+
+def _decay(net: dict[str, float]) -> dict[str, float]:
+    """per-epoch multiplicative shrink toward 0 (:55)."""
+    return {w: (v - 1e-4 * v if v > 0 else v + 1e-4 * v) for w, v in net.items() if v != 0}
+
+
+def tune_vocabulary(
+    vectors: DataFrame,
+    edges: DataFrame,
+    epochs: int = 10,
+    seed: int = 42,
+    epoch_sample: int = 100_000,
+) -> tuple[dict[str, float], list[int]]:
+    """L1-L4 end-to-end (learnprocess :53-67 + main :92-108): returns
+    (best net, per-epoch error counts)."""
+    pairs = build_pairs(vectors, edges, seed=seed)
+    train, _test = pairs.randomSplit([0.9, 0.1], seed=seed)
+    train = train.limit(epoch_sample).cache()
+    n = train.count()
+    net: dict[str, float] = {}
+    best_net, best_err = {}, n + 1
+    errs: list[int] = []
+    for _ in range(epochs):
+        net, err = learn_epoch(train, net)
+        net = _decay(net)
+        errs.append(err)
+        if err == 0:
+            best_net, best_err = net, 0
+            break
+        if err < best_err:
+            best_net, best_err = net, err
+    train.unpersist()
+    return best_net, errs
+
+
+# ---------------------------------------------------------------------------
+# S9 — link-context sampler pivot (SampleHierarchy2Priority.scala:58-106)
+# ---------------------------------------------------------------------------
+
+
+def sampler_pivot(
+    linkctx: DataFrame, priorities: DataFrame, min_count: int = 10
+) -> DataFrame:
+    """Dense sample matrix: one row per sampled link ordered by priority,
+    one column per link-context feature with global count > min_count
+    (A14, :66-73,84). linkctx: (link, feature, weight);
+    priorities: (link, priority)."""
+    counts = linkctx.groupBy("feature").agg(F.count("*").alias("n")).filter(
+        F.col("n") > min_count
+    )
+    kept = linkctx.join(F.broadcast(counts.select("feature")), "feature", "left_semi")
+    features = sorted(r["feature"] for r in counts.select("feature").collect())
+    return (
+        kept.groupBy("link")
+        .pivot("feature", features)
+        .sum("weight")
+        .na.fill(0.0)
+        .join(priorities, "link")
+        .orderBy("priority", "link")
+    )
+
+
+def render_sample(pivoted: DataFrame) -> str:
+    """Text dump in the reference's incremental format: '%8.2f : c c c...'
+    per link (ascending priority), feature columns in first-seen order
+    (here: pivot column order), then the feature-name legend line
+    (:88-104)."""
+    cols = [c for c in pivoted.columns if c not in ("link", "priority")]
+    rows = pivoted.collect()
+    lines = []
+    for r in rows:
+        vals = " ".join(f"{r[c]:2.0f}" for c in cols)
+        lines.append(f"{r['priority']:8.2f} : {vals}")
+        lines.append(str(len(cols)))
+    lines.append(" ".join(cols))
+    return "\n".join(lines) + "\n"

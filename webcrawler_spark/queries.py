@@ -839,6 +839,51 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tune_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1-L4 — perceptron word-weight learning over a document graph
+    (TuneVocabulary.scala:12-108). Iterative driver loop over distributed
+    epoch aggregations — not SQL-expressible (rows-only check)."""
+    from webcrawler_spark.plans.tune import tune_vocabulary
+
+    docs = _tokens(_read(spark, sf_dir, "documents")).filter(F.col("doc_id") < 40)
+    vectors = docs.select(
+        F.col("doc_id").alias("id"), F.array_distinct("toks").alias("words")
+    )
+    # deterministic edge list: each doc links to the next doc of its source
+    w = Window.partitionBy("source").orderBy("doc_id")
+    edges = (
+        docs.select("doc_id", "source")
+        .withColumn("nxt", F.lead("doc_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    net, _errs = tune_vocabulary(vectors, edges, epochs=3, seed=42)
+    rows = sorted(net.items(), key=lambda kv: (-kv[1], kv[0]))
+    return (
+        spark.createDataFrame(rows, "word string, weight double")
+        if rows
+        else spark.createDataFrame([], "word string, weight double")
+    )
+
+
+def q_sampler_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — link-context sampler pivot (SampleHierarchy2Priority.scala:
+    58-106): rows ordered by priority, columns = features with global
+    count > threshold. Dynamic pivot columns -> rows-only check."""
+    from webcrawler_spark.plans.tune import sampler_pivot
+
+    docs = _tokens(_read(spark, sf_dir, "documents")).filter(F.col("doc_id") < 100)
+    linkctx = docs.select(
+        F.col("doc_id").cast("string").alias("link"),
+        F.explode("toks").alias("feature"),
+    ).withColumn("weight", F.lit(1.0))
+    prios = docs.select(
+        F.col("doc_id").cast("string").alias("link"),
+        F.col("n_chars").cast("double").alias("priority"),
+    )
+    return sampler_pivot(linkctx, prios, min_count=10)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: treat a binary column as opaque media, run an
     Arrow-batched mapInPandas 'decode' producing typed metadata. The decode
@@ -923,6 +968,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
     "multimodal_decode": (q_multimodal_decode, None),
+    "tune_vocabulary": (q_tune_vocabulary, None),
+    "sampler_pivot": (q_sampler_pivot, None),
 }
 
 
