@@ -47,6 +47,12 @@ class CrawlConfig:
     #: cap on |factor| entries broadcast to executors (0 = unlimited);
     #: bounds broadcast size at huge vocab scale
     factor_top_m: int = 0
+    #: partitioned-bloom prefilter in front of the exact URL-seen anti-join
+    #: (the 10^10-scale path; exact semantics either way — no false negatives)
+    use_bloom_seen: bool = False
+    bloom_buckets: int = 64
+    bloom_bits_per_bucket: int = 1 << 20
+    bloom_k: int = 5
     #: export graph snapshot every K processed pages (EvaluatePriorityMatrix.scala:291)
     dump_every: int = 500
 

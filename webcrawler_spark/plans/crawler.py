@@ -166,6 +166,15 @@ class SparkCrawler:
             else None
         )
 
+        # optional bloom prefilter for the seen check (D1 scale path)
+        self.bloom = None
+        if cfg.use_bloom_seen:
+            from webcrawler_spark.sources.bloom import PartitionedBloom
+
+            self.bloom = PartitionedBloom(
+                cfg.bloom_buckets, cfg.bloom_bits_per_bucket, cfg.bloom_k
+            )
+
         #: per-phase wall-clock accumulators (SPARK_CRAWLER_PROFILE=1 to print)
         self.timings: dict[str, float] = defaultdict(float)
         self._profile = os.environ.get("SPARK_CRAWLER_PROFILE") == "1"
@@ -299,20 +308,26 @@ class SparkCrawler:
                 .localCheckpoint()  # wave-sized; reused by 2 downstream jobs
             )
         with self._timer("seen_antijoin"):
-            # stream-the-big-side membership check: semi-join the cumulative
-            # seen set against the broadcast wave (no shuffle of `seen`),
-            # then anti-join the wave against the (small) hit set. At 10^10
-            # scale the semi-join is additionally preceded by a bloom-filter
-            # partition prefilter; the shape stays the same.
-            seen_hits = (
-                self._t("seen")
-                .withColumnRenamed("url", "dst")
-                .join(F.broadcast(first_emit.select("dst")), "dst", "left_semi")
-                .localCheckpoint()
-            )
-            new_links = first_emit.join(
-                F.broadcast(seen_hits), "dst", "left_anti"
-            ).localCheckpoint()
+            if self.bloom is not None:
+                # D1 scale path: bloom-reject definitely-new links map-side;
+                # only the 'maybe seen' residue takes the exact anti-join
+                new_links = self.bloom.prefilter(
+                    first_emit, self._t("seen").withColumnRenamed("url", "dst"), "dst"
+                ).localCheckpoint()
+                self.bloom.add_df(new_links, "dst")
+            else:
+                # stream-the-big-side membership check: semi-join the
+                # cumulative seen set against the broadcast wave (no shuffle
+                # of `seen`), then anti-join the wave against the small hit set
+                seen_hits = (
+                    self._t("seen")
+                    .withColumnRenamed("url", "dst")
+                    .join(F.broadcast(first_emit.select("dst")), "dst", "left_semi")
+                    .localCheckpoint()
+                )
+                new_links = first_emit.join(
+                    F.broadcast(seen_hits), "dst", "left_anti"
+                ).localCheckpoint()
 
         # ---- driver fold (dispatch order) ---------------------------------
         with self._timer("fold_collect"):
@@ -789,5 +804,8 @@ class SparkCrawler:
         self.result.processed = st["processed"]
         for name in _STATE_TABLES:
             self._set(name, self.catalog.load_table(w, name))
+        if self.bloom is not None:
+            # rebuild the prefilter from the snapshot's exact seen table
+            self.bloom.add_df(self._t("seen"), "url")
         self._resumed = True
         return self
