@@ -1,0 +1,86 @@
+"""Kill-and-resume invariant (north rule; SURVEY.md §7 step 7): a crawl
+interrupted at any committed wave and resumed from its snapshot produces
+exactly the same dispatch order, accepted set and seen set as an
+uninterrupted run — including when waves committed after the resume point
+are lost (a crash between commits replays the tail identically)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from webcrawler_spark.config import CrawlConfig
+from webcrawler_spark.plans.crawler import SparkCrawler
+from webcrawler_spark.sources.synth import SiteSpec, gen_pages
+
+SPEC = SiteSpec(n_pages=50, n_hosts=3, seed=13, private_frac=0.0)
+
+
+@pytest.fixture(scope="module")
+def site_df(spark):
+    pages = gen_pages(SPEC)
+    df = spark.createDataFrame(
+        [(p["url"], p["html"]) for p in pages], "url string, html binary"
+    ).cache()
+    return pages, df
+
+
+def cfg_for(pages):
+    return CrawlConfig(
+        seeds=(pages[0]["url"], pages[1]["url"]),
+        limit=12,
+        targets=3,
+        targeting=0.0,
+        allhosts=True,
+        budget=4,
+        respect_robots=False,
+    )
+
+
+def final_state(spark, crawler, res):
+    seen = sorted(r["url"] for r in crawler.tables["seen"].collect())
+    return (res.dispatched, res.accepted, res.processed, seen)
+
+
+def test_kill_and_resume_replays_identically(spark, site_df, tmp_path):
+    pages, df = site_df
+    cfg = cfg_for(pages)
+
+    # reference: uninterrupted run
+    c_full = SparkCrawler(spark, cfg, df, str(tmp_path / "full"), checkpoint_every=100)
+    want = final_state(spark, c_full, c_full.run())
+
+    # interrupted run: commit every wave, stop after 3 waves
+    root = str(tmp_path / "interrupted")
+    c1 = SparkCrawler(spark, cfg, df, root, checkpoint_every=1)
+    c1.run(max_waves=3)
+    committed = sorted(
+        d for d in os.listdir(root) if d.startswith("wave=")
+    )
+    assert len(committed) >= 3
+
+    # simulate a crash that lost everything after wave 1's commit
+    for d in committed[2:]:
+        shutil.rmtree(os.path.join(root, d))
+
+    # resume from the surviving snapshot and run to completion
+    c2 = SparkCrawler.resume(spark, cfg, df, root, checkpoint_every=1)
+    assert c2.wave == 2  # resumed after wave 1
+    got = final_state(spark, c2, c2.run())
+
+    assert got == want
+
+
+def test_resume_noop_when_finished(spark, site_df, tmp_path):
+    """Resuming a completed crawl dispatches nothing further."""
+    pages, df = site_df
+    cfg = cfg_for(pages)
+    root = str(tmp_path / "done")
+    c1 = SparkCrawler(spark, cfg, df, root, checkpoint_every=1)
+    r1 = c1.run()
+    c2 = SparkCrawler.resume(spark, cfg, df, root, checkpoint_every=1)
+    r2 = c2.run()
+    assert r2.processed == r1.processed
+    assert r2.dispatched == r1.dispatched  # restored, nothing appended

@@ -1,0 +1,118 @@
+"""CLI crawl driver (S10 — reference WebCrawler.scala:13-44).
+
+Local smoke:
+    python -m webcrawler_spark.cli --pages /path/pages.parquet \
+        --seeds http://site0.example.org/page/0 --limit 100 --out /tmp/crawl
+
+Cluster:
+    zip -r engine.zip webcrawler_spark
+    spark-submit --py-files engine.zip -m webcrawler_spark.cli ... \
+        (or ship this file as the main script)
+
+Exposes the reference CFG knobs observable from call sites (SURVEY.md
+§3.1) plus the new-engine scale knobs (budget, per-host budget, bloom).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="webcrawler-spark", description=__doc__)
+    p.add_argument("--pages", required=True, help="parquet path of the pages table")
+    p.add_argument("--robots", default=None, help="parquet path of the robots table")
+    p.add_argument("--seeds", nargs="+", required=True)
+    p.add_argument("--out", required=True, help="workdir for snapshots + exports")
+    p.add_argument("--resume", action="store_true", help="resume from latest snapshot")
+    # reference semantics knobs
+    p.add_argument("--limit", type=int, default=100)
+    p.add_argument("--targets", type=int, default=9)
+    p.add_argument("--targeting", type=float, default=0.01)
+    p.add_argument("--prioriting", type=float, default=0.7)
+    p.add_argument("--accuracy", type=float, default=0.0001)
+    p.add_argument("--allhosts", action="store_true")
+    p.add_argument("--breadth", action="store_true", help="breadth-first (F2)")
+    p.add_argument("--with-incomplete", action="store_true")
+    p.add_argument("--cluster-policy", choices=["target", "cluster"], default="target")
+    p.add_argument("--shuffle-seed", type=int, default=42)
+    # scale knobs
+    p.add_argument("--budget", type=int, default=1, help="pages per wave (1 = oracle mode)")
+    p.add_argument("--per-host-budget", type=int, default=0)
+    p.add_argument("--bloom", action="store_true", help="bloom seen-prefilter")
+    p.add_argument("--checkpoint-every", type=int, default=8)
+    p.add_argument("--export", action="store_true", help="write GML/statistics/vectors at end")
+    p.add_argument("--master", default=None, help="override master (default: from spark-submit)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("webcrawler-spark")
+    if args.master:
+        b = b.master(args.master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.plans.crawler import SparkCrawler
+
+    cfg = CrawlConfig(
+        seeds=tuple(args.seeds),
+        limit=args.limit,
+        targets=args.targets,
+        targeting=args.targeting,
+        prioriting=args.prioriting,
+        accuracy=args.accuracy,
+        allhosts=args.allhosts,
+        use_breadthsearch=args.breadth,
+        with_incomplete=args.with_incomplete,
+        cluster_policy=args.cluster_policy,
+        shuffle_seed=args.shuffle_seed,
+        budget=args.budget,
+        per_host_budget=args.per_host_budget,
+        use_bloom_seen=args.bloom,
+    )
+    pages = spark.read.parquet(args.pages)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+
+    maker = SparkCrawler.resume if args.resume else SparkCrawler
+    crawler = maker(
+        spark, cfg, pages, args.out, robots=robots,
+        checkpoint_every=args.checkpoint_every,
+    )
+    res = crawler.run()
+    if args.export:
+        crawler.export_snapshot(f"{args.out}/export")
+    print(
+        json.dumps(
+            {
+                "processed": res.processed,
+                "dispatched": len(res.dispatched),
+                "accepted": len(res.accepted),
+                "waves": res.waves,
+                "aborted": res.aborted,
+                "frontier_size": crawler.tables["frontier"].count(),
+                "seen_size": crawler.tables["seen"].count(),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,7 +16,7 @@ checkpointed per wave through SnapshotCatalog:
     accepted   (ord, url)                                   — promoted pages (S4)
     gml_log    (ord, url, links, terms)                     — export feed (S5/S7)
     linkctx    (ord, url, link, feature, weight)            — sampler feed (P6/S9)
-    hosts      (host)                                       — allowlist (D2)
+    (hosts allowlist (D2) is tiny driver state, persisted in the manifest)
 
 Wave dataflow (estimating steady state):
   1. dispatch: politeness-windowed top-k over the frontier
@@ -82,12 +82,12 @@ _FRONTIER_SCHEMA = T.StructType(
 
 _STATE_TABLES = (
     "frontier", "seen", "url_ids", "page_terms", "net_edges",
-    "corpus", "accepted", "gml_log", "linkctx", "hosts",
+    "corpus", "accepted", "gml_log", "linkctx",
 )
 
 #: tables read by the next wave's joins — eagerly materialized every wave
 #: (lineage truncation keeps wave cost O(state scan), not O(history))
-_HOT_TABLES = ("frontier", "seen", "url_ids", "page_terms", "net_edges", "hosts")
+_HOT_TABLES = ("frontier", "seen", "url_ids", "page_terms", "net_edges")
 #: append-only export feeds — materialized only every K waves / at commit
 _COLD_TABLES = ("corpus", "accepted", "gml_log", "linkctx")
 
@@ -152,11 +152,10 @@ class SparkCrawler:
             "linkctx": s.createDataFrame(
                 [], "ord long, url string, link string, feature string, weight double"
             ),
-            "hosts": s.createDataFrame(
-                [(h,) for h in sorted({x for x in (url_host(u) for u in cfg.seeds) if x})]
-                or [],
-                "host string",
-            ),
+        }
+        #: D2 allowlist — tiny driver state, grown with every fetched host
+        self.hosts_set: set[str] = {
+            x for x in (url_host(u) for u in cfg.seeds) if x
         }
 
         robots = robots if (robots is not None and cfg.respect_robots) else None
@@ -262,76 +261,20 @@ class SparkCrawler:
                 .localCheckpoint()
             )
 
-        # ---- admission: host allowlist (D2) ------------------------------
-        links = parsed.select(
-            "dr",
-            F.col("host").alias("src_host"),
-            F.explode("links").alias("l"),
-        ).select(
-            "dr",
-            "src_host",
-            F.col("l.pos").alias("pos"),
-            F.col("l.url").alias("dst"),
-            F.col("l.host").alias("dst_host"),
-        )
-        if cfg.allhosts:
-            admitted = links.drop("src_host")
-        else:
-            allowed = F.broadcast(
-                self._t("hosts")
-                .withColumnRenamed("host", "dst_host")
-                .withColumn("_allowed", F.lit(True))
-            )
-            admitted = (
-                links.join(allowed, "dst_host", "left")
-                .filter(
-                    F.col("_allowed").isNotNull()
-                    | (F.col("dst_host") == F.col("src_host"))
-                )
-                .drop("_allowed", "src_host")
-            )
-        with self._timer("admission"):
-            admitted = admitted.localCheckpoint()
+        # admission/dedup chain and the driver fold collect are independent
+        # given `parsed` — run them as concurrent Spark jobs
+        from concurrent.futures import ThreadPoolExecutor as _TPE
 
-        # ---- D1: first-emitter-wins within the wave + seen anti-join -----
-        with self._timer("first_emit"):
-            first_emit = (
-                admitted.groupBy("dst")
-                .agg(
-                    F.min(F.struct("dr", "pos")).alias("fp"),
-                    F.first("dst_host").alias("dst_host"),
+        with _TPE(max_workers=1) as _ex:
+            _fut = _ex.submit(self._admission_chain, parsed)
+            with self._timer("fold_collect"):
+                fold_rows = (
+                    parsed.select("dr", "url", "host", "terms").orderBy("dr").collect()
                 )
-                .select(
-                    "dst", F.col("fp.dr").alias("dr"), F.col("fp.pos").alias("pos"),
-                    "dst_host",
-                )
-                .localCheckpoint()  # wave-sized; reused by 2 downstream jobs
-            )
-        with self._timer("seen_antijoin"):
-            if self.bloom is not None:
-                # D1 scale path: bloom-reject definitely-new links map-side;
-                # only the 'maybe seen' residue takes the exact anti-join
-                new_links = self.bloom.prefilter(
-                    first_emit, self._t("seen").withColumnRenamed("url", "dst"), "dst"
-                ).localCheckpoint()
-                self.bloom.add_df(new_links, "dst")
-            else:
-                # stream-the-big-side membership check: semi-join the
-                # cumulative seen set against the broadcast wave (no shuffle
-                # of `seen`), then anti-join the wave against the small hit set
-                seen_hits = (
-                    self._t("seen")
-                    .withColumnRenamed("url", "dst")
-                    .join(F.broadcast(first_emit.select("dst")), "dst", "left_semi")
-                    .localCheckpoint()
-                )
-                new_links = first_emit.join(
-                    F.broadcast(seen_hits), "dst", "left_anti"
-                ).localCheckpoint()
-
+            admitted, first_emit, new_links = _fut.result()
         # ---- driver fold (dispatch order) ---------------------------------
-        with self._timer("fold_collect"):
-            fold_rows = parsed.select("dr", "url", "terms").orderBy("dr").collect()
+        # D2 growth: every fetched page's host becomes allowed (Gather.scala:153)
+        self.hosts_set.update(r["host"] for r in fold_rows if r["host"])
         vecs = {
             r["dr"]: SparseVector(dict(r["terms"] or {}), cfg.accuracy)
             for r in fold_rows
@@ -376,9 +319,14 @@ class SparkCrawler:
         self._merge_gather_state(parsed, admitted, new_links)
 
         if self.sense is None:
-            # init wave: build wave-1 FIFO (shuffled — :200) and the estimator
+            # init wave: build wave-1 FIFO (shuffled — :200) and the estimator;
+            # robots compliance applies to the FIFO exactly as to the frontier
             wave1 = [
-                r["dst"] for r in new_links.orderBy("dr", "pos").select("dst").collect()
+                r["dst"]
+                for r in self._robots_filter(new_links)
+                .orderBy("dr", "pos")
+                .select("dst")
+                .collect()
             ]
             self.rng.shuffle(wave1)
             self.fifo.extend(wave1)
@@ -404,7 +352,6 @@ class SparkCrawler:
             self._t("url_ids")
             .join(F.broadcast(parsed_epm.select("url")), "url", "left_semi")
             .select("url")
-            .localCheckpoint()
         )
         page_ent = (
             parsed_epm.select("dr", "url")
@@ -477,25 +424,7 @@ class SparkCrawler:
             .join(F.broadcast(src_ids), "dr")
             .join(F.broadcast(new_ids.withColumnRenamed("url", "dst")), "dst")
         )
-        if self.robots_flat is not None:
-            # robots.txt compliance (new surface): anti-join against
-            # (host, disallow-prefix) matches so fan-out never duplicates rows
-            disallowed = (
-                add.join(
-                    F.broadcast(
-                        self.robots_flat.withColumnRenamed("host", "dst_host")
-                    ),
-                    "dst_host",
-                )
-                .filter(
-                    F.coalesce(
-                        F.expr("startswith(parse_url(dst, 'PATH'), prefix)"),
-                        F.lit(False),
-                    )
-                )
-                .select("dst")
-            )
-            add = add.join(disallowed, "dst", "left_anti")
+        add = self._robots_filter(add)
         # materialize the wave delta once; frontier/net_edges appends reuse it
         with self._timer("merge_build"):
             add = add.localCheckpoint()
@@ -530,6 +459,95 @@ class SparkCrawler:
         if recalc_post is not None:
             self._calculate(recalc_post)
 
+    def _admission_chain(self, parsed):
+        """Host allowlist (D2), within-wave first-emitter dedup and the
+        URL-seen filter (D1) — one chain of wave-sized materializations."""
+        cfg = self.cfg
+        # host allowlist (D2)
+        links = parsed.select(
+            "dr",
+            F.col("host").alias("src_host"),
+            F.explode("links").alias("l"),
+        ).select(
+            "dr",
+            "src_host",
+            F.col("l.pos").alias("pos"),
+            F.col("l.url").alias("dst"),
+            F.col("l.host").alias("dst_host"),
+        )
+        if cfg.allhosts:
+            admitted = links.drop("src_host")
+        else:
+            # D2 allowlist is tiny driver state (the reference holds it
+            # in-heap too, Gather.scala:129-132); shipped as an isin
+            # predicate — at extreme host cardinality this becomes a
+            # broadcast join against a hosts table instead
+            admitted = links.filter(
+                F.col("dst_host").isin(sorted(self.hosts_set))
+                | (F.col("dst_host") == F.col("src_host"))
+            ).drop("src_host")
+        with self._timer("admission"):
+            admitted = admitted.localCheckpoint()
+
+        # ---- D1: first-emitter-wins within the wave + seen anti-join -----
+        with self._timer("first_emit"):
+            first_emit = (
+                admitted.groupBy("dst")
+                .agg(
+                    F.min(F.struct("dr", "pos")).alias("fp"),
+                    F.first("dst_host").alias("dst_host"),
+                )
+                .select(
+                    "dst", F.col("fp.dr").alias("dr"), F.col("fp.pos").alias("pos"),
+                    "dst_host",
+                )
+                .localCheckpoint()  # wave-sized; reused by 2 downstream jobs
+            )
+        with self._timer("seen_antijoin"):
+            if self.bloom is not None:
+                # D1 scale path: bloom-reject definitely-new links map-side;
+                # only the 'maybe seen' residue takes the exact anti-join
+                new_links = self.bloom.prefilter(
+                    first_emit, self._t("seen").withColumnRenamed("url", "dst"), "dst"
+                ).localCheckpoint()
+                self.bloom.add_df(new_links, "dst")
+            else:
+                # stream-the-big-side membership check: semi-join the
+                # cumulative seen set against the broadcast wave (no shuffle
+                # of `seen`), then anti-join the wave against the small hit set
+                seen_hits = (
+                    self._t("seen")
+                    .withColumnRenamed("url", "dst")
+                    .join(F.broadcast(first_emit.select("dst")), "dst", "left_semi")
+                )
+                new_links = first_emit.join(
+                    F.broadcast(seen_hits), "dst", "left_anti"
+                ).localCheckpoint()
+
+        return admitted, first_emit, new_links
+
+    def _robots_filter(self, df: DataFrame) -> DataFrame:
+        """Robots.txt compliance (new surface): drop rows whose (dst_host,
+        dst-path) matches a disallow prefix — anti-join against the matched
+        set so fan-out never duplicates rows. Applies to both the wave-1
+        FIFO and every frontier add."""
+        if self.robots_flat is None:
+            return df
+        disallowed = (
+            df.join(
+                F.broadcast(self.robots_flat.withColumnRenamed("host", "dst_host")),
+                "dst_host",
+            )
+            .filter(
+                F.coalesce(
+                    F.expr("startswith(parse_url(dst, 'PATH'), prefix)"),
+                    F.lit(False),
+                )
+            )
+            .select("dst")
+        )
+        return df.join(disallowed, "dst", "left_anti")
+
     def _accept(self, url: str):
         self.result.accepted.append(url)
         self._accepts_wave.append(url)
@@ -549,10 +567,6 @@ class SparkCrawler:
             "seen",
             self._t("seen").unionByName(new_links.select(F.col("dst").alias("url"))),
         )
-        new_hosts = (
-            parsed.select("host").distinct().join(self._t("hosts"), "host", "left_anti")
-        )
-        self._set("hosts", self._t("hosts").unionByName(new_hosts))
         self._set(
             "corpus",
             self._t("corpus").unionByName(
@@ -640,14 +654,23 @@ class SparkCrawler:
     def _checkpoint_inner(self, force: bool = False):
         if not force and (self.wave % self.checkpoint_every) != 0:
             # hot tables: eager snapshot every wave — deferring was measured
-            # slower (downstream steps re-scan the unmaterialized unions)
-            for name in _HOT_TABLES:
-                if name == "url_ids":
-                    continue  # already materialized in the ids step
-                with self._timer(f"ckpt_{name}"):
-                    self._set(
-                        name, self._t(name).coalesce(self._nparts).localCheckpoint()
-                    )
+            # slower (downstream steps re-scan the unmaterialized unions).
+            # Materializations are independent jobs -> run them concurrently
+            # so wave latency pays max(job) instead of sum(job)
+            from concurrent.futures import ThreadPoolExecutor
+
+            names = [n for n in _HOT_TABLES if n != "url_ids"]  # ids step did url_ids
+            with self._timer("ckpt_hot"):
+                with ThreadPoolExecutor(max_workers=len(names)) as ex:
+                    futs = {
+                        n: ex.submit(
+                            lambda df: df.localCheckpoint(),
+                            self._t(n).coalesce(self._nparts),
+                        )
+                        for n in names
+                    }
+                    for n, f in futs.items():
+                        self._set(n, f.result())
             # cold (export-feed) tables: truncate lineage every 4 waves only
             if self.wave % 4 == 0:
                 for name in _COLD_TABLES:
@@ -660,6 +683,7 @@ class SparkCrawler:
             "next_ord": self.next_ord,
             "wave": self.wave,
             "fifo": self.fifo,
+            "hosts": sorted(self.hosts_set),
             "stopped": self.stopped,
             "processed": self.result.processed,
             "central_acc": {k: v for k, v in self.central_acc.items()},
@@ -679,7 +703,7 @@ class SparkCrawler:
     # ------------------------------------------------------------------
     # main loop
     # ------------------------------------------------------------------
-    def run(self, max_waves: int = 100_000) -> CrawlResult:
+    def run(self, max_waves: int = 100_000, finalize: bool = True) -> CrawlResult:
         cfg = self.cfg
         if self._resumed:
             batch = self._dispatch()
@@ -699,12 +723,18 @@ class SparkCrawler:
             if not batch and self.phase == "targeting" and not self.fifo:
                 self.result.aborted = True  # too little casualties (:225-229)
                 break
-        self._checkpoint(force=True)
-        self._write_vocabulary()
+        if finalize:
+            self.finalize()
         if self._profile:
             total = sum(self.timings.values())
             print("crawler timings:", {k: round(v, 1) for k, v in sorted(self.timings.items(), key=lambda kv: -kv[1])}, f"sum={total:.1f}s", flush=True)
         return self.result
+
+    def finalize(self) -> None:
+        """Durable snapshot commit + vocabulary sink (separate from the
+        wave loop so callers can account commit cost independently)."""
+        self._checkpoint(force=True)
+        self._write_vocabulary()
 
     def _record_accepts(self):
         if self._accepts_wave:
@@ -795,6 +825,7 @@ class SparkCrawler:
         self.next_ord = st["next_ord"]
         self.wave = w + 1
         self.fifo = list(st["fifo"])
+        self.hosts_set = set(st.get("hosts", []))
         self.stopped = st["stopped"]
         self.central_acc = SparseVector(st["central_acc"], cfg.accuracy)
         self.pfactor = SparseVector(st["pfactor"], cfg.accuracy)

@@ -616,6 +616,35 @@ FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) t
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: split each document into fixed-size (50-token)
+    chunks preserving order — the training-data windowing idiom."""
+    docs = _tokens(_read(spark, sf_dir, "documents"))
+    pos = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    return (
+        pos.withColumn("chunk", F.floor(F.col("pos") / 50))
+        .groupBy("doc_id", "chunk")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))).tok, " "
+            ).alias("chunk_text"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS pos
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) d
+)
+SELECT doc_id, pos // 50 AS chunk,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+       count(*) AS n_tokens
+FROM t GROUP BY doc_id, pos // 50
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: English-stopword hit ratio threshold."""
     docs = _tokens(_read(spark, sf_dir, "documents"))
@@ -956,6 +985,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hourly_rollup": (q_hourly_rollup, SQL_HOURLY_ROLLUP),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     # similarity search

@@ -44,6 +44,11 @@ class SiteSpec:
     #: fraction of pages under a robots-disallowed /private prefix
     private_frac: float = 0.05
     lang_xx_frac: float = 0.05
+    #: extra body paragraphs appended per page (0 = classic output; >0
+    #: approximates real Common-Crawl page weight for compute-bound
+    #: benchmarking). Uses its own RNG stream so pages with heavy=0 are
+    #: byte-identical to the original generator.
+    heavy_paras: int = 0
 
 
 def _topic_words(t: int) -> list[str]:
@@ -111,6 +116,12 @@ def gen_page(spec: SiteSpec, i: int) -> dict:
         n = rng.randint(25, 55)
         para = " ".join(rng.choice(words) for _ in range(n))
         paras.append(f"<p>{para}</p>")
+    if spec.heavy_paras > 0:
+        hrng = random.Random(spec.seed * 104_729 + i * 17 + 7)
+        for _ in range(spec.heavy_paras):
+            n = hrng.randint(40, 80)
+            para = " ".join(hrng.choice(words) for _ in range(n))
+            paras.append(f"<p>{para}</p>")
 
     nav = f'<div id="nav" class="menu"><ul>{"".join(f"<li>{a}" for a in anchors[: len(anchors) // 2])}</ul></div>'
     body_links = " ".join(anchors[len(anchors) // 2 :])
