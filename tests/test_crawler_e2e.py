@@ -76,3 +76,10 @@ def test_engine_matches_oracle_budget1(spark, site, pages_df, tmp_path):
     }
     for url, text in oracle.corpus.items():
         assert corpus[url] == text  # byte-identical extracted text per url
+
+    # first-seen vocabulary ids match the oracle's RevMap exactly
+    vocab_engine = {
+        r["word"]: r["word_id"]
+        for r in latest_table(spark, root, "vocab").collect()
+    }
+    assert vocab_engine == oracle.vocab

@@ -36,7 +36,19 @@ PARSED_SCHEMA = T.StructType(
                 )
             ),
         ),
-        T.StructField("terms", T.MapType(T.StringType(), T.DoubleType())),
+        # first-occurrence-ORDERED term list (arrays keep order; maps do
+        # not) — position feeds the deterministic first-seen vocab ids
+        T.StructField(
+            "terms",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("word", T.StringType()),
+                        T.StructField("tf", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
         T.StructField(
             "linkctx",
             T.ArrayType(
@@ -73,7 +85,7 @@ def parse_pages(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for dr, url, html in zip(pdf["dr"], pdf["url"], pdf["html"]):
             host = urlsplit(url).hostname
             if html is None:
-                rows.append((dr, url, host, False, None, [], {}, []))
+                rows.append((dr, url, host, False, None, [], [], []))
                 continue
             try:
                 links = extract_links(html, url, allhosts=True)
@@ -88,7 +100,7 @@ def parse_pages(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             (i, l, urlsplit(l).hostname)
                             for i, l in enumerate(links)
                         ],
-                        term_counts(html),
+                        list(term_counts(html).items()),
                         [
                             (link, feat, w)
                             for link, vec in link_context(html, url).items()
@@ -98,7 +110,7 @@ def parse_pages(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
             except Exception:
                 # Gather.scala:178-180 — failures swallowed
-                rows.append((dr, url, host, False, None, [], {}, []))
+                rows.append((dr, url, host, False, None, [], [], []))
         yield pd.DataFrame(
             rows,
             columns=["dr", "url", "host", "ok", "text", "links", "terms", "linkctx"],

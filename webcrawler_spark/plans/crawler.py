@@ -10,7 +10,8 @@ checkpointed per wave through SnapshotCatalog:
     frontier   (seed_id, url, host, priority, parents)      — pending links
     seen       (url)                                        — emitted-link set (D1)
     url_ids    (url, seed_id)                               — first-seen dense ids
-    page_terms (seed_id, url, word, tf)                     — fetched page vectors
+    vocab      (word, word_id)                              — first-seen dictionary (P5)
+    page_terms (seed_id, word_id, tf)                       — fetched page vectors
     net_edges  (src, dst)                                   — estimator link graph
     corpus     (ord, seed_id, url, text, wave)              — extracted intel (S3)
     accepted   (ord, url)                                   — promoted pages (S4)
@@ -81,13 +82,13 @@ _FRONTIER_SCHEMA = T.StructType(
 )
 
 _STATE_TABLES = (
-    "frontier", "seen", "url_ids", "page_terms", "net_edges",
+    "frontier", "seen", "url_ids", "vocab", "page_terms", "net_edges",
     "corpus", "accepted", "gml_log", "linkctx",
 )
 
 #: tables read by the next wave's joins — eagerly materialized every wave
 #: (lineage truncation keeps wave cost O(state scan), not O(history))
-_HOT_TABLES = ("frontier", "seen", "url_ids", "page_terms", "net_edges")
+_HOT_TABLES = ("frontier", "seen", "url_ids", "vocab", "page_terms", "net_edges")
 #: append-only export feeds — materialized only every K waves / at commit
 _COLD_TABLES = ("corpus", "accepted", "gml_log", "linkctx")
 
@@ -122,6 +123,7 @@ class SparkCrawler:
         self.ns = 0
         self.wave = 0
         self.next_id = 1  # RevMap ids start at 1
+        self.next_word_id = 1  # vocab ids start at 1 (Features.String2Word)
         self.next_ord = 0
         self.sense: SemanticEstimator | None = None
         self.pfactor = SparseVector({}, cfg.accuracy)
@@ -138,8 +140,11 @@ class SparkCrawler:
             "frontier": s.createDataFrame([], _FRONTIER_SCHEMA),
             "seen": s.createDataFrame([], "url string"),
             "url_ids": s.createDataFrame([], "url string, seed_id long"),
+            # first-seen word dictionary (Word = Int of the reference,
+            # package.scala:11; ids grown in Gather arrival order)
+            "vocab": s.createDataFrame([], "word string, word_id long"),
             "page_terms": s.createDataFrame(
-                [], "seed_id long, url string, word string, tf double"
+                [], "seed_id long, word_id long, tf double"
             ),
             "net_edges": s.createDataFrame([], "src long, dst long"),
             "corpus": s.createDataFrame(
@@ -276,7 +281,9 @@ class SparkCrawler:
         # D2 growth: every fetched page's host becomes allowed (Gather.scala:153)
         self.hosts_set.update(r["host"] for r in fold_rows if r["host"])
         vecs = {
-            r["dr"]: SparseVector(dict(r["terms"] or {}), cfg.accuracy)
+            r["dr"]: SparseVector(
+                [(e["word"], e["tf"]) for e in (r["terms"] or [])], cfg.accuracy
+            )
             for r in fold_rows
         }
         upd_factors: dict[int, SparseVector] = {}
@@ -446,12 +453,20 @@ class SparkCrawler:
                 add.select(F.col("src_id").alias("src"), F.col("seed_id").alias("dst"))
             ),
         )
+        # dictionary-encode: only the wave's words of the (potentially
+        # huge) vocab are broadcast — semi-join slice first
+        wave_terms = parsed_epm.select(
+            "dr", F.explode("terms").alias("e")
+        ).select("dr", F.col("e.word").alias("word"), F.col("e.tf").alias("tf"))
+        wave_vocab = self._t("vocab").join(
+            F.broadcast(wave_terms.select("word").distinct()), "word", "left_semi"
+        )
         self._set(
             "page_terms",
             self._t("page_terms").unionByName(
-                parsed_epm.select("dr", "url", F.explode("terms").alias("word", "tf"))
-                .join(F.broadcast(src_ids), "dr")
-                .select(F.col("src_id").alias("seed_id"), "url", "word", "tf")
+                wave_terms.join(F.broadcast(src_ids), "dr")
+                .join(F.broadcast(wave_vocab), "word")
+                .select(F.col("src_id").alias("seed_id"), "word_id", "tf")
             ),
         )
 
@@ -563,6 +578,37 @@ class SparkCrawler:
         becomes O(wave) here)."""
         base_ord = self.next_ord
         parsed_o = parsed.withColumn("ord", F.col("dr") + F.lit(base_ord))
+        with self._timer("vocab"):
+            wave_words = parsed.select(
+                "dr", F.posexplode("terms").alias("wpos", "e")
+            ).select("dr", "wpos", F.col("e.word").alias("word"))
+            firsts = wave_words.groupBy("word").agg(
+                F.min(F.struct("dr", "wpos")).alias("fp")
+            )
+            known_words = (
+                self._t("vocab")
+                .join(F.broadcast(firsts.select("word")), "word", "left_semi")
+                .select("word")
+            )
+            wnd_w = Window.orderBy("fp.dr", "fp.wpos")
+            new_words = (
+                firsts.join(F.broadcast(known_words), "word", "left_anti")
+                .select(
+                    "word",
+                    (F.row_number().over(wnd_w) + F.lit(self.next_word_id - 1)).alias(
+                        "word_id"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            self.next_word_id += new_words.count()
+            self._set(
+                "vocab",
+                self._t("vocab")
+                .unionByName(new_words)
+                .coalesce(self._nparts)
+                .localCheckpoint(),
+            )
         self._set(
             "seen",
             self._t("seen").unionByName(new_links.select(F.col("dst").alias("url"))),
@@ -587,7 +633,7 @@ class SparkCrawler:
                     "ord",
                     "url",
                     F.coalesce("links", F.array().cast("array<string>")).alias("links"),
-                    "terms",
+                    F.map_from_entries("terms").alias("terms"),
                 )
             ),
         )
@@ -620,9 +666,12 @@ class SparkCrawler:
             if fn.d
             else self.spark.createDataFrame([], "word string, w double")
         )
+        factor_ids = F.broadcast(
+            self._t("vocab").join(factor_df, "word").select("word_id", "w")
+        )
         pscores = (
             self._t("page_terms")
-            .join(factor_df, "word")
+            .join(factor_ids, "word_id")
             .groupBy("seed_id")
             .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
         )
@@ -659,7 +708,8 @@ class SparkCrawler:
             # so wave latency pays max(job) instead of sum(job)
             from concurrent.futures import ThreadPoolExecutor
 
-            names = [n for n in _HOT_TABLES if n != "url_ids"]  # ids step did url_ids
+            # url_ids/vocab were materialized in their own steps this wave
+            names = [n for n in _HOT_TABLES if n not in ("url_ids", "vocab")]
             with self._timer("ckpt_hot"):
                 with ThreadPoolExecutor(max_workers=len(names)) as ex:
                     futs = {
@@ -680,6 +730,7 @@ class SparkCrawler:
             "phase": self.phase,
             "ns": self.ns,
             "next_id": self.next_id,
+            "next_word_id": self.next_word_id,
             "next_ord": self.next_ord,
             "wave": self.wave,
             "fifo": self.fifo,
@@ -797,6 +848,8 @@ class SparkCrawler:
             if rows
             else self.spark.createDataFrame([], "word string, weight double")
         )
+        # S8 decode: factor terms joined back to their first-seen ids
+        df = df.join(self._t("vocab"), "word", "left")
         df.write.mode("overwrite").parquet(f"{self.catalog.root}/vocabulary")
 
     # ------------------------------------------------------------------
@@ -822,6 +875,7 @@ class SparkCrawler:
         self.phase = st["phase"]
         self.ns = st["ns"]
         self.next_id = st["next_id"]
+        self.next_word_id = st.get("next_word_id", 1)
         self.next_ord = st["next_ord"]
         self.wave = w + 1
         self.fifo = list(st["fifo"])
