@@ -53,6 +53,16 @@ def _tokens(df: DataFrame) -> DataFrame:
     return df.withColumn("toks", F.expr(_TOKS))
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across the cluster: the sf-scale table arrives as
+    one small file (1 input split); compute-heavy per-doc ops (shingling,
+    hashing) repartition so the map side uses every core — at real scale
+    the input is already thousands of splits and this is a no-op choice."""
+    return _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _dot_expr(a: str, b: str) -> str:
     """Sequential-fold dot product of two float arrays, computed in double —
     identical fold order on both engines => bit-identical before rounding
@@ -250,7 +260,7 @@ FROM documents
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection by 3-gram shingle Jaccard >= 0.5 over candidate
     pairs produced by a shingle-bucket join (no O(n^2) cross join)."""
-    docs = _tokens(_read(spark, sf_dir, "documents")).filter(F.expr("size(toks) >= 3"))
+    docs = _tokens(_docs_parallel(spark, sf_dir)).filter(F.expr("size(toks) >= 3"))
     sh = docs.select(
         "doc_id",
         F.explode(
@@ -303,7 +313,7 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles; LSH bands of 1 hash; candidates = pairs sharing any
     band signature. The scale path for dedup (shingle -> minhash -> band ->
     bucket join)."""
-    docs = _tokens(_read(spark, sf_dir, "documents")).filter(F.expr("size(toks) >= 3"))
+    docs = _tokens(_docs_parallel(spark, sf_dir)).filter(F.expr("size(toks) >= 3"))
     # signatures computed entirely map-side: per-doc shingle array ->
     # array_min over salted md5 per hash — no explode, no shuffle until the
     # candidate bucket join (the only shuffle this op needs)
@@ -314,26 +324,32 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"
         ).alias("shingles"),
     )
+    # classic b x r banding (4 bands of 2 hashes): a band signature is the
+    # concatenation of its 2 min-hashes — specific enough that bucket join
+    # stays near-linear even on shingle-homogeneous corpora
+    def _min(h: int):
+        return f"array_min(transform(shingles, s -> md5(concat('{h}', ':', s))))"
+
     mins = sh_arr.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(h).alias("h"),
+                        F.lit(band).alias("band"),
                         F.expr(
-                            f"array_min(transform(shingles, s -> md5(concat('{h}', ':', s))))"
+                            f"concat({_min(2 * band)}, {_min(2 * band + 1)})"
                         ).alias("sig"),
                     )
-                    for h in range(8)
+                    for band in range(4)
                 ]
             )
-        ).alias("hs"),
-    ).select("doc_id", "hs.h", "hs.sig")
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
     a = mins.alias("a")
     b = mins.alias("b")
     return (
-        a.join(b, ["h", "sig"])
+        a.join(b, ["band", "sig"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
@@ -347,13 +363,16 @@ WITH toks AS (
   SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2),
     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
   FROM toks WHERE len(toks) >= 3
-), mins AS (
-  SELECT doc_id, h, min(md5(h::VARCHAR || ':' || shingle)) AS sig
+), hmins AS (
+  SELECT doc_id, h, min(md5(h::VARCHAR || ':' || shingle)) AS m
   FROM sh, (SELECT unnest(range(8)) AS h) hs
   GROUP BY doc_id, h
+), mins AS (
+  SELECT doc_id, h // 2 AS band, string_agg(m, '' ORDER BY h) AS sig
+  FROM hmins GROUP BY doc_id, h // 2
 )
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-FROM mins a JOIN mins b ON a.h = b.h AND a.sig = b.sig AND a.doc_id < b.doc_id
+FROM mins a JOIN mins b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """
 
 
@@ -361,7 +380,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) per document: token hash = first 8 md5 hex digits,
     bit contributions weighted by term frequency — all-integer arithmetic,
     exact on both engines."""
-    docs = _tokens(_read(spark, sf_dir, "documents"))
+    docs = _tokens(_docs_parallel(spark, sf_dir))
     tf = (
         docs.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
@@ -619,7 +638,7 @@ FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) t
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: split each document into fixed-size (50-token)
     chunks preserving order — the training-data windowing idiom."""
-    docs = _tokens(_read(spark, sf_dir, "documents"))
+    docs = _tokens(_docs_parallel(spark, sf_dir))
     pos = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     return (
         pos.withColumn("chunk", F.floor(F.col("pos") / 50))
@@ -733,6 +752,26 @@ WHERE round({_sql_dot('a.embedding', 'b.embedding')} /
 # ---------------------------------------------------------------------------
 # 6. relational coverage (SURVEY §2.10 checklist)
 # ---------------------------------------------------------------------------
+
+
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction + aggregation (coverage beyond the reference,
+    which has no JSON surface — SURVEY §2.10): bucket events by the
+    extracted props.k value."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(F.floor(k / 10).cast("long").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+SQL_JSON_PROPS_ROLLUP = """
+SELECT CAST(floor(json_extract(props, '$.k')::BIGINT / 10) AS BIGINT) AS k_bucket,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+"""
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,6 +1022,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "feature_count_filter": (q_feature_count_filter, SQL_FEATURE_COUNT_FILTER),
     "wave_metrics": (q_wave_metrics, SQL_WAVE_METRICS),
     "hourly_rollup": (q_hourly_rollup, SQL_HOURLY_ROLLUP),
+    "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
