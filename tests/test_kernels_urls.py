@@ -4,7 +4,11 @@ TestWebCrawler.scala:16-38 (normalize) and Storage.scala:14-21
 (seedToFilename) against our kernels.
 """
 
-from hypothesis import given
+from hypothesis import given, settings
+
+# the sandbox host has spiky CPU steal; wall-clock deadlines flake
+settings.register_profile("noisy_host", deadline=None)
+settings.load_profile("noisy_host")
 from hypothesis import strategies as st
 
 from webcrawler_spark.kernels import (

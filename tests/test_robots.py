@@ -56,3 +56,31 @@ def test_without_robots_private_reachable(spark, fixtures, tmp_path):
     c.run()
     frontier = [r["url"] for r in c.tables["frontier"].collect()]
     assert any("/private/" in u for u in frontier)  # the filter was the only guard
+
+
+def test_crawl_delay_caps_per_host_dispatch(spark, fixtures, tmp_path):
+    """crawl_delay_ms translates to a per-host wave cap: with a 5000 ms
+    delay and a 10000 ms wave period, at most 2 pages per host per wave."""
+    pages_df, _, seeds = fixtures
+    robots_slow = spark.createDataFrame(
+        [(f"site{h}.example.org", [], 5000) for h in range(3)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    cfg = CrawlConfig(
+        seeds=tuple(seeds), limit=16, targets=3, targeting=0.0,
+        allhosts=True, budget=12, respect_robots=True,
+    )
+    c = SparkCrawler(
+        spark, cfg, pages_df, str(tmp_path / "delay"),
+        robots=robots_slow, checkpoint_every=1000,
+    )
+    c.run()
+    # after the run (fifo drained), an estimating-phase dispatch must
+    # respect the cap for every host
+    from collections import Counter
+
+    from webcrawler_spark.kernels.urls import url_host
+
+    batch = c._dispatch()
+    counts = Counter(url_host(u) for _, u in batch)
+    assert all(n <= 2 for n in counts.values()), counts

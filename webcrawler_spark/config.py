@@ -42,6 +42,9 @@ class CrawlConfig:
     budget: int = 1
     #: max pages dispatched per host per wave (politeness window)
     per_host_budget: int = 0  # 0 = unlimited
+    #: nominal wall-clock per wave used to translate robots crawl_delay_ms
+    #: into a per-host wave cap: cap(host) = wave_period_ms / crawl_delay_ms
+    wave_period_ms: int = 10_000
     #: honor the robots table if provided
     respect_robots: bool = True
     #: cap on |factor| entries broadcast to executors (0 = unlimited);

@@ -169,6 +169,23 @@ class SparkCrawler:
             if robots is not None
             else None
         )
+        # robots crawl_delay -> per-host wave cap:
+        # cap = wave_period_ms / crawl_delay_ms (politeness F5, new surface)
+        self.host_caps = None
+        if robots is not None and "crawl_delay_ms" in robots.columns:
+            self.host_caps = (
+                robots.filter(F.col("crawl_delay_ms") > 0)
+                .select(
+                    "host",
+                    F.greatest(
+                        F.lit(1),
+                        (F.lit(cfg.wave_period_ms) / F.col("crawl_delay_ms")).cast(
+                            "long"
+                        ),
+                    ).alias("host_cap"),
+                )
+                .cache()
+            )
 
         # optional bloom prefilter for the seen check (D1 scale path)
         self.bloom = None
@@ -219,11 +236,21 @@ class SparkCrawler:
         if self.phase != "estimating":
             return []
         cand = self._t("frontier")
-        if cfg.per_host_budget > 0:
+        if cfg.per_host_budget > 0 or self.host_caps is not None:
+            default_cap = cfg.per_host_budget if cfg.per_host_budget > 0 else None
             w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seed_id"))
-            cand = cand.withColumn("rk", F.row_number().over(w)).filter(
-                F.col("rk") <= cfg.per_host_budget
-            )
+            cand = cand.withColumn("rk", F.row_number().over(w))
+            if self.host_caps is not None:
+                cand = cand.join(F.broadcast(self.host_caps), "host", "left")
+                cap = F.coalesce(
+                    F.least(F.col("host_cap"), F.lit(default_cap))
+                    if default_cap is not None
+                    else F.col("host_cap"),
+                    F.lit(default_cap if default_cap is not None else 1 << 40),
+                )
+                cand = cand.filter(F.col("rk") <= cap).drop("host_cap")
+            else:
+                cand = cand.filter(F.col("rk") <= default_cap)
         order = (
             [F.asc("seed_id")]
             if cfg.use_breadthsearch
@@ -270,13 +297,15 @@ class SparkCrawler:
         # given `parsed` — run them as concurrent Spark jobs
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
-        with _TPE(max_workers=1) as _ex:
+        with _TPE(max_workers=2) as _ex:
             _fut = _ex.submit(self._admission_chain, parsed)
+            _fut_vocab = _ex.submit(self._vocab_chain, parsed)
             with self._timer("fold_collect"):
                 fold_rows = (
                     parsed.select("dr", "url", "host", "terms").orderBy("dr").collect()
                 )
             admitted, first_emit, new_links = _fut.result()
+            _fut_vocab.result()
         # ---- driver fold (dispatch order) ---------------------------------
         # D2 growth: every fetched page's host becomes allowed (Gather.scala:153)
         self.hosts_set.update(r["host"] for r in fold_rows if r["host"])
@@ -541,6 +570,43 @@ class SparkCrawler:
 
         return admitted, first_emit, new_links
 
+    def _vocab_chain(self, parsed):
+        """First-seen word-id assignment (P5 dictionary; Gather-side, all
+        phases): order = (dispatch rank, token position) — matches the
+        oracle's RevMap growth exactly. Independent of the fold/admission
+        chains given `parsed`, so it runs concurrently with them."""
+        with self._timer("vocab"):
+            wave_words = parsed.select(
+                "dr", F.posexplode("terms").alias("wpos", "e")
+            ).select("dr", "wpos", F.col("e.word").alias("word"))
+            firsts = wave_words.groupBy("word").agg(
+                F.min(F.struct("dr", "wpos")).alias("fp")
+            )
+            known_words = (
+                self._t("vocab")
+                .join(F.broadcast(firsts.select("word")), "word", "left_semi")
+                .select("word")
+            )
+            wnd_w = Window.orderBy("fp.dr", "fp.wpos")
+            new_words = (
+                firsts.join(F.broadcast(known_words), "word", "left_anti")
+                .select(
+                    "word",
+                    (F.row_number().over(wnd_w) + F.lit(self.next_word_id - 1)).alias(
+                        "word_id"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            self.next_word_id += new_words.count()
+            self._set(
+                "vocab",
+                self._t("vocab")
+                .unionByName(new_words)
+                .coalesce(self._nparts)
+                .localCheckpoint(),
+            )
+
     def _robots_filter(self, df: DataFrame) -> DataFrame:
         """Robots.txt compliance (new surface): drop rows whose (dst_host,
         dst-path) matches a disallow prefix — anti-join against the matched
@@ -578,37 +644,6 @@ class SparkCrawler:
         becomes O(wave) here)."""
         base_ord = self.next_ord
         parsed_o = parsed.withColumn("ord", F.col("dr") + F.lit(base_ord))
-        with self._timer("vocab"):
-            wave_words = parsed.select(
-                "dr", F.posexplode("terms").alias("wpos", "e")
-            ).select("dr", "wpos", F.col("e.word").alias("word"))
-            firsts = wave_words.groupBy("word").agg(
-                F.min(F.struct("dr", "wpos")).alias("fp")
-            )
-            known_words = (
-                self._t("vocab")
-                .join(F.broadcast(firsts.select("word")), "word", "left_semi")
-                .select("word")
-            )
-            wnd_w = Window.orderBy("fp.dr", "fp.wpos")
-            new_words = (
-                firsts.join(F.broadcast(known_words), "word", "left_anti")
-                .select(
-                    "word",
-                    (F.row_number().over(wnd_w) + F.lit(self.next_word_id - 1)).alias(
-                        "word_id"
-                    ),
-                )
-                .localCheckpoint()
-            )
-            self.next_word_id += new_words.count()
-            self._set(
-                "vocab",
-                self._t("vocab")
-                .unionByName(new_words)
-                .coalesce(self._nparts)
-                .localCheckpoint(),
-            )
         self._set(
             "seen",
             self._t("seen").unionByName(new_links.select(F.col("dst").alias("url"))),
