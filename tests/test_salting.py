@@ -1,0 +1,34 @@
+"""Salted politeness window (skew mitigation): identical dispatch to the
+unsalted exact window on a deliberately hot-host frontier."""
+
+from __future__ import annotations
+
+from webcrawler_spark.config import CrawlConfig
+from webcrawler_spark.plans.crawler import SparkCrawler
+from webcrawler_spark.sources.synth import SiteSpec, gen_pages
+
+SPEC = SiteSpec(n_pages=80, n_hosts=4, seed=19, hot_host_frac=0.6, private_frac=0.0)
+
+
+def test_salted_dispatch_equals_exact(spark, tmp_path):
+    pages = gen_pages(SPEC)
+    df = spark.createDataFrame(
+        [(p["url"], p["html"]) for p in pages], "url string, html binary"
+    ).cache()
+    base = dict(
+        seeds=(pages[0]["url"], pages[1]["url"]),
+        limit=14,
+        targets=3,
+        targeting=0.0,
+        allhosts=True,
+        budget=6,
+        per_host_budget=2,
+        respect_robots=False,
+    )
+    results = {}
+    for name, salt in (("exact", 0), ("salted", 8)):
+        cfg = CrawlConfig(**base, host_salt_partitions=salt)
+        c = SparkCrawler(spark, cfg, df, str(tmp_path / name), checkpoint_every=1000)
+        r = c.run()
+        results[name] = (r.dispatched, r.accepted)
+    assert results["exact"] == results["salted"]

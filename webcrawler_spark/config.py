@@ -45,6 +45,11 @@ class CrawlConfig:
     #: nominal wall-clock per wave used to translate robots crawl_delay_ms
     #: into a per-host wave cap: cap(host) = wave_period_ms / crawl_delay_ms
     wave_period_ms: int = 10_000
+    #: salt partitions for the per-host politeness window (0 = off): a hot
+    #: host's frontier rows would otherwise all land in ONE window task;
+    #: with salting, a per-(host, salt) pre-top-k bounds any task to
+    #: cap*salts rows before the exact per-host window
+    host_salt_partitions: int = 0
     #: honor the robots table if provided
     respect_robots: bool = True
     #: cap on |factor| entries broadcast to executors (0 = unlimited);

@@ -238,6 +238,24 @@ class SparkCrawler:
         cand = self._t("frontier")
         if cfg.per_host_budget > 0 or self.host_caps is not None:
             default_cap = cfg.per_host_budget if cfg.per_host_budget > 0 else None
+            if cfg.host_salt_partitions > 1 and default_cap is not None:
+                # skew mitigation (north star: salted host partitioning): a
+                # hot host's rows all land in ONE window task. Pre-top-k per
+                # (host, salt) bounds any task's input; keeping cap rows per
+                # salt preserves the exact per-host top-cap set, so the
+                # final window below is unchanged semantically.
+                ws = Window.partitionBy("host", "salt").orderBy(
+                    F.desc("priority"), F.asc("seed_id")
+                )
+                cand = (
+                    cand.withColumn(
+                        "salt",
+                        F.pmod(F.xxhash64("url"), F.lit(cfg.host_salt_partitions)),
+                    )
+                    .withColumn("srk", F.row_number().over(ws))
+                    .filter(F.col("srk") <= default_cap)
+                    .drop("salt", "srk")
+                )
             w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seed_id"))
             cand = cand.withColumn("rk", F.row_number().over(w))
             if self.host_caps is not None:
