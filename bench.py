@@ -98,10 +98,13 @@ def crawl_bench(spark, workdir: str) -> dict:
         allhosts=True,
         budget=CRAWL_BUDGET,
         per_host_budget=PER_HOST_BUDGET,
+        host_salt_partitions=16,  # exercise the salted skew path
         factor_top_m=256,
     )
     t0 = time.time()
-    crawler = SparkCrawler(spark, cfg, pages, workdir, checkpoint_every=10**9)
+    # durable O(wave) delta commits every 2 waves INSIDE the measured
+    # window — the steady-state loop includes its own durability
+    crawler = SparkCrawler(spark, cfg, pages, workdir, checkpoint_every=2)
     res = crawler.run(max_waves=64, finalize=False)
     dt = time.time() - t0  # steady-state frontier-expansion window
     t1 = time.time()

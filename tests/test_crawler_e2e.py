@@ -43,10 +43,10 @@ def crawl_cfg(seeds, limit=10):
 
 
 def latest_table(spark, root, name):
-    waves = [
-        int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("wave=")
-    ]
-    return spark.read.parquet(f"{root}/wave={max(waves):06d}/{name}")
+    from webcrawler_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, root)
+    return cat.load_table(cat.latest()["wave"], name)
 
 
 def test_engine_matches_oracle_budget1(spark, site, pages_df, tmp_path):

@@ -158,6 +158,16 @@ class SparkCrawler:
                 [], "ord long, url string, link string, feature string, weight double"
             ),
         }
+        #: per-table delta DataFrames + delete keys accumulated since the
+        #: last durable commit — commits write O(wave), not O(state)
+        self._pending_deltas: dict[str, list[DataFrame]] = defaultdict(list)
+        self._pending_deletes: dict[str, dict[str, set]] = defaultdict(
+            lambda: defaultdict(set)
+        )
+        #: url -> seed_id for PROCESSED pages (bounded by cfg.limit) —
+        #: identifies re-fetch overwrites for delete-key tracking
+        self._page_ids: dict[str, int] = {}
+
         #: D2 allowlist — tiny driver state, grown with every fetched host
         self.hosts_set: set[str] = {
             x for x in (url_host(u) for u in cfg.seeds) if x
@@ -212,6 +222,12 @@ class SparkCrawler:
         self.timings[name] += time.time() - t0
 
     # -- small helpers ------------------------------------------------------
+    def _pend(self, name: str, delta: DataFrame):
+        self._pending_deltas[name].append(delta)
+
+    def _pend_delete(self, name: str, key: str, values):
+        self._pending_deletes[name][key].update(values)
+
     def _t(self, name: str) -> DataFrame:
         return self.tables[name]
 
@@ -278,6 +294,7 @@ class SparkCrawler:
         if not rows:
             return []
         ids = [r["seed_id"] for r in rows]
+        self._pend_delete("net_edges", "dst", ids)
         # eliminate (NetworkEstimator.scala:131-141)
         self._set(
             "frontier",
@@ -426,6 +443,7 @@ class SparkCrawler:
                 (F.row_number().over(wnd) + F.lit(self.next_id - 1)).alias("seed_id"),
             ).localCheckpoint()
             self.next_id += new_ids.count()
+            self._pend("url_ids", new_ids)
             self._set(
                 "url_ids",
                 self._t("url_ids")
@@ -445,6 +463,22 @@ class SparkCrawler:
                 .select("dr", F.col("seed_id").alias("src_id"))
                 .localCheckpoint()
             )
+            # re-fetch overwrite tracking (NetworkEstimator.scala:102): a
+            # page fetched before gets its old rows delete-keyed; the wave
+            # delta re-adds the fresh ones under the same stable id
+            dr2url = {r["dr"]: r["url"] for r in fold_rows}
+            wave_page_ids = {
+                dr2url[r["dr"]]: r["src_id"]
+                for r in src_ids.collect()
+                if r["dr"] in dr2url
+            }
+            refetch_ids = [
+                sid for u, sid in wave_page_ids.items() if u in self._page_ids
+            ]
+            if refetch_ids:
+                self._pend_delete("page_terms", "seed_id", refetch_ids)
+                self._pend_delete("net_edges", "src", refetch_ids)
+            self._page_ids.update(wave_page_ids)
 
         # ---- re-fetch overwrite (NetworkEstimator.scala:102): replace ------
         self._set(
@@ -494,12 +528,11 @@ class SparkCrawler:
                 )
             ),
         )
-        self._set(
-            "net_edges",
-            self._t("net_edges").unionByName(
-                add.select(F.col("src_id").alias("src"), F.col("seed_id").alias("dst"))
-            ),
+        net_delta = add.select(
+            F.col("src_id").alias("src"), F.col("seed_id").alias("dst")
         )
+        self._pend("net_edges", net_delta)
+        self._set("net_edges", self._t("net_edges").unionByName(net_delta))
         # dictionary-encode: only the wave's words of the (potentially
         # huge) vocab are broadcast — semi-join slice first
         wave_terms = parsed_epm.select(
@@ -508,14 +541,13 @@ class SparkCrawler:
         wave_vocab = self._t("vocab").join(
             F.broadcast(wave_terms.select("word").distinct()), "word", "left_semi"
         )
-        self._set(
-            "page_terms",
-            self._t("page_terms").unionByName(
-                wave_terms.join(F.broadcast(src_ids), "dr")
-                .join(F.broadcast(wave_vocab), "word")
-                .select(F.col("src_id").alias("seed_id"), "word_id", "tf")
-            ),
+        pt_delta = (
+            wave_terms.join(F.broadcast(src_ids), "dr")
+            .join(F.broadcast(wave_vocab), "word")
+            .select(F.col("src_id").alias("seed_id"), "word_id", "tf")
         )
+        self._pend("page_terms", pt_delta)
+        self._set("page_terms", self._t("page_terms").unionByName(pt_delta))
 
         # targeting transition re-score runs AFTER the merge (:243-253)
         if recalc_post is not None:
@@ -617,6 +649,7 @@ class SparkCrawler:
                 .localCheckpoint()
             )
             self.next_word_id += new_words.count()
+            self._pend("vocab", new_words)
             self._set(
                 "vocab",
                 self._t("vocab")
@@ -662,42 +695,32 @@ class SparkCrawler:
         becomes O(wave) here)."""
         base_ord = self.next_ord
         parsed_o = parsed.withColumn("ord", F.col("dr") + F.lit(base_ord))
-        self._set(
-            "seen",
-            self._t("seen").unionByName(new_links.select(F.col("dst").alias("url"))),
+        seen_delta = new_links.select(F.col("dst").alias("url"))
+        self._pend("seen", seen_delta)
+        self._set("seen", self._t("seen").unionByName(seen_delta))
+        corpus_delta = parsed_o.join(self._t("url_ids"), "url", "left").select(
+            "ord", "seed_id", "url", "text", F.lit(self.wave).alias("wave")
         )
-        self._set(
-            "corpus",
-            self._t("corpus").unionByName(
-                parsed_o.join(self._t("url_ids"), "url", "left").select(
-                    "ord", "seed_id", "url", "text", F.lit(self.wave).alias("wave")
-                )
-            ),
-        )
+        self._pend("corpus", corpus_delta)
+        self._set("corpus", self._t("corpus").unionByName(corpus_delta))
         gml_links = (
             admitted.groupBy("dr")
             .agg(F.sort_array(F.collect_list(F.struct("pos", "dst"))).alias("ls"))
             .select("dr", F.col("ls.dst").alias("links"))
         )
-        self._set(
-            "gml_log",
-            self._t("gml_log").unionByName(
-                parsed_o.drop("links").join(gml_links, "dr", "left").select(
-                    "ord",
-                    "url",
-                    F.coalesce("links", F.array().cast("array<string>")).alias("links"),
-                    F.map_from_entries("terms").alias("terms"),
-                )
-            ),
+        gml_delta = parsed_o.drop("links").join(gml_links, "dr", "left").select(
+            "ord",
+            "url",
+            F.coalesce("links", F.array().cast("array<string>")).alias("links"),
+            F.map_from_entries("terms").alias("terms"),
         )
-        self._set(
-            "linkctx",
-            self._t("linkctx").unionByName(
-                parsed_o.select("ord", "url", F.explode("linkctx").alias("c")).select(
-                    "ord", "url", "c.link", "c.feature", "c.weight"
-                )
-            ),
-        )
+        self._pend("gml_log", gml_delta)
+        self._set("gml_log", self._t("gml_log").unionByName(gml_delta))
+        linkctx_delta = parsed_o.select(
+            "ord", "url", F.explode("linkctx").alias("c")
+        ).select("ord", "url", "c.link", "c.feature", "c.weight")
+        self._pend("linkctx", linkctx_delta)
+        self._set("linkctx", self._t("linkctx").unionByName(linkctx_delta))
 
     def _calculate(self, factor: SparseVector):
         with self._timer("calculate"):
@@ -754,30 +777,29 @@ class SparkCrawler:
             return self._checkpoint_inner(force)
 
     def _checkpoint_inner(self, force: bool = False):
-        if not force and (self.wave % self.checkpoint_every) != 0:
-            # hot tables: eager snapshot every wave — deferring was measured
-            # slower (downstream steps re-scan the unmaterialized unions).
-            # Materializations are independent jobs -> run them concurrently
-            # so wave latency pays max(job) instead of sum(job)
-            from concurrent.futures import ThreadPoolExecutor
+        # in-memory lineage truncation runs EVERY wave (commit waves too):
+        # hot tables eagerly and concurrently — deferring was measured
+        # slower (downstream steps re-scan the unmaterialized unions)
+        from concurrent.futures import ThreadPoolExecutor
 
-            # url_ids/vocab were materialized in their own steps this wave
-            names = [n for n in _HOT_TABLES if n not in ("url_ids", "vocab")]
-            with self._timer("ckpt_hot"):
-                with ThreadPoolExecutor(max_workers=len(names)) as ex:
-                    futs = {
-                        n: ex.submit(
-                            lambda df: df.localCheckpoint(),
-                            self._t(n).coalesce(self._nparts),
-                        )
-                        for n in names
-                    }
-                    for n, f in futs.items():
-                        self._set(n, f.result())
-            # cold (export-feed) tables: truncate lineage every 4 waves only
-            if self.wave % 4 == 0:
-                for name in _COLD_TABLES:
-                    self._set(name, self._t(name).localCheckpoint())
+        # url_ids/vocab were materialized in their own steps this wave
+        names = [n for n in _HOT_TABLES if n not in ("url_ids", "vocab")]
+        with self._timer("ckpt_hot"):
+            with ThreadPoolExecutor(max_workers=len(names)) as ex:
+                futs = {
+                    n: ex.submit(
+                        lambda df: df.localCheckpoint(),
+                        self._t(n).coalesce(self._nparts),
+                    )
+                    for n in names
+                }
+                for n, f in futs.items():
+                    self._set(n, f.result())
+        # cold (export-feed) tables: truncate lineage every 4 waves only
+        if self.wave % 4 == 0:
+            for name in _COLD_TABLES:
+                self._set(name, self._t(name).localCheckpoint())
+        if not force and (self.wave % self.checkpoint_every) != 0:
             return
         state = {
             "phase": self.phase,
@@ -788,6 +810,7 @@ class SparkCrawler:
             "wave": self.wave,
             "fifo": self.fifo,
             "hosts": sorted(self.hosts_set),
+            "page_ids": self._page_ids,
             "stopped": self.stopped,
             "processed": self.result.processed,
             "central_acc": {k: v for k, v in self.central_acc.items()},
@@ -800,9 +823,33 @@ class SparkCrawler:
                 "target_size": self.sense.size if self.sense else 0,
             },
         }
-        self.catalog.commit(self.wave, dict(self.tables), state)
+        # O(wave) durable commit: frontier full (small, heavily rewritten),
+        # everything else as [delete keys + appended delta] since the last
+        # commit. In-memory tables stay authoritative; the durable chain is
+        # the resume path.
+        from functools import reduce
+
+        tables: dict[str, DataFrame | None] = {"frontier": self._t("frontier")}
+        modes = {"frontier": "full"}
         for name in _STATE_TABLES:
-            self._set(name, self.catalog.load_table(self.wave, name))
+            if name == "frontier":
+                continue
+            modes[name] = "delta"
+            dfs = self._pending_deltas.get(name, [])
+            tables[name] = (
+                reduce(lambda a, b: a.unionByName(b), dfs)
+                if dfs
+                else self._t(name).limit(0)  # schema-bearing empty delta
+            )
+        deletes = {
+            name: [
+                {"key": k, "values": sorted(vals)} for k, vals in per_key.items()
+            ]
+            for name, per_key in self._pending_deletes.items()
+        }
+        self.catalog.commit(self.wave, tables, state, modes=modes, deletes=deletes)
+        self._pending_deltas.clear()
+        self._pending_deletes.clear()
 
     # ------------------------------------------------------------------
     # main loop
@@ -843,12 +890,9 @@ class SparkCrawler:
     def _record_accepts(self):
         if self._accepts_wave:
             rows = [(self.next_ord + i, u) for i, u in enumerate(self._accepts_wave)]
-            self._set(
-                "accepted",
-                self._t("accepted").unionByName(
-                    self.spark.createDataFrame(rows, "ord long, url string")
-                ),
-            )
+            acc_delta = self.spark.createDataFrame(rows, "ord long, url string")
+            self._pend("accepted", acc_delta)
+            self._set("accepted", self._t("accepted").unionByName(acc_delta))
 
     def export_snapshot(self, outdir: str):
         """S5/S6/S7 snapshot dump (the reference's every-500-pages GML dump,
@@ -933,6 +977,7 @@ class SparkCrawler:
         self.wave = w + 1
         self.fifo = list(st["fifo"])
         self.hosts_set = set(st.get("hosts", []))
+        self._page_ids = dict(st.get("page_ids", {}))
         self.stopped = st["stopped"]
         self.central_acc = SparseVector(st["central_acc"], cfg.accuracy)
         self.pfactor = SparseVector(st["pfactor"], cfg.accuracy)

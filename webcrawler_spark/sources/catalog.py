@@ -1,16 +1,29 @@
 """Snapshot table catalog — a thin Iceberg-style layer over parquet.
 
 No Iceberg runtime jar exists in this sandbox (and no network), so the
-engine's per-wave state commits go through this: each wave's state tables
-are written under ``root/wave=N/<table>/`` with a ``manifest.json`` whose
-presence marks the commit complete (written last). Writes go to a temp dir
-first and are renamed into place, so a killed run can never leave a
+engine's per-wave state commits go through this: each committed wave
+writes under ``root/wave=N/`` with a ``manifest.json`` whose presence
+marks the commit complete (written last). Writes go to a temp dir first
+and are renamed into place, so a killed run can never leave a
 half-visible wave — resume scans for the latest manifest and replays from
 there (the north rule's checkpoint/lineage requirement; the reference has
 no equivalent — its state dies with the JVM, Gather.scala:126).
 
+Tables commit in one of two modes (exactly Iceberg's snapshot model:
+append data files + delete metadata, manifests chaining to parents):
+
+- ``full``  — the wave dir holds the complete table (used for the small,
+  heavily-rewritten frontier);
+- ``delta`` — the wave dir holds only rows ADDED since the parent commit,
+  plus an optional small delete-key list in the manifest (rows removed
+  from earlier waves, e.g. re-fetch overwrites). Commit cost is O(wave),
+  not O(state) — the property that makes per-wave durability affordable
+  at a 10^10-row frontier. ``load_table`` folds the chain:
+  latest full (or empty) → per-wave [anti-delete → union delta].
+
 On a real cluster this maps 1:1 onto Iceberg snapshots + MERGE INTO; the
-manifest carries the same lineage facts (parent wave, row counts, metrics).
+manifest carries the same lineage facts (parent wave, per-table mode,
+delete keys, row metrics, driver state).
 """
 
 from __future__ import annotations
@@ -20,6 +33,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotCatalog:
@@ -31,20 +45,48 @@ class SnapshotCatalog:
     def _wave_dir(self, wave: int) -> str:
         return os.path.join(self.root, f"wave={wave:06d}")
 
-    def commit(self, wave: int, tables: dict[str, DataFrame], state: dict) -> dict:
-        """Atomically commit one wave: all tables + driver state + lineage."""
+    # ------------------------------------------------------------------
+    # commit
+    # ------------------------------------------------------------------
+    def commit(
+        self,
+        wave: int,
+        tables: dict[str, DataFrame],
+        state: dict,
+        modes: dict[str, str] | None = None,
+        deletes: dict[str, dict] | None = None,
+    ) -> dict:
+        """Atomically commit one wave.
+
+        ``tables[name]`` is the FULL table when ``modes.get(name, 'full')``
+        is ``full``, else the DELTA rows added since the parent commit.
+        ``deletes[name]`` is a list of ``{"key": col, "values": [...]}``
+        records — rows (by key) removed from pre-existing data as of this
+        wave, applied before this wave's delta on read.
+        """
+        modes = modes or {}
+        deletes = deletes or {}
         tmp = os.path.join(self.root, f"_tmp_wave_{wave:06d}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
-        counts = {}
+        table_meta = {}
         for name, df in tables.items():
-            path = os.path.join(tmp, name)
-            df.write.mode("overwrite").parquet(path)
+            mode = modes.get(name, "full")
+            if df is not None:
+                df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+                written = True
+            else:
+                written = False  # empty delta: no files
+            table_meta[name] = {
+                "mode": mode,
+                "written": written,
+                "deletes": deletes.get(name),
+            }
         manifest = {
             "wave": wave,
-            "parent_wave": wave - 1,
-            "tables": sorted(tables),
+            "parent_wave": self._latest_wave(),
+            "tables": table_meta,
             "state": state,
         }
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
@@ -55,29 +97,79 @@ class SnapshotCatalog:
         os.rename(tmp, final)
         return manifest
 
-    def latest(self) -> dict | None:
-        """Most recent complete (manifest-bearing) wave, or None."""
-        best = None
+    # ------------------------------------------------------------------
+    # read side
+    # ------------------------------------------------------------------
+    def _manifests(self) -> list[dict]:
+        out = []
         if not os.path.isdir(self.root):
-            return None
+            return out
         for d in sorted(os.listdir(self.root)):
             if not d.startswith("wave="):
                 continue
             mpath = os.path.join(self.root, d, "manifest.json")
             if os.path.exists(mpath):
                 with open(mpath) as f:
-                    best = json.load(f)
-        return best
+                    out.append(json.load(f))
+        return out
+
+    def _latest_wave(self) -> int | None:
+        ms = self._manifests()
+        return ms[-1]["wave"] if ms else None
+
+    def latest(self) -> dict | None:
+        ms = self._manifests()
+        return ms[-1] if ms else None
 
     def load_table(self, wave: int, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self._wave_dir(wave), name))
+        """Reconstruct ``name`` as of committed ``wave`` by folding the
+        manifest chain: start at the latest full commit ≤ wave, then per
+        delta wave apply [anti-delete → union delta]."""
+        chain = [m for m in self._manifests() if m["wave"] <= wave]
+        if not chain:
+            raise FileNotFoundError(f"no commits ≤ wave {wave}")
+        # find the latest full commit for this table (a wave that did not
+        # touch the table does NOT reset the chain)
+        start = 0
+        for i in reversed(range(len(chain))):
+            meta = chain[i]["tables"].get(name)
+            if meta is not None and meta.get("mode", "full") == "full":
+                start = i
+                break
+        df: DataFrame | None = None
+        for m in chain[start:]:
+            meta = m["tables"].get(name)
+            if meta is None:
+                continue
+            for dels in meta.get("deletes") or []:
+                if df is not None and dels.get("values"):
+                    df = df.filter(~F.col(dels["key"]).isin(dels["values"]))
+            if meta.get("written", True):
+                part = self.spark.read.parquet(
+                    os.path.join(self._wave_dir(m["wave"]), name)
+                )
+                df = part if df is None else df.unionByName(part)
+        if df is None:
+            raise FileNotFoundError(f"table {name} absent in chain ≤ wave {wave}")
+        return df
 
     def prune(self, keep_last: int = 2):
-        """Drop all but the newest k committed waves (bounds disk at scale)."""
-        waves = sorted(
-            d for d in os.listdir(self.root)
-            if d.startswith("wave=")
-            and os.path.exists(os.path.join(self.root, d, "manifest.json"))
-        )
-        for d in waves[:-keep_last] if keep_last else waves:
-            shutil.rmtree(os.path.join(self.root, d))
+        """Drop the oldest waves, but never a wave still referenced by the
+        newest delta chains (a wave is prunable only if every table has a
+        full commit at or after the cut)."""
+        ms = self._manifests()
+        if len(ms) <= keep_last:
+            return
+        cut_candidates = ms[:-keep_last]
+        keep = ms[-keep_last:]
+        # tables whose newest commits are deltas still need their history
+        needed_tables = set()
+        for m in keep:
+            for name, meta in m["tables"].items():
+                if meta.get("mode", "full") == "delta":
+                    needed_tables.add(name)
+        for m in cut_candidates:
+            if any(name in m["tables"] for name in needed_tables):
+                # conservatively keep history for open delta chains
+                continue
+            shutil.rmtree(self._wave_dir(m["wave"]))
