@@ -83,3 +83,19 @@ def test_engine_matches_oracle_budget1(spark, site, pages_df, tmp_path):
         for r in latest_table(spark, root, "vocab").collect()
     }
     assert vocab_engine == oracle.vocab
+
+
+def test_engine_matches_oracle_cluster_policy(spark, site, pages_df, tmp_path):
+    """A4 through the distributed engine: the sigma-criterion cluster
+    policy reproduces the oracle's dispatch + accepted stream at budget=1."""
+    pages, seeds = site
+    cfg = CrawlConfig(
+        seeds=tuple(seeds), limit=8, targets=3, targeting=0.001,
+        allhosts=True, budget=1, respect_robots=False,
+        cluster_policy="cluster",
+    )
+    root = str(tmp_path / "cluster")
+    oracle = OracleCrawler(cfg, fetch=pages_as_site(pages).get).run()
+    engine = SparkCrawler(spark, cfg, pages_df, root, checkpoint_every=50).run()
+    assert engine.dispatched == oracle.dispatched
+    assert engine.accepted == oracle.accepted
