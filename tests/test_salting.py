@@ -32,3 +32,36 @@ def test_salted_dispatch_equals_exact(spark, tmp_path):
         r = c.run()
         results[name] = (r.dispatched, r.accepted)
     assert results["exact"] == results["salted"]
+
+
+def test_pipelined_waves_invariants(spark, tmp_path):
+    """pipeline_waves overlaps fetch+parse with processing; scores lag a
+    wave, so ordering may differ from exact mode — but the crawl must hit
+    the limit, never dispatch a URL twice, and keep the seen discipline."""
+    pages = gen_pages(SPEC)
+    df = spark.createDataFrame(
+        [(p["url"], p["html"]) for p in pages], "url string, html binary"
+    )
+    cfg = CrawlConfig(
+        seeds=(pages[0]["url"], pages[1]["url"]),
+        limit=14,
+        targets=3,
+        targeting=-1.0,  # transition immediately: the frontier must drive
+        allhosts=True,
+        budget=4,
+        respect_robots=False,
+        pipeline_waves=True,
+    )
+    c = SparkCrawler(spark, cfg, df, str(tmp_path / "pipe"), checkpoint_every=4)
+    r = c.run()
+    assert r.processed >= cfg.limit
+    # duplicates may exist ONLY via the reference's initial-seed re-link
+    # quirk (a seed is never in `seen`, so it can be re-enqueued once —
+    # Gather.scala:126 quirk (a), preserved in both modes)
+    from collections import Counter
+
+    for url, n in Counter(r.dispatched).items():
+        assert n == 1 or (url in cfg.seeds and n == 2), (url, n)
+    seen = {x["url"] for x in c.tables["seen"].collect()}
+    non_seed = [u for u in r.dispatched if u not in cfg.seeds]
+    assert all(u in seen for u in non_seed)  # only emitted links get fetched

@@ -45,6 +45,11 @@ class CrawlConfig:
     #: nominal wall-clock per wave used to translate robots crawl_delay_ms
     #: into a per-host wave cap: cap(host) = wave_period_ms / crawl_delay_ms
     wave_period_ms: int = 10_000
+    #: overlap wave N+1's fetch+parse with wave N's fold/merge/commit:
+    #: dispatch uses the pre-merge frontier, so priorities lag one wave —
+    #: the documented approximation equivalent to the reference with
+    #: servers = 2*budget. Off by default (exact wave semantics).
+    pipeline_waves: bool = False
     #: salt partitions for the per-host politeness window (0 = off): a hot
     #: host's frontier rows would otherwise all land in ONE window task;
     #: with salting, a per-(host, salt) pre-top-k bounds any task to

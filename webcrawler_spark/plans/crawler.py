@@ -313,20 +313,27 @@ class SparkCrawler:
     # ------------------------------------------------------------------
     # one wave
     # ------------------------------------------------------------------
-    def _run_wave(self, batch: list[tuple[int, str]]):
-        cfg, spark = self.cfg, self.spark
-        self.result.dispatched.extend(u for _, u in batch)
-
+    def _fetch_parse(self, batch: list[tuple[int, str]]) -> DataFrame:
+        """S1/P1-P6: fetch-join the broadcast batch against ``pages`` and
+        run the single parse pass. Touches only the immutable pages table,
+        so it is safe to run concurrently with the previous wave's
+        processing (pipeline mode)."""
         batch_df = F.broadcast(
-            spark.createDataFrame(list(batch), "dr long, url string")
+            self.spark.createDataFrame(list(batch), "dr long, url string")
         )
         hits = self.pages.join(batch_df, "url").select("dr", "url", "html")
         with self._timer("parse"):
-            parsed = (
+            return (
                 hits.mapInPandas(parse_pages, PARSED_SCHEMA)
                 .filter(F.col("ok"))
                 .localCheckpoint()
             )
+
+    def _run_wave(self, batch: list[tuple[int, str]], parsed: DataFrame | None = None):
+        cfg, spark = self.cfg, self.spark
+        self.result.dispatched.extend(u for _, u in batch)
+        if parsed is None:
+            parsed = self._fetch_parse(batch)
 
         # admission/dedup chain and the driver fold collect are independent
         # given `parsed` — run them as concurrent Spark jobs
@@ -860,20 +867,46 @@ class SparkCrawler:
             batch = self._dispatch()
         else:
             batch = list(enumerate(cfg.seeds))
-        while batch and not self.stopped and self.result.waves < max_waves:
-            self._accepts_wave: list[str] = []
-            self._run_wave(batch)
-            self._record_accepts()
-            self.next_ord += len(batch)
-            self._checkpoint()
-            self.wave += 1
-            self.result.waves += 1
-            if self.stopped:
-                break
-            batch = self._dispatch()
-            if not batch and self.phase == "targeting" and not self.fifo:
-                self.result.aborted = True  # too little casualties (:225-229)
-                break
+        parsed: DataFrame | None = None
+        next_batch: list[tuple[int, str]] | None = None
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        pool = _TPE(max_workers=1) if cfg.pipeline_waves else None
+        try:
+            while batch and not self.stopped and self.result.waves < max_waves:
+                fut = None
+                if pool is not None:
+                    # pipeline mode: dispatch wave N+1 from the PRE-merge
+                    # frontier (scores lag one wave — the documented
+                    # servers=2B approximation) and overlap its fetch+parse
+                    # with this wave's fold/merge/commit
+                    next_batch = self._dispatch()
+                    if next_batch:
+                        fut = pool.submit(self._fetch_parse, next_batch)
+                self._accepts_wave: list[str] = []
+                self._run_wave(batch, parsed)
+                self._record_accepts()
+                self.next_ord += len(batch)
+                self._checkpoint()
+                self.wave += 1
+                self.result.waves += 1
+                if self.stopped:
+                    if fut is not None:
+                        fut.result()  # drain; links stay eliminated (documented)
+                    break
+                if fut is not None:
+                    batch, parsed = next_batch, fut.result()
+                elif pool is not None and next_batch is not None and not next_batch:
+                    # pipeline dispatch found nothing pre-merge; retry post-merge
+                    batch, parsed = self._dispatch(), None
+                else:
+                    batch, parsed = self._dispatch(), None
+                if not batch and self.phase == "targeting" and not self.fifo:
+                    self.result.aborted = True  # too little casualties (:225-229)
+                    break
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
         if finalize:
             self.finalize()
         if self._profile:
