@@ -78,6 +78,7 @@ def test_crawl_with_bloom_matches_without(spark, tmp_path):
         ("exact", {}),
         ("bloom", {"use_bloom_seen": True, "bloom_buckets": 8,
                    "bloom_bits_per_bucket": 1 << 14}),
+        ("cuckoo", {"seen_filter": "cuckoo", "bloom_buckets": 8}),
     ]:
         cfg = CrawlConfig(**base, **extra)
         crawler = SparkCrawler(
@@ -86,4 +87,4 @@ def test_crawl_with_bloom_matches_without(spark, tmp_path):
         r = crawler.run()
         seen = sorted(x["url"] for x in crawler.tables["seen"].collect())
         res[name] = (r.dispatched, r.accepted, seen)
-    assert res["exact"] == res["bloom"]
+    assert res["exact"] == res["bloom"] == res["cuckoo"]

@@ -41,7 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     # scale knobs
     p.add_argument("--budget", type=int, default=1, help="pages per wave (1 = oracle mode)")
     p.add_argument("--per-host-budget", type=int, default=0)
-    p.add_argument("--bloom", action="store_true", help="bloom seen-prefilter")
+    p.add_argument("--bloom", action="store_true", help="bloom seen-prefilter (alias for --seen-filter bloom)")
+    p.add_argument("--seen-filter", choices=["exact", "bloom", "cuckoo"], default="exact",
+                   help="URL-seen membership strategy (cuckoo supports expiry)")
     p.add_argument("--checkpoint-every", type=int, default=8)
     p.add_argument("--export", action="store_true", help="write GML/statistics/vectors at end")
     p.add_argument("--master", default=None, help="override master (default: from spark-submit)")
@@ -86,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
         budget=args.budget,
         per_host_budget=args.per_host_budget,
         use_bloom_seen=args.bloom,
+        seen_filter=args.seen_filter,
     )
     pages = spark.read.parquet(args.pages)
     robots = spark.read.parquet(args.robots) if args.robots else None

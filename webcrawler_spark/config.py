@@ -63,6 +63,10 @@ class CrawlConfig:
     #: partitioned-bloom prefilter in front of the exact URL-seen anti-join
     #: (the 10^10-scale path; exact semantics either way — no false negatives)
     use_bloom_seen: bool = False
+    #: seen-filter kind: "exact" (anti-join only), "bloom", or "cuckoo"
+    #: (deletable fingerprints — recrawl-window expiry); use_bloom_seen is
+    #: the older alias for seen_filter="bloom"
+    seen_filter: str = "exact"
     bloom_buckets: int = 64
     bloom_bits_per_bucket: int = 1 << 20
     bloom_k: int = 5

@@ -197,14 +197,22 @@ class SparkCrawler:
                 .cache()
             )
 
-        # optional bloom prefilter for the seen check (D1 scale path)
+        # optional membership prefilter for the seen check (D1 scale path):
+        # bloom (OR-mergeable) or cuckoo (deletable fingerprints)
         self.bloom = None
-        if cfg.use_bloom_seen:
+        kind = cfg.seen_filter
+        if cfg.use_bloom_seen and kind == "exact":
+            kind = "bloom"
+        if kind == "bloom":
             from webcrawler_spark.sources.bloom import PartitionedBloom
 
             self.bloom = PartitionedBloom(
                 cfg.bloom_buckets, cfg.bloom_bits_per_bucket, cfg.bloom_k
             )
+        elif kind == "cuckoo":
+            from webcrawler_spark.sources.cuckoo import PartitionedCuckoo
+
+            self.bloom = PartitionedCuckoo(n_shards=cfg.bloom_buckets)
 
         #: per-phase wall-clock accumulators (SPARK_CRAWLER_PROFILE=1 to print)
         self.timings: dict[str, float] = defaultdict(float)

@@ -37,6 +37,10 @@ def _salted(col: str, salt: int):
 
 class PartitionedBloom:
     def __init__(self, n_buckets: int = 64, bits_per_bucket: int = 1 << 20, k: int = 5):
+        # power-of-two bucket count and bit width: Spark's signed pmod and
+        # numpy's unsigned modulo agree exactly when the modulus divides 2^64
+        assert n_buckets & (n_buckets - 1) == 0
+        assert bits_per_bucket & (bits_per_bucket - 1) == 0
         self.n_buckets = n_buckets
         self.m = bits_per_bucket  # bits per bucket
         self.k = k
