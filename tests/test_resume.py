@@ -84,3 +84,30 @@ def test_resume_noop_when_finished(spark, site_df, tmp_path):
     r2 = c2.run()
     assert r2.processed == r1.processed
     assert r2.dispatched == r1.dispatched  # restored, nothing appended
+
+
+def test_compact_and_prune_preserve_state(spark, site_df, tmp_path):
+    """catalog.compact rewrites the head wave as full commits (resetting
+    delta chains); prune can then drop history; resume still reconstructs
+    the identical state."""
+    from webcrawler_spark.sources.catalog import SnapshotCatalog
+
+    pages, df = site_df
+    cfg = cfg_for(pages)
+    root = str(tmp_path / "compact")
+    c1 = SparkCrawler(spark, cfg, df, root, checkpoint_every=1)
+    r1 = c1.run()
+    cat = SnapshotCatalog(spark, root)
+    head = cat.latest()["wave"]
+    before = sorted(x["url"] for x in cat.load_table(head, "seen").collect())
+
+    cat.compact()
+    cat.prune(keep_last=1)
+    assert len(cat._manifests()) == 1  # history gone
+    after = sorted(x["url"] for x in cat.load_table(head, "seen").collect())
+    assert after == before
+
+    c2 = SparkCrawler.resume(spark, cfg, df, root, checkpoint_every=1)
+    r2 = c2.run()
+    assert r2.dispatched == r1.dispatched
+    assert sorted(x["url"] for x in c2.tables["seen"].collect()) == before

@@ -754,6 +754,39 @@ WHERE round({_sql_dot('a.embedding', 'b.embedding')} /
 # ---------------------------------------------------------------------------
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (training-data pipeline
+    surface): split by a content-stable hash so membership survives
+    re-runs and re-partitioning; report per-(source, split) counts —
+    the stratification audit."""
+    docs = _read(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 10)"
+    )
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_STRATIFIED_SPLIT = """
+SELECT source,
+       CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n
+FROM (
+  SELECT source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 AS b
+  FROM documents
+) t GROUP BY 1, 2
+"""
+
+
 def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction + aggregation (coverage beyond the reference,
     which has no JSON surface — SURVEY §2.10): bucket events by the
@@ -1023,6 +1056,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "wave_metrics": (q_wave_metrics, SQL_WAVE_METRICS),
     "hourly_rollup": (q_hourly_rollup, SQL_HOURLY_ROLLUP),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
+    "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),

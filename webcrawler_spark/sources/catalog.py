@@ -153,6 +153,21 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"table {name} absent in chain ≤ wave {wave}")
         return df
 
+    def compact(self, wave: int | None = None) -> dict:
+        """Rewrite the latest (or given) committed wave as FULL commits for
+        every table, resetting all delta chains — the Iceberg 'rewrite
+        data files' maintenance action. After compaction, prune() can drop
+        all older waves. Cost: O(state), run off the hot path."""
+        m = self.latest() if wave is None else next(
+            x for x in self._manifests() if x["wave"] == wave
+        )
+        if m is None:
+            raise FileNotFoundError("nothing to compact")
+        w = m["wave"]
+        tables = {name: self.load_table(w, name) for name in m["tables"]}
+        # rewrite in place as a full commit (same wave id, fresh manifest)
+        return self.commit(w, tables, m["state"], modes={}, deletes={})
+
     def prune(self, keep_last: int = 2):
         """Drop the oldest waves, but never a wave still referenced by the
         newest delta chains (a wave is prunable only if every table has a
