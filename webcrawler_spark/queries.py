@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -421,7 +423,8 @@ WITH toks AS (
   FROM tf, (SELECT unnest(range(32)) AS i) ii
   GROUP BY doc_id, i
 )
-SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
@@ -904,34 +907,54 @@ def q_crawl_wave_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantize by label-centroid, probe the 2 cells
-    nearest to the query, exact search within. The scale path for
-    similarity search (search cost ~ nprobe/ncells of brute force).
-    Rows-only check: element-wise centroid means are not reasonably
-    expressible in portable SQL."""
+    """IVF ANN, FAISS-style: train coarse centroids by k-means on a bounded
+    deterministic sample (driver-side numpy — at 100 TB you train on a
+    ~256k-vector sample, never the full corpus), broadcast the k×d centroid
+    matrix, assign every vector to its nearest cell in ONE vectorized
+    pandas-UDF pass (numpy matmul per Arrow batch), then probe only the
+    nprobe cells nearest the query — search cost ≈ nprobe/ncells of brute
+    force. k=16/nprobe=6 gives recall@20 ≈ 0.85 scanning ~36% on the synth
+    embeddings (pinned by tests/test_ann.py). Rows-only driver check:
+    k-means training is iterative, not SQL-expressible."""
+    import numpy as np
+
+    NCELLS, NPROBE, SAMPLE, ITERS = 16, 6, 4096, 15
     e = _read(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    pos = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
-    cents = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("v").alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.col("pc.c").alias("centroid"))
+    # train on a deterministic bounded sample (TakeOrdered — no global sort)
+    samp = np.array(
+        [r[0] for r in e.select("embedding").orderBy("vec_id").limit(SAMPLE).collect()],
+        dtype=np.float64,
     )
+    cents = samp[np.linspace(0, len(samp) - 1, NCELLS).astype(int)].copy()
+    for _ in range(ITERS):
+        d2 = -2.0 * samp @ cents.T + (cents * cents).sum(1)
+        assign = d2.argmin(1)
+        for j in range(NCELLS):
+            members = samp[assign == j]
+            if len(members):
+                cents[j] = members.mean(0)
+    cents_b = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        cmat = cents_b.value
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        dist = -2.0 * mat @ cmat.T + (cmat * cmat).sum(1)
+        return pd.Series(dist.argmin(1))
+
+    refv = np.array(
+        e.filter(F.col("vec_id") == 0).select("embedding").first()[0], dtype=np.float64
+    )
+    qd = -2.0 * refv @ cents.T + (cents * cents).sum(1)
+    probe_cells = [int(c) for c in np.argsort(qd)[:NPROBE]]
+
     ref = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("ref"))
-    probe = (
-        cents.crossJoin(F.broadcast(ref))
-        .select("label", F.expr(_sqdist_expr("centroid", "ref")).alias("d2"))
-        .orderBy("d2")
-        .limit(2)
-        .select("label")
-    )
     dot = F.expr(_dot_expr("embedding", "ref"))
     na = F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
     nr = F.sqrt(F.expr(_dot_expr("ref", "ref")))
     return (
-        e.join(F.broadcast(probe), "label")
+        e.withColumn("cell", cell_of("embedding"))
+        .filter(F.col("cell").isin(probe_cells))
         .filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(ref))
         .select("vec_id", "label", F.round(dot / (na * nr), 4).alias("cos"))
