@@ -58,3 +58,42 @@ def test_incremental_add(spark):
     ck.add_df(_urls(spark, 500, 1000))
     assert ck.n_overflow == 0
     assert _probe_col(ck, spark, _urls(spark, 0, 1000)).filter(~F.col("m")).count() == 0
+
+
+def test_colliding_keys_survive_deletion():
+    """Two DISTINCT keys that collide on (fingerprint, bucket pair) must
+    each hold a slot: deleting one may not expire the other (the ADVICE
+    false-negative case — a shared slot would break the prefilter's
+    no-false-negatives contract)."""
+    import numpy as np
+
+    from webcrawler_spark.sources.cuckoo import PartitionedCuckoo, _alt_index
+
+    m, slots = 256, 4
+    table = np.zeros((m, slots), dtype=np.uint16)
+    rng = np.random.default_rng(0)
+    # two distinct keys, same fingerprint, same primary bucket
+    fp, i1 = 77, 13
+    over = PartitionedCuckoo._insert_batch(
+        table, [fp, fp], [i1, i1], m, slots, 500, rng
+    )
+    assert over == 0
+    i2 = int(_alt_index(np.array([i1], dtype=np.uint64),
+                        np.array([fp], dtype=np.uint16), m)[0])
+    copies = int((table[i1] == fp).sum() + (table[i2] == fp).sum())
+    assert copies == 2  # duplicate stored, not skipped
+    # expire ONE of them (single-slot removal, as delete_df does)
+    hit = np.where(table[i1] == fp)[0]
+    table[i1][hit[0]] = 0
+    copies = int((table[i1] == fp).sum() + (table[i2] == fp).sum())
+    assert copies == 1  # the other key still probes as present
+
+
+def test_same_key_batch_deduped(spark):
+    """The SAME url listed twice in one add batch occupies one slot (the
+    safe idempotency), so load does not grow with repeated mentions."""
+    ck = PartitionedCuckoo(n_shards=4, buckets_per_shard=1 << 10)
+    dup = _urls(spark, 0, 300).unionAll(_urls(spark, 0, 300))
+    ck.add_df(dup)
+    used = sum(int((t != 0).sum()) for t in ck.tables.values())
+    assert used == 300

@@ -86,6 +86,39 @@ def test_resume_noop_when_finished(spark, site_df, tmp_path):
     assert r2.dispatched == r1.dispatched  # restored, nothing appended
 
 
+def test_pipeline_inflight_batch_survives_crash(spark, site_df, tmp_path):
+    """pipeline_waves dispatches wave N+1 BEFORE wave N's commit, so the
+    committed frontier/FIFO no longer contain that batch. The commit must
+    carry it (state['inflight']) and resume must re-enqueue it — pre-fix,
+    a crash after the commit silently never crawled those URLs."""
+    import json
+
+    from dataclasses import replace
+
+    pages, df = site_df
+    cfg = replace(cfg_for(pages), pipeline_waves=True)
+
+    full = SparkCrawler(spark, cfg, df, str(tmp_path / "pfull"), checkpoint_every=1)
+    want = final_state(spark, full, full.run())
+
+    root = str(tmp_path / "pcrash")
+    c1 = SparkCrawler(spark, cfg, df, root, checkpoint_every=1)
+    c1.run(max_waves=3)
+    committed = sorted(d for d in os.listdir(root) if d.startswith("wave="))
+    # the scenario is real: wave 1's manifest carries a non-empty in-flight
+    # batch (dispatched for wave 2, not yet processed)
+    with open(os.path.join(root, committed[1], "manifest.json")) as f:
+        m1 = json.load(f)
+    assert m1["state"]["inflight"], "expected an in-flight batch in the commit"
+    for d in committed[2:]:
+        shutil.rmtree(os.path.join(root, d))
+
+    c2 = SparkCrawler.resume(spark, cfg, df, root, checkpoint_every=1)
+    assert [u for _, u in c2._inflight] == [u for _, u in m1["state"]["inflight"]]
+    got = final_state(spark, c2, c2.run())
+    assert got == want
+
+
 def test_compact_and_prune_preserve_state(spark, site_df, tmp_path):
     """catalog.compact rewrites the head wave as full commits (resetting
     delta chains); prune can then drop history; resume still reconstructs

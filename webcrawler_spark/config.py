@@ -50,6 +50,22 @@ class CrawlConfig:
     #: the documented approximation equivalent to the reference with
     #: servers = 2*budget. Off by default (exact wave semantics).
     pipeline_waves: bool = False
+    #: wave fold strategy. "exact": collect every page's full term vector
+    #: and replay the reference's sequential estimator bit-exactly (the
+    #: budget=1 oracle-parity mode; collects O(wave · |page vocab|)).
+    #: "bounded": the 10^10 scale path — ONE distributed summary pass
+    #: computes per-page dot scalars, partition-local top-M candidate
+    #: vectors and the wave's normalized-vector sum; the driver folds the
+    #: exact cluster update over O(targets) candidates only, link scores
+    #: use the wave-start factor (the documented servers=B freeze), and
+    #: the running average is applied as one distributed sum. Driver
+    #: transfer per wave: O(budget scalars + targets·margin vectors +
+    #: wave vocab), never O(wave · page size).
+    fold_mode: str = "exact"
+    #: candidate margin multiplier for fold_mode="bounded" (candidates =
+    #: first unfilled-cluster slots by rank + top margin*(targets+1) by
+    #: wave-start priority per partition)
+    fold_margin: int = 4
     #: salt partitions for the per-host politeness window (0 = off): a hot
     #: host's frontier rows would otherwise all land in ONE window task;
     #: with salting, a per-(host, salt) pre-top-k bounds any task to

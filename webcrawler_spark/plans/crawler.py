@@ -68,7 +68,7 @@ from webcrawler_spark.config import CrawlConfig
 from webcrawler_spark.functions.udfs import PARSED_SCHEMA, parse_pages
 from webcrawler_spark.kernels.urls import url_host
 from webcrawler_spark.kernels.vectors import SparseVector
-from webcrawler_spark.plans.estimators import SemanticEstimator
+from webcrawler_spark.plans.estimators import AverageVector, SemanticEstimator
 from webcrawler_spark.sources.catalog import SnapshotCatalog
 
 _FRONTIER_SCHEMA = T.StructType(
@@ -83,14 +83,112 @@ _FRONTIER_SCHEMA = T.StructType(
 
 _STATE_TABLES = (
     "frontier", "seen", "url_ids", "vocab", "page_terms", "net_edges",
-    "corpus", "accepted", "gml_log", "linkctx",
+    "corpus", "accepted", "gml_log", "linkctx", "dispatch_log",
 )
 
 #: tables read by the next wave's joins — eagerly materialized every wave
 #: (lineage truncation keeps wave cost O(state scan), not O(history))
 _HOT_TABLES = ("frontier", "seen", "url_ids", "vocab", "page_terms", "net_edges")
 #: append-only export feeds — materialized only every K waves / at commit
-_COLD_TABLES = ("corpus", "accepted", "gml_log", "linkctx")
+_COLD_TABLES = ("corpus", "accepted", "gml_log", "linkctx", "dispatch_log")
+
+
+class _DriverBloom:
+    """Fixed-size driver-side Bloom set over processed-page URLs.
+
+    Replaces the O(all-processed) ``_page_ids`` dict (VERDICT round 1,
+    item 3): re-fetch overwrite detection only needs MEMBERSHIP of a
+    wave's already-collected urls, and a false positive merely pends a
+    delete key for rows that do not exist — a no-op on load — so a
+    fixed-bits filter is exactly enough. 2^23 bits ≈ 1 MiB ≈ 1% fpp at
+    10^6 processed pages; sized from cfg.limit at construction.
+    """
+
+    def __init__(self, expected: int = 1 << 20, k: int = 4):
+        import numpy as np
+
+        bits = 1 << max(13, (expected * 10).bit_length())  # ~10 bits/key
+        self.bits, self.k = bits, k
+        self._bm = np.zeros(bits // 8, dtype=np.uint8)
+
+    def _positions(self, s: str):
+        import hashlib
+
+        d = hashlib.blake2b(s.encode(), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        return [(h1 + i * h2) % self.bits for i in range(self.k)]
+
+    def add(self, s: str):
+        for p in self._positions(s):
+            self._bm[p >> 3] |= 1 << (p & 7)
+
+    def __contains__(self, s: str) -> bool:
+        return all(self._bm[p >> 3] & (1 << (p & 7)) for p in self._positions(s))
+
+
+def dense_first_seen_ids(
+    ent: DataFrame,
+    keep_col: str,
+    id_name: str,
+    base: int,
+    nb: int,
+    n_parts: int,
+) -> tuple[DataFrame, int]:
+    """Distributed dense sequential numbering in exact ``(dr, pos)`` order
+    (first-seen RevMap semantics, EvaluatePriorityMatrix.scala:103-129)
+    WITHOUT the single-partition global-sort Window that serializes at
+    10^7-link waves. Two-phase: bucket by contiguous ``dr`` ranges (the
+    dispatch rank is in [0, nb), so bucket bounds need no sampling pass),
+    count per bucket (an O(buckets) driver collect), then assign
+    ``base + prefix_offset + within-bucket rank`` in ONE narrow vectorized
+    mapInPandas pass over the bucket-partitioned, bucket-sorted data.
+
+    ``ent`` must have columns (keep_col, dr, pos). Returns the lazy ids
+    frame (keep_col, id_name) over a localCheckpoint plus the row total.
+    Jobs: 1 checkpoint + 1 tiny counts collect — the same count as the old
+    single-task Window path, but every stage now runs wide.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_buckets = max(1, min(n_parts, nb))
+    bkt = F.least(
+        F.lit(n_buckets - 1),
+        (F.col("dr").cast("long") * n_buckets / F.lit(nb)).cast("int"),
+    )
+    part = (
+        ent.withColumn("_bkt", bkt)
+        .repartition(n_buckets, "_bkt")
+        .sortWithinPartitions("_bkt", "dr", "pos")
+        .localCheckpoint()
+    )
+    counts = {
+        r["_bkt"]: r["c"]
+        for r in part.groupBy("_bkt").agg(F.count("*").alias("c")).collect()
+    }
+    offs, acc = {}, 0
+    for b in sorted(counts):
+        offs[b] = acc
+        acc += counts[b]
+    total = acc
+    offs_bc = ent.sparkSession.sparkContext.broadcast(offs)
+
+    def assign(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            bkts = pdf["_bkt"].to_numpy()
+            ids = np.empty(len(pdf), dtype=np.int64)
+            for b in np.unique(bkts):
+                mask = bkts == b
+                k = int(mask.sum())
+                start = offs_bc.value[int(b)] + counters.get(int(b), 0)
+                ids[mask] = base + start + np.arange(k, dtype=np.int64)
+                counters[int(b)] = counters.get(int(b), 0) + k
+            yield pd.DataFrame({keep_col: pdf[keep_col], id_name: ids})
+
+    schema = f"{keep_col} string, {id_name} long"
+    return part.mapInPandas(assign, schema), total
 
 
 @dataclass
@@ -151,6 +249,7 @@ class SparkCrawler:
                 [], "ord long, seed_id long, url string, text string, wave int"
             ),
             "accepted": s.createDataFrame([], "ord long, url string"),
+            "dispatch_log": s.createDataFrame([], "ord long, url string"),
             "gml_log": s.createDataFrame(
                 [], "ord long, url string, links array<string>, terms map<string,double>"
             ),
@@ -164,9 +263,15 @@ class SparkCrawler:
         self._pending_deletes: dict[str, dict[str, set]] = defaultdict(
             lambda: defaultdict(set)
         )
-        #: url -> seed_id for PROCESSED pages (bounded by cfg.limit) —
-        #: identifies re-fetch overwrites for delete-key tracking
-        self._page_ids: dict[str, int] = {}
+        #: membership filter over PROCESSED page urls — identifies re-fetch
+        #: overwrites for delete-key tracking. Fixed-size (not O(history));
+        #: false positives only pend no-op delete keys
+        self._page_seen = _DriverBloom(expected=max(cfg.limit, 1 << 10))
+        #: pipeline_waves: the batch dispatched for wave N+1 but not yet
+        #: processed when wave N commits. Dispatch already eliminated these
+        #: URLs from the committed frontier, so the commit must carry them
+        #: or a crash-resume silently never crawls them.
+        self._inflight: list[tuple[int, str]] = []
 
         #: D2 allowlist — tiny driver state, grown with every fetched host
         self.hosts_set: set[str] = {
@@ -234,7 +339,22 @@ class SparkCrawler:
         self._pending_deltas[name].append(delta)
 
     def _pend_delete(self, name: str, key: str, values):
-        self._pending_deletes[name][key].update(values)
+        vals = list(values)
+        if not vals:
+            return
+        # Intra-window ordering: the manifest's delete keys are applied by
+        # load_table to PRIOR commits only, before this window's delta is
+        # unioned. So a delete must also remove matching rows from deltas
+        # already pended in THIS window (e.g. a page re-fetched a few waves
+        # after first being added, within one checkpoint_every window) —
+        # otherwise both stale and fresh rows survive a resume. Rows pended
+        # AFTER this delete (the re-fetch's fresh rows) are untouched.
+        if self._pending_deltas.get(name):
+            self._pending_deltas[name] = [
+                df.filter(~F.col(key).isin(vals))
+                for df in self._pending_deltas[name]
+            ]
+        self._pending_deletes[name][key].update(vals)
 
     def _t(self, name: str) -> DataFrame:
         return self.tables[name]
@@ -340,6 +460,17 @@ class SparkCrawler:
     def _run_wave(self, batch: list[tuple[int, str]], parsed: DataFrame | None = None):
         cfg, spark = self.cfg, self.spark
         self.result.dispatched.extend(u for _, u in batch)
+        # dispatch order is durable TABLE state (ord = global dispatch
+        # position), not manifest JSON — commits stay O(wave), VERDICT r1 #3
+        self._pend(
+            "dispatch_log",
+            spark.createDataFrame(
+                [(self.next_ord + i, u) for i, u in batch], "ord long, url string"
+            ),
+        )
+        #: dispatch ranks this wave are in [0, _wave_nb) — the contiguous
+        #: bucketing domain for distributed first-seen id assignment
+        self._wave_nb = max(1, len(batch))
         if parsed is None:
             parsed = self._fetch_parse(batch)
 
@@ -347,59 +478,20 @@ class SparkCrawler:
         # given `parsed` — run them as concurrent Spark jobs
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
+        use_bounded = cfg.fold_mode == "bounded" and self.sense is not None
         with _TPE(max_workers=2) as _ex:
             _fut = _ex.submit(self._admission_chain, parsed)
             _fut_vocab = _ex.submit(self._vocab_chain, parsed)
-            with self._timer("fold_collect"):
-                fold_rows = (
-                    parsed.select("dr", "url", "host", "terms").orderBy("dr").collect()
+            if use_bounded:
+                scores, stop_dr, recalc_pre, recalc_post, dr2url = (
+                    self._fold_bounded(parsed)
+                )
+            else:
+                scores, stop_dr, recalc_pre, recalc_post, dr2url = (
+                    self._fold_exact(parsed)
                 )
             admitted, first_emit, new_links = _fut.result()
             _fut_vocab.result()
-        # ---- driver fold (dispatch order) ---------------------------------
-        # D2 growth: every fetched page's host becomes allowed (Gather.scala:153)
-        self.hosts_set.update(r["host"] for r in fold_rows if r["host"])
-        vecs = {
-            r["dr"]: SparseVector(
-                [(e["word"], e["tf"]) for e in (r["terms"] or [])], cfg.accuracy
-            )
-            for r in fold_rows
-        }
-        upd_factors: dict[int, SparseVector] = {}
-        stop_dr = None
-        recalc_pre = None  # estimating drift: calculate BEFORE merge
-        recalc_post = None  # targeting transition: calculate AFTER merge
-        for r in fold_rows:
-            dr, url = r["dr"], r["url"]
-            vec = vecs[dr]
-            self.ns += 1
-            if self.phase == "init":
-                self._accept(url)
-                self.central_acc = self.central_acc + vec
-                continue
-            if self.phase == "estimating" and self.ns > cfg.limit:
-                self.stopped = True
-                stop_dr = dr
-                break
-            acc: list[str] = []
-            if self.phase == "targeting":
-                self.sense = self.sense.estimate(vec.normal, lambda: acc.append(url))
-                upd_factors[dr] = self.sense.factor  # post-fold (:243-245)
-                if self.sense.factor.dot(self.sense.central) > cfg.targeting:
-                    recalc_post = self.sense.factor  # transition (:250-253)
-                    self.phase = "estimating"
-            else:
-                old_factor = self.sense.factor
-                sense1 = self.sense.estimate(vec.normal, lambda: acc.append(url))
-                if sense1.factor.normal.dot(self.pfactor) < cfg.prioriting:
-                    recalc_pre = sense1.factor.normal  # drift (:126-129)
-                upd_factors[dr] = old_factor  # update with OLD factor (:330)
-                self.sense = sense1
-            for a in acc:
-                self._accept(a)
-        self.result.processed += len(
-            [r for r in fold_rows if stop_dr is None or r["dr"] < stop_dr]
-        )
 
         # Gather-side state applies to every parsed page, all phases
         self._merge_gather_state(parsed, admitted, new_links)
@@ -423,7 +515,9 @@ class SparkCrawler:
             return
 
         # EPM-side effects exclude pages at/after the stop
-        parsed_epm = parsed if stop_dr is None else parsed.filter(F.col("dr") < stop_dr)
+        parsed_epm = (
+            parsed if stop_dr is None else parsed.filter(F.col("dr") < stop_dr)
+        )
         new_links = (
             new_links if stop_dr is None else new_links.filter(F.col("dr") < stop_dr)
         )
@@ -451,13 +545,12 @@ class SparkCrawler:
             .agg(F.min(F.struct("dr", "pos")).alias("fp"))
             .select("url", F.col("fp.dr").alias("dr"), F.col("fp.pos").alias("pos"))
         )
-        wnd = Window.orderBy("dr", "pos")
         with self._timer("ids"):
-            new_ids = entities.select(
-                "url",
-                (F.row_number().over(wnd) + F.lit(self.next_id - 1)).alias("seed_id"),
-            ).localCheckpoint()
-            self.next_id += new_ids.count()
+            new_ids, n_new = dense_first_seen_ids(
+                entities, "url", "seed_id",
+                base=self.next_id, nb=self._wave_nb, n_parts=self._nparts,
+            )
+            self.next_id += n_new
             self._pend("url_ids", new_ids)
             self._set(
                 "url_ids",
@@ -481,19 +574,19 @@ class SparkCrawler:
             # re-fetch overwrite tracking (NetworkEstimator.scala:102): a
             # page fetched before gets its old rows delete-keyed; the wave
             # delta re-adds the fresh ones under the same stable id
-            dr2url = {r["dr"]: r["url"] for r in fold_rows}
             wave_page_ids = {
                 dr2url[r["dr"]]: r["src_id"]
                 for r in src_ids.collect()
                 if r["dr"] in dr2url
             }
             refetch_ids = [
-                sid for u, sid in wave_page_ids.items() if u in self._page_ids
+                sid for u, sid in wave_page_ids.items() if u in self._page_seen
             ]
             if refetch_ids:
                 self._pend_delete("page_terms", "seed_id", refetch_ids)
                 self._pend_delete("net_edges", "src", refetch_ids)
-            self._page_ids.update(wave_page_ids)
+            for u in wave_page_ids:
+                self._page_seen.add(u)
 
         # ---- re-fetch overwrite (NetworkEstimator.scala:102): replace ------
         self._set(
@@ -514,9 +607,6 @@ class SparkCrawler:
         )
 
         # ---- new frontier rows: priority = dot(src vector, update factor) --
-        scores = [
-            (dr, float(vecs[dr].dot(fct))) for dr, fct in upd_factors.items()
-        ]
         scores_df = F.broadcast(
             spark.createDataFrame(scores, "dr long, score double")
             if scores
@@ -635,6 +725,234 @@ class SparkCrawler:
 
         return admitted, first_emit, new_links
 
+    # ------------------------------------------------------------------
+    # wave fold — exact (reference-sequential) and bounded (scale) modes
+    # ------------------------------------------------------------------
+    def _fold_exact(self, parsed):
+        """Collect every page's full term vector and replay the sequential
+        estimator fold bit-exactly (budget=1 == the oracle). O(wave · page
+        vocab) driver transfer — the parity mode, not the 10^10 path."""
+        cfg = self.cfg
+        with self._timer("fold_collect"):
+            fold_rows = (
+                parsed.select("dr", "url", "host", "terms").orderBy("dr").collect()
+            )
+        # D2 growth: every fetched page's host becomes allowed (Gather.scala:153)
+        self.hosts_set.update(r["host"] for r in fold_rows if r["host"])
+        vecs = {
+            r["dr"]: SparseVector(
+                [(e["word"], e["tf"]) for e in (r["terms"] or [])], cfg.accuracy
+            )
+            for r in fold_rows
+        }
+        upd_factors: dict[int, SparseVector] = {}
+        stop_dr = None
+        recalc_pre = None  # estimating drift: calculate BEFORE merge
+        recalc_post = None  # targeting transition: calculate AFTER merge
+        for r in fold_rows:
+            dr, url = r["dr"], r["url"]
+            vec = vecs[dr]
+            self.ns += 1
+            if self.phase == "init":
+                self._accept(url)
+                self.central_acc = self.central_acc + vec
+                continue
+            if self.phase == "estimating" and self.ns > cfg.limit:
+                self.stopped = True
+                stop_dr = dr
+                break
+            acc: list[str] = []
+            if self.phase == "targeting":
+                self.sense = self.sense.estimate(vec.normal, lambda: acc.append(url))
+                upd_factors[dr] = self.sense.factor  # post-fold (:243-245)
+                if self.sense.factor.dot(self.sense.central) > cfg.targeting:
+                    recalc_post = self.sense.factor  # transition (:250-253)
+                    self.phase = "estimating"
+            else:
+                old_factor = self.sense.factor
+                sense1 = self.sense.estimate(vec.normal, lambda: acc.append(url))
+                if sense1.factor.normal.dot(self.pfactor) < cfg.prioriting:
+                    recalc_pre = sense1.factor.normal  # drift (:126-129)
+                upd_factors[dr] = old_factor  # update with OLD factor (:330)
+                self.sense = sense1
+            for a in acc:
+                self._accept(a)
+        self.result.processed += len(
+            [r for r in fold_rows if stop_dr is None or r["dr"] < stop_dr]
+        )
+        scores = [(dr, float(vecs[dr].dot(fct))) for dr, fct in upd_factors.items()]
+        dr2url = {r["dr"]: r["url"] for r in fold_rows}
+        return scores, stop_dr, recalc_pre, recalc_post, dr2url
+
+    def _fold_summaries(self, parsed, dr_lt: int | None = None):
+        """The bounded fold's ONE distributed pass (mapInPandas over the
+        checkpointed parse output). Emits three row kinds per partition:
+        kind 0 — per-page scalars (dr, url, host, pri = vn·T̂₀, score0 =
+        v·T̂₀ − v·Â₀); kind 1 — full term arrays for the partition-local
+        candidate set (lowest (targets+1) dispatch ranks ∪ top
+        margin·(targets+1) by pri); kind 2 — the partition's Σ v.normal
+        word sums. Driver transfer is O(budget + candidates·pagevocab +
+        wave vocab) instead of O(wave · page vocab)."""
+        cfg = self.cfg
+        t0n = dict(self.sense.target.normal.items())
+        a0n = dict(self.sense.average.normal.items())
+        acc_cut = cfg.accuracy
+        n_cand = (cfg.targets + 1) * max(1, cfg.fold_margin)
+        n_first = cfg.targets + 1
+        sigma_mode = cfg.cluster_policy == "cluster"
+
+        def summarize(batches):
+            import pandas as pd
+
+            from webcrawler_spark.kernels.vectors import SparseVector as SV
+
+            t0 = SV(t0n, acc_cut)
+            a0 = SV(a0n, acc_cut)
+            pages = []  # (dr, url, host, pri, score0, terms)
+            vn_sum: dict[str, float] = {}
+            for pdf in batches:
+                for dr, url, host, terms in zip(
+                    pdf["dr"], pdf["url"], pdf["host"], pdf["terms"]
+                ):
+                    if dr_lt is not None and dr >= dr_lt:
+                        continue
+                    tlist = (
+                        [
+                            {"word": str(e["word"]), "tf": float(e["tf"])}
+                            for e in terms
+                        ]
+                        if terms is not None
+                        else []
+                    )
+                    v = SV([(e["word"], e["tf"]) for e in tlist], acc_cut)
+                    vn = v.normal
+                    pri = vn.dot(t0)
+                    score0 = v.dot(t0) - v.dot(a0)
+                    pages.append((int(dr), url, host, pri, score0, tlist))
+                    for k, val in vn.items():
+                        vn_sum[k] = vn_sum.get(k, 0.0) + val
+            # candidate retention: first n_first by dispatch rank (unfilled
+            # cluster slots accept unconditionally) ∪ top n_cand by pri
+            # (sigma policy ranks by distance — monotone decreasing in pri,
+            # so the same top-pri set covers the smallest distances)
+            by_dr = sorted(pages, key=lambda p: p[0])[:n_first]
+            by_pri = sorted(pages, key=lambda p: -p[3])[:n_cand]
+            keep = {p[0] for p in by_dr} | {p[0] for p in by_pri}
+            out = {
+                "kind": [], "dr": [], "url": [], "host": [], "pri": [],
+                "score0": [], "terms": [], "word": [], "val": [],
+            }
+            for dr, url, host, pri, score0, terms in pages:
+                out["kind"].append(0)
+                out["dr"].append(dr)
+                out["url"].append(url)
+                out["host"].append(host)
+                out["pri"].append(pri)
+                out["score0"].append(score0)
+                out["terms"].append(terms if dr in keep else None)
+                out["word"].append(None)
+                out["val"].append(None)
+            for w, val in vn_sum.items():
+                out["kind"].append(2)
+                out["dr"].append(-1)
+                out["url"].append(None)
+                out["host"].append(None)
+                out["pri"].append(None)
+                out["score0"].append(None)
+                out["terms"].append(None)
+                out["word"].append(w)
+                out["val"].append(val)
+            if out["kind"]:  # empty partitions yield nothing (an empty
+                # DataFrame infers float64 columns, which Arrow rejects
+                # for the list<struct> terms field)
+                yield pd.DataFrame(out)
+
+        schema = (
+            "kind int, dr long, url string, host string, pri double, "
+            "score0 double, terms array<struct<word:string,tf:double>>, "
+            "word string, val double"
+        )
+        return parsed.select("dr", "url", "host", "terms").mapInPandas(
+            summarize, schema
+        ).collect()
+
+    def _fold_bounded(self, parsed):
+        """The 10^10-scale wave fold (VERDICT r1 item 3): exact target-
+        cluster updates over a bounded candidate set, link scores frozen at
+        the wave-start factor (the documented servers=B approximation — at
+        budget=1 use fold_mode='exact', which is the oracle-parity path),
+        and the running average applied as one distributed Σ v.normal.
+        Acceptance is exact whenever every accepted page is inside the
+        candidate margin (first targets+1 ranks ∪ top margin·(targets+1)
+        by wave-start priority) — cluster admission requires priority above
+        the cluster minimum, so a page far outside the margin cannot enter
+        unless the cluster mean drifts across it mid-wave."""
+        cfg = self.cfg
+        with self._timer("fold_collect"):
+            rows = self._fold_summaries(parsed)
+        summ = sorted((r for r in rows if r["kind"] == 0), key=lambda r: r["dr"])
+        cand_vecs = {
+            r["dr"]: SparseVector(
+                [(e["word"], e["tf"]) for e in (r["terms"] or [])], cfg.accuracy
+            )
+            for r in summ
+            if r["terms"] is not None
+        }
+        self.hosts_set.update(r["host"] for r in summ if r["host"])
+        a0n_vec = self.sense.average.normal
+        stop_dr = None
+        recalc_pre = None
+        recalc_post = None
+        scores: list[tuple[int, float]] = []
+        processed = 0
+        for r in summ:
+            dr, url = r["dr"], r["url"]
+            self.ns += 1
+            if self.phase == "estimating" and self.ns > cfg.limit:
+                self.stopped = True
+                stop_dr = dr
+                break
+            processed += 1
+            acc: list[str] = []
+            if dr in cand_vecs:
+                vn = cand_vecs[dr].normal
+                new_target = self.sense.target.add(vn, lambda: acc.append(url))
+                self.sense = SemanticEstimator(
+                    central=self.sense.central,
+                    target=new_target,
+                    average=self.sense.average,  # applied as a wave sum below
+                )
+            # frozen-average factor for this page's state
+            fct = self.sense.target.normal - a0n_vec
+            scores.append((dr, float(r["score0"])))
+            if self.phase == "targeting":
+                if fct.dot(self.sense.central) > cfg.targeting:
+                    recalc_post = fct
+                    self.phase = "estimating"
+            else:
+                if fct.normal.dot(self.pfactor) < cfg.prioriting:
+                    recalc_pre = fct.normal
+            for a in acc:
+                self._accept(a)
+        self.result.processed += processed
+        # running average: one distributed Σ v.normal (recomputed under the
+        # stop filter in the rare final-wave case)
+        if stop_dr is not None:
+            rows = self._fold_summaries(parsed, dr_lt=stop_dr)
+        vn_sum: dict[str, float] = {}
+        for r in rows:
+            if r["kind"] == 2:
+                vn_sum[r["word"]] = vn_sum.get(r["word"], 0.0) + r["val"]
+        self.sense = SemanticEstimator(
+            central=self.sense.central,
+            target=self.sense.target,
+            average=AverageVector(
+                self.sense.average.v + SparseVector(vn_sum, cfg.accuracy)
+            ),
+        )
+        dr2url = {r["dr"]: r["url"] for r in summ}
+        return scores, stop_dr, recalc_pre, recalc_post, dr2url
+
     def _vocab_chain(self, parsed):
         """First-seen word-id assignment (P5 dictionary; Gather-side, all
         phases): order = (dispatch rank, token position) — matches the
@@ -652,18 +970,16 @@ class SparkCrawler:
                 .join(F.broadcast(firsts.select("word")), "word", "left_semi")
                 .select("word")
             )
-            wnd_w = Window.orderBy("fp.dr", "fp.wpos")
-            new_words = (
-                firsts.join(F.broadcast(known_words), "word", "left_anti")
-                .select(
-                    "word",
-                    (F.row_number().over(wnd_w) + F.lit(self.next_word_id - 1)).alias(
-                        "word_id"
-                    ),
-                )
-                .localCheckpoint()
+            fresh = firsts.join(F.broadcast(known_words), "word", "left_anti").select(
+                "word",
+                F.col("fp.dr").alias("dr"),
+                F.col("fp.wpos").alias("pos"),
             )
-            self.next_word_id += new_words.count()
+            new_words, n_new_w = dense_first_seen_ids(
+                fresh, "word", "word_id",
+                base=self.next_word_id, nb=self._wave_nb, n_parts=self._nparts,
+            )
+            self.next_word_id += n_new_w
             self._pend("vocab", new_words)
             self._set(
                 "vocab",
@@ -825,14 +1141,18 @@ class SparkCrawler:
             "wave": self.wave,
             "fifo": self.fifo,
             "hosts": sorted(self.hosts_set),
-            "page_ids": self._page_ids,
             "stopped": self.stopped,
             "processed": self.result.processed,
             "central_acc": {k: v for k, v in self.central_acc.items()},
             "pfactor": {k: v for k, v in self.pfactor.items()},
             "sense": self.sense.to_dict() if self.sense else None,
-            "dispatched": self.result.dispatched,
-            "accepted": self.result.accepted,
+            # dispatch order / accepted pages / processed-page ids live in
+            # TABLES (dispatch_log, accepted, corpus+url_ids): the manifest
+            # holds only counters + the KB-sized estimator, so commit cost
+            # stays O(wave) at any crawl length
+            # stopped runs abandon the pipelined batch (links stay
+            # eliminated — documented); otherwise persist it for resume
+            "inflight": [] if self.stopped else self._inflight,
             "metrics": {
                 "frontier_adds_total": self.next_id - 1,
                 "target_size": self.sense.size if self.sense else 0,
@@ -872,7 +1192,9 @@ class SparkCrawler:
     def run(self, max_waves: int = 100_000, finalize: bool = True) -> CrawlResult:
         cfg = self.cfg
         if self._resumed:
-            batch = self._dispatch()
+            # a batch in flight at the last commit resumes first — it was
+            # already eliminated from the committed frontier
+            batch = self._inflight or self._dispatch()
         else:
             batch = list(enumerate(cfg.seeds))
         parsed: DataFrame | None = None
@@ -889,10 +1211,13 @@ class SparkCrawler:
                     # servers=2B approximation) and overlap its fetch+parse
                     # with this wave's fold/merge/commit
                     next_batch = self._dispatch()
+                    self._inflight = next_batch or []
                     if next_batch:
                         fut = pool.submit(self._fetch_parse, next_batch)
                 self._accepts_wave: list[str] = []
                 self._run_wave(batch, parsed)
+                if self._inflight == batch:
+                    self._inflight = []  # batch processed → no longer at risk
                 self._record_accepts()
                 self.next_ord += len(batch)
                 self._checkpoint()
@@ -909,6 +1234,10 @@ class SparkCrawler:
                     batch, parsed = self._dispatch(), None
                 else:
                     batch, parsed = self._dispatch(), None
+                # the new batch is dispatched (eliminated from the frontier)
+                # but unprocessed: any commit before its wave completes must
+                # carry it, or a crash-resume never crawls it
+                self._inflight = batch or []
                 if not batch and self.phase == "targeting" and not self.fifo:
                     self.result.aborted = True  # too little casualties (:225-229)
                     break
@@ -1018,16 +1347,37 @@ class SparkCrawler:
         self.wave = w + 1
         self.fifo = list(st["fifo"])
         self.hosts_set = set(st.get("hosts", []))
-        self._page_ids = dict(st.get("page_ids", {}))
         self.stopped = st["stopped"]
         self.central_acc = SparseVector(st["central_acc"], cfg.accuracy)
         self.pfactor = SparseVector(st["pfactor"], cfg.accuracy)
         self.sense = SemanticEstimator.from_dict(st["sense"]) if st["sense"] else None
-        self.result.dispatched = list(st["dispatched"])
-        self.result.accepted = list(st["accepted"])
+        self._inflight = [(int(i), u) for i, u in st.get("inflight") or []]
         self.result.processed = st["processed"]
         for name in _STATE_TABLES:
-            self._set(name, self.catalog.load_table(w, name))
+            try:
+                self._set(name, self.catalog.load_table(w, name))
+            except FileNotFoundError:
+                if name != "dispatch_log":  # absent only in legacy chains
+                    raise
+        if "dispatched" in st:  # legacy manifests carried the full lists
+            self.result.dispatched = list(st["dispatched"])
+            self.result.accepted = list(st["accepted"])
+        else:
+            self.result.dispatched = [
+                r["url"] for r in self._t("dispatch_log").orderBy("ord").collect()
+            ]
+            self.result.accepted = [
+                r["url"] for r in self._t("accepted").orderBy("ord").collect()
+            ]
+        # rebuild the processed-page membership filter from the corpus (a
+        # superset of EPM-processed pages; extra hits only pend no-op
+        # delete keys)
+        if "page_ids" in st:  # legacy
+            for u in st["page_ids"]:
+                self._page_seen.add(u)
+        else:
+            for r in self._t("corpus").select("url").collect():
+                self._page_seen.add(r["url"])
         if self.bloom is not None:
             # rebuild the prefilter from the snapshot's exact seen table
             self.bloom.add_df(self._t("seen"), "url")

@@ -102,14 +102,24 @@ class PartitionedBloom:
             h2 = h2s.to_numpy(dtype=np.uint64)
             bkt = (h1 % np.uint64(nb)).astype(np.int64)
             out = np.ones(len(h1), dtype=bool)
-            for i in range(k):
-                idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
-                byte_i = (idx >> np.uint64(3)).astype(np.int64)
-                mask = (1 << (idx & np.uint64(7))).astype(np.uint8)
-                for j in range(len(h1)):
-                    bm = buckets.get(int(bkt[j]))
-                    if bm is None or not (bm[byte_i[j]] & mask[j]):
-                        out[j] = False
+            # vectorized per bucket group: fancy-index each bucket's bitmap
+            # for all k probe positions of the rows in that bucket
+            grouped: dict[int, np.ndarray] = {}
+            for b in np.unique(bkt):
+                grouped[int(b)] = np.nonzero(bkt == b)[0]
+            for b, rows_idx in grouped.items():
+                bm = buckets.get(b)
+                if bm is None:
+                    out[rows_idx] = False
+                    continue
+                hit = np.ones(len(rows_idx), dtype=bool)
+                g1, g2 = h1[rows_idx], h2[rows_idx]
+                for i in range(k):
+                    idx = (g1 + np.uint64(i) * g2) % np.uint64(m)
+                    byte_i = (idx >> np.uint64(3)).astype(np.int64)
+                    mask = (1 << (idx & np.uint64(7))).astype(np.uint8)
+                    hit &= (bm[byte_i] & mask) != 0
+                out[rows_idx] = hit
             return pd.Series(out)
 
         return probe

@@ -41,6 +41,17 @@ class SnapshotCatalog:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # crash recovery for in-place rewrites: a `wave=N.old` aside with no
+        # `wave=N` means the rewrite died mid-swap — restore the original;
+        # with both present the swap finished — drop the aside
+        for d in os.listdir(root):
+            if d.startswith("wave=") and d.endswith(".old"):
+                final = os.path.join(root, d[: -len(".old")])
+                aside = os.path.join(root, d)
+                if os.path.exists(final):
+                    shutil.rmtree(aside)
+                else:
+                    os.rename(aside, final)
 
     def _wave_dir(self, wave: int) -> str:
         return os.path.join(self.root, f"wave={wave:06d}")
@@ -93,8 +104,18 @@ class SnapshotCatalog:
             json.dump(manifest, f)
         final = self._wave_dir(wave)
         if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+            # in-place rewrite (compaction): never a moment with no valid
+            # wave dir on disk — the old dir is renamed aside, the new one
+            # renamed in, then the aside dropped; __init__ repairs either
+            # crash window from the aside
+            aside = final + ".old"
+            if os.path.exists(aside):
+                shutil.rmtree(aside)
+            os.rename(final, aside)
+            os.rename(tmp, final)
+            shutil.rmtree(aside)
+        else:
+            os.rename(tmp, final)
         return manifest
 
     # ------------------------------------------------------------------
@@ -169,22 +190,24 @@ class SnapshotCatalog:
         return self.commit(w, tables, m["state"], modes={}, deletes={})
 
     def prune(self, keep_last: int = 2):
-        """Drop the oldest waves, but never a wave still referenced by the
-        newest delta chains (a wave is prunable only if every table has a
-        full commit at or after the cut)."""
+        """Drop waves that can never be read again: for each table, find
+        the newest wave holding a FULL commit of it — every load starts at
+        such a wave, so waves strictly older than the minimum across tables
+        are dead history (after a compact() that is everything but the
+        head). Always retains the newest ``keep_last`` manifests."""
         ms = self._manifests()
         if len(ms) <= keep_last:
             return
-        cut_candidates = ms[:-keep_last]
-        keep = ms[-keep_last:]
-        # tables whose newest commits are deltas still need their history
-        needed_tables = set()
-        for m in keep:
+        latest_full: dict[str, int] = {}
+        all_tables: set[str] = set()
+        for m in ms:
             for name, meta in m["tables"].items():
-                if meta.get("mode", "full") == "delta":
-                    needed_tables.add(name)
-        for m in cut_candidates:
-            if any(name in m["tables"] for name in needed_tables):
-                # conservatively keep history for open delta chains
-                continue
-            shutil.rmtree(self._wave_dir(m["wave"]))
+                all_tables.add(name)
+                if meta.get("mode", "full") == "full":
+                    latest_full[name] = max(latest_full.get(name, -1), m["wave"])
+        if all_tables - set(latest_full):
+            return  # some table has no full commit anywhere: keep all history
+        cut = min(min(latest_full.values()), ms[-keep_last]["wave"])
+        for m in ms:
+            if m["wave"] < cut:
+                shutil.rmtree(self._wave_dir(m["wave"]))

@@ -81,10 +81,13 @@ class PartitionedCuckoo:
         for fp, i1 in zip(fps, i1s):
             fp = np.uint16(fp)
             i = np.uint64(i1)
-            # skip if already present in either bucket (idempotent adds)
+            # NO presence check: distinct keys that collide on (fp, bucket
+            # pair) must EACH occupy a slot — a shared slot would let
+            # delete_df remove membership for both, a false negative that
+            # breaks the prefilter contract. Standard cuckoo filters store
+            # duplicate fingerprints for exactly this reason; identical
+            # keys are deduped per batch by the caller instead.
             j = _alt_index(np.array([i]), np.array([fp]), m)[0]
-            if fp in table[int(i)] or fp in table[int(j)]:
-                continue
             placed = False
             for cand in (i, j):
                 row = table[int(cand)]
@@ -137,6 +140,11 @@ class PartitionedCuckoo:
             )
             h1 = pdf["h1"].to_numpy(dtype=np.uint64)
             h2 = pdf["h2"].to_numpy(dtype=np.uint64)
+            # dedupe IDENTICAL keys within the batch (the one safe
+            # idempotency — same URL listed twice); colliding distinct
+            # keys are NOT deduped, see _insert_batch
+            _, uniq = np.unique(np.stack([h1, h2], axis=1), axis=0, return_index=True)
+            h1, h2 = h1[np.sort(uniq)], h2[np.sort(uniq)]
             fps = _fp_of(h1)
             i1s = (h2 & np.uint64(m - 1)).astype(np.uint64)
             rng = np.random.default_rng(shard)  # deterministic evictions
@@ -206,12 +214,16 @@ class PartitionedCuckoo:
             i1s = (h2 & np.uint64(m - 1)).astype(np.uint64)
             i2s = _alt_index(i1s, fps, m)
             out = np.zeros(len(h1), dtype=bool)
-            for j in range(len(h1)):
-                t = tables.get(int(shard[j]))
-                if t is None:
+            # vectorized per shard group: gather both candidate buckets with
+            # fancy indexing, compare against the fingerprint column-wise
+            for s, t in tables.items():
+                idx = np.nonzero(shard == s)[0]
+                if not len(idx):
                     continue
-                fp = fps[j]
-                out[j] = fp in t[int(i1s[j])] or fp in t[int(i2s[j])]
+                fp_col = fps[idx][:, None]
+                b1 = t[i1s[idx].astype(np.int64)]
+                b2 = t[i2s[idx].astype(np.int64)]
+                out[idx] = (b1 == fp_col).any(1) | (b2 == fp_col).any(1)
             return pd.Series(out)
 
         return probe
