@@ -119,6 +119,32 @@ def test_statistics_two_nodes(spark, estimator):
     assert "Density of Network : 1.0" in text
 
 
+def test_statistics_density_cloud_sampled(spark, estimator, monkeypatch):
+    """Above CLOUD_EXACT_MAX nodes density_cloud switches to a seeded
+    Monte-Carlo pair sample (GMLStorage.scala:221-251 semantics) instead
+    of the exact O(n²) crossJoin; the estimate must track the exact mean."""
+    import webcrawler_spark.plans.exports as exports
+
+    n = 120
+    # two orthogonal clusters: within-cluster d2 = 0, across = 2;
+    # exact mean over ordered distinct pairs = 2·(2·60·60)/(120·119)
+    rows = [(g, "a" if g < 60 else "b", 1.0) for g in range(n)]
+    terms = spark.createDataFrame(rows, "gid long, word string, w double")
+    edges = spark.createDataFrame([], "gid long, dst_gid long")
+    args = dict(
+        central=estimator.central,
+        target_normal=estimator.target.normal,
+        factor=estimator.factor,
+    )
+    exact = compute_statistics(terms, edges, **args)["density_cloud"]
+    assert exact == pytest.approx(2 * 2 * 60 * 60 / (120 * 119))
+
+    monkeypatch.setattr(exports, "CLOUD_EXACT_MAX", 50)
+    monkeypatch.setattr(exports, "CLOUD_SAMPLE_PAIRS", 2500)
+    sampled = compute_statistics(terms, edges, **args)["density_cloud"]
+    assert sampled == pytest.approx(exact, abs=0.15)
+
+
 def test_gml_incomplete_filter(spark, estimator):
     """G1: a fetched page with no outlinks is dropped unless
     with_incomplete (GMLStorage.scala:37-41)."""

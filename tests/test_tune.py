@@ -72,6 +72,66 @@ def test_learn_epoch_counts_errors(spark):
     assert err == pairs.filter("haslink").count()
 
 
+def _dense_graph(spark):
+    """Pairs dense enough to pass the sample.main filters: every doc
+    carries 20 shared words (count(v1∩v2) > 5, count(v) > 10)."""
+    shared = [f"s{i}" for i in range(20)]
+    vectors = spark.createDataFrame(
+        [(i, shared + [f"own{i}a", f"own{i}b"]) for i in range(1, 9)],
+        "id long, words array<string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 8)], "src long, dst long"
+    )
+    return vectors, edges
+
+
+def test_octave_sample_export_bytes(spark):
+    """G4 sample.main (TuneVocabulary.scala:165-230): byte parity of
+    index.dat/sample.dat against an independent pure-Python render of the
+    reference's logic (filter thresholds, 1-based rows, 0-based columns,
+    (col,row) triplet sort, Octave struct header layout)."""
+    from webcrawler_spark.plans.tune import octave_sample_export
+
+    vectors, edges = _dense_graph(spark)
+    pairs = build_pairs(vectors, edges, seed=7)
+    files = octave_sample_export(pairs, max_words=100, seed=7)
+
+    # -- independent oracle: replay the scala logic on the collected pairs
+    widx = {}
+    for line in files["index.dat"].splitlines():
+        n, w = line.split(" : ")
+        widx[w] = int(n)
+    rows = pairs.collect()  # same deterministic sample order
+    filtered = []
+    for r in rows:
+        s1 = {w for w in r["w1"] if w in widx}
+        s2 = {w for w in r["w2"] if w in widx}
+        both = s1 & s2
+        if len(s1) > 10 and len(s2) > 10 and len(both) > 5:
+            filtered.append((sorted(widx[w] for w in both), bool(r["haslink"])))
+    assert filtered, "filters must keep some samples for the test to bite"
+    trip = [(n + 1, j) for n, (js, _) in enumerate(filtered) for j in js]
+    trip.sort(key=lambda t: (t[1], t[0]))
+    want = (
+        "\n# Created by Octave 3.2.4, Sun Feb 16 14:54:23 2014 MSK "
+        "<cray@cray-To-be-filled-by-O-E-M>\n"
+        "# name: sample\n# type: struct\n# length: 2\n# name: X\n"
+        "# type: cell\n# rows: 1\n# columns: 1\n# name: <cell-element>\n"
+        "# type: sparse matrix\n"
+        f"# nnz: {len(trip)}\n# rows: {len(filtered)}\n# columns: {len(widx)}\n"
+        + "".join(f"{i} {j} 1\n" for i, j in trip)
+        + "\n# name: Y\n# type: cell\n# rows: 1\n# columns: 1\n"
+        "# name: <cell-element>\n# type: matrix\n"
+        f"# rows: {len(filtered)}\n# columns: 1\n"
+        + "".join("1\n" if l else "0\n" for _, l in filtered)
+    )
+    assert files["sample.dat"] == want
+    # index covers the full word universe here (< max_words cap)
+    n_words = vectors.select(F.explode("words")).distinct().count()
+    assert len(widx) == n_words
+
+
 def test_sampler_pivot_and_render(spark):
     linkctx = spark.createDataFrame(
         [("l1", "div", 1.0)] * 6

@@ -88,6 +88,11 @@ class CrawlConfig:
     bloom_k: int = 5
     #: export graph snapshot every K processed pages (EvaluatePriorityMatrix.scala:291)
     dump_every: int = 500
+    #: S9 in-loop sampler cadence: dump a link-context sample matrix every
+    #: N link-priority updates (SampleHierarchy2Priority.scala:58-60 dumps
+    #: every 100). 0 = off (the reference only samples when a sampling
+    #: sink is configured).
+    sample_every: int = 0
 
     # -- target-cluster policy: "target" (TargetVector.scala) or
     #    "cluster" (TargetVectorCluster.scala sigma criterion)

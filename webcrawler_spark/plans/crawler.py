@@ -272,6 +272,22 @@ class SparkCrawler:
         #: URLs from the committed frontier, so the commit must carry them
         #: or a crash-resume silently never crawls them.
         self._inflight: list[tuple[int, str]] = []
+        #: S9 sampler: link-priority updates since crawl start; a sample
+        #: matrix is dumped each time it crosses a cfg.sample_every multiple
+        self._sampler_nseed = 0
+        self._sampler_dumps = 0
+        #: durable commits run on this single worker OFF the wave critical
+        #: path; the next commit (or finalize) joins the previous first, so
+        #: manifests still land strictly in wave order, atomically last
+        from concurrent.futures import ThreadPoolExecutor as _TPE1
+
+        self._commit_pool = _TPE1(max_workers=1)
+        self._commit_fut = None
+        #: background materialization of the hot tables dispatch does NOT
+        #: touch (seen/url_ids/vocab/page_terms) — overlapped with the next
+        #: wave's dispatch+fetch+parse, swapped in at the fence in _run_wave
+        self._ckpt_pool = _TPE1(max_workers=1)
+        self._ckpt_fut = None
 
         #: D2 allowlist — tiny driver state, grown with every fetched host
         self.hosts_set: set[str] = {
@@ -418,7 +434,14 @@ class SparkCrawler:
             if cfg.use_breadthsearch
             else [F.desc("priority"), F.asc("seed_id")]
         )
-        rows = cand.orderBy(*order).limit(cfg.budget).collect()
+        # TakeOrdered ships only the two columns the driver needs — not
+        # priority/parents (the parents arrays dominate row weight)
+        rows = (
+            cand.orderBy(*order)
+            .limit(cfg.budget)
+            .select("seed_id", "url")
+            .collect()
+        )
         if not rows:
             return []
         ids = [r["seed_id"] for r in rows]
@@ -449,13 +472,34 @@ class SparkCrawler:
         batch_df = F.broadcast(
             self.spark.createDataFrame(list(batch), "dr long, url string")
         )
-        hits = self.pages.join(batch_df, "url").select("dr", "url", "html")
+        hits = self.pages.join(batch_df, "url")
+        if "content_type" in self.pages.columns:
+            # MIME admission (WebGet.scala:46): only `text/html` (before
+            # any ';charset=' suffix) reaches the parser; anything else
+            # behaves exactly like a failed fetch — dispatched and counted
+            # as such, but no links/terms/corpus/seen effects
+            hits = hits.filter(
+                F.split(F.col("content_type"), ";").getItem(0) == "text/html"
+            )
+        hits = hits.select("dr", "url", "html")
         with self._timer("parse"):
             return (
                 hits.mapInPandas(parse_pages, PARSED_SCHEMA)
                 .filter(F.col("ok"))
                 .localCheckpoint()
             )
+
+    def _prefetch(self, batch: list[tuple[int, str]]) -> DataFrame:
+        """Pipeline-mode fetch+parse of the NEXT wave, tagged into its own
+        FAIR scheduler pool so it shares cores with (instead of starving)
+        the current wave's jobs. A no-op tag under FIFO scheduling."""
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "prefetch"
+        )
+        try:
+            return self._fetch_parse(batch)
+        finally:
+            self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
     def _run_wave(self, batch: list[tuple[int, str]], parsed: DataFrame | None = None):
         cfg, spark = self.cfg, self.spark
@@ -473,6 +517,9 @@ class SparkCrawler:
         self._wave_nb = max(1, len(batch))
         if parsed is None:
             parsed = self._fetch_parse(batch)
+        # background hot-table materialization (previous wave) must be
+        # swapped in before the chains below read those tables
+        self._ckpt_fence()
 
         # admission/dedup chain and the driver fold collect are independent
         # given `parsed` — run them as concurrent Spark jobs
@@ -552,32 +599,33 @@ class SparkCrawler:
             )
             self.next_id += n_new
             self._pend("url_ids", new_ids)
-            self._set(
-                "url_ids",
-                self._t("url_ids")
-                .unionByName(new_ids)
-                .coalesce(self._nparts)
-                .localCheckpoint(),
-            )
+            # lazy union: the end-of-wave hot-table pool materializes it
+            # concurrently with the other state tables (one fewer serial
+            # job on the wave critical path)
+            self._set("url_ids", self._t("url_ids").unionByName(new_ids))
 
         # src_ids is wave-sized (one row per fetched page): materialize once
         # and broadcast into every downstream merge — the whole merge section
         # then runs map-side (no shuffle), so materializing the hot tables is
         # a linear scan of (previous snapshot + wave delta)
         with self._timer("src_ids"):
-            src_ids = (
-                F.broadcast(parsed_epm.select("dr", "url"))
+            # ONE job: collect the wave-sized (dr, src_id) map and rebuild
+            # it as a local relation — every downstream broadcast join then
+            # reads driver memory instead of re-running the url_ids join
+            # (was: localCheckpoint + collect, two jobs per wave)
+            src_rows = [
+                (r["dr"], r["src_id"])
+                for r in F.broadcast(parsed_epm.select("dr", "url"))
                 .join(self._t("url_ids"), "url")
                 .select("dr", F.col("seed_id").alias("src_id"))
-                .localCheckpoint()
-            )
+                .collect()
+            ]
+            src_ids = spark.createDataFrame(src_rows, "dr long, src_id long")
             # re-fetch overwrite tracking (NetworkEstimator.scala:102): a
             # page fetched before gets its old rows delete-keyed; the wave
             # delta re-adds the fresh ones under the same stable id
             wave_page_ids = {
-                dr2url[r["dr"]]: r["src_id"]
-                for r in src_ids.collect()
-                if r["dr"] in dr2url
+                dr2url[dr]: sid for dr, sid in src_rows if dr in dr2url
             }
             refetch_ids = [
                 sid for u, sid in wave_page_ids.items() if u in self._page_seen
@@ -618,9 +666,13 @@ class SparkCrawler:
             .join(F.broadcast(new_ids.withColumnRenamed("url", "dst")), "dst")
         )
         add = self._robots_filter(add)
-        # materialize the wave delta once; frontier/net_edges appends reuse it
+        # the wave delta is a pure broadcast-join chain over checkpointed
+        # inputs when no robots filter is active — recomputing it for its
+        # 2-3 consumers is a narrow scan, cheaper than a dedicated
+        # materialization job; with robots the anti-join makes it worth one
         with self._timer("merge_build"):
-            add = add.localCheckpoint()
+            if self.robots_flat is not None or cfg.sample_every > 0:
+                add = add.localCheckpoint()
         self._set(
             "frontier",
             self._t("frontier").unionByName(
@@ -638,6 +690,15 @@ class SparkCrawler:
         )
         self._pend("net_edges", net_delta)
         self._set("net_edges", self._t("net_edges").unionByName(net_delta))
+
+        # S9 in-loop sampler (SampleHierarchy2Priority.scala:58-60): every
+        # new frontier row is one link-priority update; dump the sample
+        # matrix whenever the running count crosses a sample_every multiple
+        if cfg.sample_every > 0:
+            before = self._sampler_nseed
+            self._sampler_nseed += add.count()  # wave delta, checkpointed
+            if before // cfg.sample_every != self._sampler_nseed // cfg.sample_every:
+                self._dump_sample()
         # dictionary-encode: only the wave's words of the (potentially
         # huge) vocab are broadcast — semi-join slice first
         wave_terms = parsed_epm.select(
@@ -981,13 +1042,8 @@ class SparkCrawler:
             )
             self.next_word_id += n_new_w
             self._pend("vocab", new_words)
-            self._set(
-                "vocab",
-                self._t("vocab")
-                .unionByName(new_words)
-                .coalesce(self._nparts)
-                .localCheckpoint(),
-            )
+            # lazy union — materialized by the end-of-wave hot-table pool
+            self._set("vocab", self._t("vocab").unionByName(new_words))
 
     def _robots_filter(self, df: DataFrame) -> DataFrame:
         """Robots.txt compliance (new surface): drop rows whose (dst_host,
@@ -1107,31 +1163,51 @@ class SparkCrawler:
         with self._timer("checkpoint"):
             return self._checkpoint_inner(force)
 
+    def _ckpt_fence(self):
+        """Swap in the background-materialized hot tables (if any)."""
+        if self._ckpt_fut is not None:
+            for n, df in self._ckpt_fut.result().items():
+                self._set(n, df)
+            self._ckpt_fut = None
+
     def _checkpoint_inner(self, force: bool = False):
-        # in-memory lineage truncation runs EVERY wave (commit waves too):
-        # hot tables eagerly and concurrently — deferring was measured
-        # slower (downstream steps re-scan the unmaterialized unions)
+        # in-memory lineage truncation runs EVERY wave (commit waves too).
+        # Only frontier/net_edges block the next dispatch — they checkpoint
+        # eagerly; the other hot tables materialize in the background,
+        # overlapped with the next wave's dispatch+fetch+parse and swapped
+        # in at the fence before the admission/vocab/fold chains need them.
         from concurrent.futures import ThreadPoolExecutor
 
-        # url_ids/vocab were materialized in their own steps this wave
-        names = [n for n in _HOT_TABLES if n not in ("url_ids", "vocab")]
+        self._ckpt_fence()  # safety: never double-materialize
+        eager = ("frontier", "net_edges")
         with self._timer("ckpt_hot"):
-            with ThreadPoolExecutor(max_workers=len(names)) as ex:
+            with ThreadPoolExecutor(max_workers=len(eager)) as ex:
                 futs = {
                     n: ex.submit(
                         lambda df: df.localCheckpoint(),
                         self._t(n).coalesce(self._nparts),
                     )
-                    for n in names
+                    for n in eager
                 }
                 for n, f in futs.items():
                     self._set(n, f.result())
-        # cold (export-feed) tables: truncate lineage every 4 waves only
+        snap = {
+            n: self._t(n).coalesce(self._nparts)
+            for n in _HOT_TABLES
+            if n not in eager
+        }
+        # cold (export-feed) tables: lineage-truncate every 4 waves, also
+        # off the critical path
         if self.wave % 4 == 0:
-            for name in _COLD_TABLES:
-                self._set(name, self._t(name).localCheckpoint())
+            for n in _COLD_TABLES:
+                snap[n] = self._t(n)
+        self._ckpt_fut = self._ckpt_pool.submit(
+            lambda: {n: df.localCheckpoint() for n, df in snap.items()}
+        )
         if not force and (self.wave % self.checkpoint_every) != 0:
             return
+        import json as _json
+
         state = {
             "phase": self.phase,
             "ns": self.ns,
@@ -1153,6 +1229,8 @@ class SparkCrawler:
             # stopped runs abandon the pipelined batch (links stay
             # eliminated — documented); otherwise persist it for resume
             "inflight": [] if self.stopped else self._inflight,
+            "sampler_nseed": self._sampler_nseed,
+            "sampler_dumps": self._sampler_dumps,
             "metrics": {
                 "frontier_adds_total": self.next_id - 1,
                 "target_size": self.sense.size if self.sense else 0,
@@ -1171,10 +1249,10 @@ class SparkCrawler:
                 continue
             modes[name] = "delta"
             dfs = self._pending_deltas.get(name, [])
+            # no pended deltas → written=False in the manifest (no parquet
+            # job at all), instead of writing a schema-only empty file
             tables[name] = (
-                reduce(lambda a, b: a.unionByName(b), dfs)
-                if dfs
-                else self._t(name).limit(0)  # schema-bearing empty delta
+                reduce(lambda a, b: a.unionByName(b), dfs) if dfs else None
             )
         deletes = {
             name: [
@@ -1182,9 +1260,25 @@ class SparkCrawler:
             ]
             for name, per_key in self._pending_deletes.items()
         }
-        self.catalog.commit(self.wave, tables, state, modes=modes, deletes=deletes)
+        # asynchronous durable commit: the parquet writes + manifest land on
+        # a single background worker while the next wave computes. Ordering
+        # and atomicity are preserved — the NEXT commit joins this one
+        # before starting, and the manifest is still written last. The
+        # state dict is deep-copied (json round-trip) because fifo/hosts
+        # keep mutating on the driver; the captured delta plans are frozen
+        # lazy frames over localCheckpointed parents.
+        if self._commit_fut is not None:
+            self._commit_fut.result()
+        state = _json.loads(_json.dumps(state))
+        self._commit_fut = self._commit_pool.submit(
+            self.catalog.commit, self.wave, tables, state,
+            modes=modes, deletes=deletes,
+        )
         self._pending_deltas.clear()
         self._pending_deletes.clear()
+        if force:  # finalize: block until durable
+            self._commit_fut.result()
+            self._commit_fut = None
 
     # ------------------------------------------------------------------
     # main loop
@@ -1213,7 +1307,7 @@ class SparkCrawler:
                     next_batch = self._dispatch()
                     self._inflight = next_batch or []
                     if next_batch:
-                        fut = pool.submit(self._fetch_parse, next_batch)
+                        fut = pool.submit(self._prefetch, next_batch)
                 self._accepts_wave: list[str] = []
                 self._run_wave(batch, parsed)
                 if self._inflight == batch:
@@ -1263,6 +1357,27 @@ class SparkCrawler:
             acc_delta = self.spark.createDataFrame(rows, "ord long, url string")
             self._pend("accepted", acc_delta)
             self._set("accepted", self._t("accepted").unionByName(acc_delta))
+
+    def _dump_sample(self):
+        """S9 sample dump: the reference's incremental link-context matrix
+        (links ascending by priority × features with global count > 10,
+        SampleHierarchy2Priority.scala:66-106) over the CURRENT frontier
+        priorities and linkctx feed, written as samples/sample.NNNN."""
+        from webcrawler_spark.plans.tune import render_sample, sampler_pivot
+
+        prios = self._t("frontier").select(
+            F.col("url").alias("link"), "priority"
+        )
+        ctx = self._t("linkctx").select("link", "feature", "weight")
+        piv = sampler_pivot(ctx, prios, min_count=10)
+        text = render_sample(piv)
+        outdir = os.path.join(self.catalog.root, "samples")
+        os.makedirs(outdir, exist_ok=True)
+        self._sampler_dumps += 1
+        with open(
+            os.path.join(outdir, f"sample.{self._sampler_dumps:04d}"), "w"
+        ) as f:
+            f.write(text)
 
     def export_snapshot(self, outdir: str):
         """S5/S6/S7 snapshot dump (the reference's every-500-pages GML dump,
@@ -1352,13 +1467,16 @@ class SparkCrawler:
         self.pfactor = SparseVector(st["pfactor"], cfg.accuracy)
         self.sense = SemanticEstimator.from_dict(st["sense"]) if st["sense"] else None
         self._inflight = [(int(i), u) for i, u in st.get("inflight") or []]
+        self._sampler_nseed = st.get("sampler_nseed", 0)
+        self._sampler_dumps = st.get("sampler_dumps", 0)
         self.result.processed = st["processed"]
         for name in _STATE_TABLES:
             try:
                 self._set(name, self.catalog.load_table(w, name))
             except FileNotFoundError:
-                if name != "dispatch_log":  # absent only in legacy chains
-                    raise
+                # a table with no written delta anywhere in the chain (e.g.
+                # no page was ever accepted) keeps its initial empty frame
+                pass
         if "dispatched" in st:  # legacy manifests carried the full lists
             self.result.dispatched = list(st["dispatched"])
             self.result.accepted = list(st["accepted"])

@@ -98,9 +98,13 @@ def learn_epoch(
     """L3 one epoch (learnstage :29-39): returns (new net, error count)."""
     spark = pairs.sparkSession
     net_b = F.broadcast(_net_df(spark, net))
-    feats = pairs.withColumn("pid", F.monotonically_increasing_id()).withColumn(
-        "feat", F.array_intersect("w1", "w2")
-    )
+    # pair ids must be STABLE across the two jobs below (score + delta):
+    # tune_vocabulary materializes them once; monotonically_increasing_id
+    # on an unmaterialized frame would silently misalign if recomputed
+    feats = pairs
+    if "pid" not in feats.columns:
+        feats = feats.withColumn("pid", F.monotonically_increasing_id())
+    feats = feats.withColumn("feat", F.array_intersect("w1", "w2"))
     scored = (
         feats.select("pid", "haslink", F.explode_outer("feat").alias("word"))
         .join(net_b, "word", "left")
@@ -160,6 +164,114 @@ def tune_vocabulary(
             best_net, best_err = net, err
     train.unpersist()
     return best_net, errs
+
+
+# ---------------------------------------------------------------------------
+# G4 — the `sample.main` Octave pair-matrix export
+# (TuneVocabulary.scala:165-230)
+# ---------------------------------------------------------------------------
+
+
+def octave_sample_export(
+    pairs: DataFrame,
+    max_words: int = 40_000,
+    seed: int = 42,
+    cap: int = 500_000,
+) -> dict[str, str]:
+    """The reference's third Octave export: a ≤40k-word index (seeded
+    shuffle — the reference's Random.shuffle at :182 is unseeded; we pin a
+    hash order for reproducibility), density-filtered pair samples
+    (count(v1) > 10 ∧ count(v2) > 10 ∧ count(v1∩v2) > 5, :197-199), the X
+    sparse pair-feature matrix as ``i j 1`` triplets sorted by (column,
+    row) (:216-218), and the Y link-label vector (:228-230). Column ids
+    are 0-based exactly as the reference writes them (index.get values go
+    out unshifted — bug-compatible). Returns {"index.dat", "sample.dat"}.
+
+    Spark side: distributed word-universe + per-pair feature pass
+    (mapInPandas over the broadcast index); only filtered samples — capped
+    at the reference's own 500k sample bound (:100) — reach the driver
+    render."""
+    import pandas as pd
+
+    spark = pairs.sparkSession
+    words = pairs.select(
+        F.explode(F.array_union("w1", "w2")).alias("word")
+    ).distinct()
+    indexed = (
+        words.orderBy(F.xxhash64("word", F.lit(seed)), "word")
+        .limit(max_words)
+        .collect()
+    )
+    widx = {r["word"]: i for i, r in enumerate(indexed)}
+    bc = spark.sparkContext.broadcast(widx)
+
+    def feats(batches):
+        m = bc.value
+        for pdf in batches:
+            out = {"ok": [], "islink": [], "inter": [], "keep": []}
+            for w1, w2, hl, ok in zip(
+                pdf["w1"], pdf["w2"], pdf["haslink"], pdf["ok"]
+            ):
+                s1 = {w for w in (w1 if w1 is not None else []) if w in m}
+                s2 = {w for w in (w2 if w2 is not None else []) if w in m}
+                both = s1 & s2
+                out["ok"].append(int(ok))
+                out["islink"].append(bool(hl))
+                out["inter"].append(sorted(m[w] for w in both))
+                out["keep"].append(
+                    len(s1) > 10 and len(s2) > 10 and len(both) > 5
+                )
+            if out["ok"]:
+                yield pd.DataFrame(out)
+
+    rows = (
+        pairs.withColumn("ok", F.xxhash64("w1", "w2", "haslink", F.lit(seed)))
+        .mapInPandas(feats, "ok long, islink boolean, inter array<int>, keep boolean")
+        .filter("keep")
+        .orderBy("ok")
+        .limit(cap)
+        .collect()
+    )
+    # X: (row, col) with 1-based rows in sample order (:204 n+1)
+    triplets = [(n + 1, j) for n, r in enumerate(rows) for j in r["inter"]]
+    triplets.sort(key=lambda t: (t[1], t[0]))  # sortBy (col, row), :216
+    index_lines = [
+        f"{i:04d} : {w}" for w, i in sorted(widx.items(), key=lambda kv: kv[1])
+    ]
+    head = (
+        "\n"
+        "# Created by Octave 3.2.4, Sun Feb 16 14:54:23 2014 MSK "
+        "<cray@cray-To-be-filled-by-O-E-M>\n"
+        "# name: sample\n"
+        "# type: struct\n"
+        "# length: 2\n"
+        "# name: X\n"
+        "# type: cell\n"
+        "# rows: 1\n"
+        "# columns: 1\n"
+        "# name: <cell-element>\n"
+        "# type: sparse matrix\n"
+        f"# nnz: {len(triplets)}\n"
+        f"# rows: {len(rows)}\n"
+        f"# columns: {len(widx)}\n"
+    )
+    body = "".join(f"{i} {j} 1\n" for i, j in triplets)
+    ytail = (
+        "\n"
+        "# name: Y\n"
+        "# type: cell\n"
+        "# rows: 1\n"
+        "# columns: 1\n"
+        "# name: <cell-element>\n"
+        "# type: matrix\n"
+        f"# rows: {len(rows)}\n"
+        "# columns: 1\n"
+    )
+    ybody = "".join("1\n" if r["islink"] else "0\n" for r in rows)
+    return {
+        "index.dat": "\n".join(index_lines),
+        "sample.dat": head + body + ytail + ybody,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -1009,15 +1009,21 @@ def q_sampler_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: treat a binary column as opaque media, run an
-    Arrow-batched mapInPandas 'decode' producing typed metadata. The decode
-    itself is a deterministic stub (no image libs in this container); the
-    Spark-side schema/batching/partitioning is real."""
+    """Multimodal decode with a REAL binary-container parser: each doc
+    gets an authentic image header (even doc_id → PNG signature + IHDR +
+    CRC; odd → JPEG SOI/APP0/SOF0) whose dimensions derive in closed form
+    from (length(text), doc_id) — so the Arrow-batched decode pass must
+    genuinely parse the PNG/JPEG structure it is handed, while DuckDB
+    checks the full round trip from the same closed form. A production
+    deployment swaps kernels.media.parse_image for PIL/ffmpeg behind the
+    identical (bytes) -> metadata contract."""
     import pandas as pd
     from pyspark.sql import types as T
 
+    from webcrawler_spark.kernels.media import make_jpeg, make_png, parse_image
+
     docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("blob")
+        "doc_id", F.length("text").alias("n_chars")
     )
 
     out_schema = T.StructType(
@@ -1032,23 +1038,29 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            n = pdf["blob"].map(len)
-            # STUB decode: deterministic fake dimensions from byte content.
-            # A real deployment plugs PIL/ffmpeg here; the batch shape,
-            # schema and partitioning are what this operator pins down.
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 640 + 1
+                h = (int(doc_id) * 7) % 480 + 1
+                blob = make_png(w, h) if doc_id % 2 == 0 else make_jpeg(w, h)
+                meta = parse_image(blob)  # the real structural parse
+                fmt, pw, ph = meta if meta else (None, None, None)
+                rows.append((int(doc_id), len(blob), pw, ph, fmt))
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n.astype("int64"),
-                    "width": (n % 640).astype("int32"),
-                    "height": (n % 480).astype("int32"),
-                    "format": pdf["blob"].map(
-                        lambda b: "png" if len(b) % 2 == 0 else "jpeg"
-                    ),
-                }
+                rows, columns=["doc_id", "n_bytes", "width", "height", "format"]
             )
 
     return docs.mapInPandas(decode, out_schema)
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END AS n_bytes,
+       CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+       CAST((doc_id * 7) % 480 + 1 AS INTEGER) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1094,7 +1106,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
-    "multimodal_decode": (q_multimodal_decode, None),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "tune_vocabulary": (q_tune_vocabulary, None),
     "sampler_pivot": (q_sampler_pivot, None),
 }

@@ -82,16 +82,27 @@ class SnapshotCatalog:
             shutil.rmtree(tmp)
         os.makedirs(tmp)
         table_meta = {}
+        # per-table writes are independent Spark jobs — run them
+        # concurrently (each job's fixed scheduling latency overlaps; the
+        # commit is still atomic because the manifest lands last)
+        from concurrent.futures import ThreadPoolExecutor
+
+        to_write = {n: df for n, df in tables.items() if df is not None}
+        if to_write:
+            with ThreadPoolExecutor(max_workers=min(8, len(to_write))) as ex:
+                futs = {
+                    name: ex.submit(
+                        df.write.mode("overwrite").parquet,
+                        os.path.join(tmp, name),
+                    )
+                    for name, df in to_write.items()
+                }
+                for f in futs.values():
+                    f.result()
         for name, df in tables.items():
-            mode = modes.get(name, "full")
-            if df is not None:
-                df.write.mode("overwrite").parquet(os.path.join(tmp, name))
-                written = True
-            else:
-                written = False  # empty delta: no files
             table_meta[name] = {
-                "mode": mode,
-                "written": written,
+                "mode": modes.get(name, "full"),
+                "written": df is not None,
                 "deletes": deletes.get(name),
             }
         manifest = {
@@ -185,7 +196,12 @@ class SnapshotCatalog:
         if m is None:
             raise FileNotFoundError("nothing to compact")
         w = m["wave"]
-        tables = {name: self.load_table(w, name) for name in m["tables"]}
+        tables = {}
+        for name in m["tables"]:
+            try:
+                tables[name] = self.load_table(w, name)
+            except FileNotFoundError:
+                tables[name] = None  # never-written (empty) delta chain
         # rewrite in place as a full commit (same wave id, fresh manifest)
         return self.commit(w, tables, m["state"], modes={}, deletes={})
 

@@ -44,6 +44,10 @@ class SiteSpec:
     #: fraction of pages under a robots-disallowed /private prefix
     private_frac: float = 0.05
     lang_xx_frac: float = 0.05
+    #: fraction of pages served with a non-HTML Content-Type (pdf/zip/…) —
+    #: the MIME admission case (WebGet.scala:46). Own RNG stream so 0.0
+    #: keeps every existing page byte-identical.
+    nonhtml_frac: float = 0.0
     #: extra body paragraphs appended per page (0 = classic output; >0
     #: approximates real Common-Crawl page weight for compute-bound
     #: benchmarking). Uses its own RNG stream so pages with heavy=0 are
@@ -136,12 +140,21 @@ def gen_page(spec: SiteSpec, i: int) -> dict:
 
     lang = "xx" if rng.random() < spec.lang_xx_frac else "en"
     ts = EPOCH + timedelta(seconds=zlib.crc32(url.encode()) % 10_000_000)
+    # separate RNG stream: nonhtml_frac=0.0 leaves all other draws intact
+    crng = random.Random(spec.seed * 9_176_777 + i * 13 + 3)
+    if spec.nonhtml_frac > 0 and crng.random() < spec.nonhtml_frac and i > 4:
+        content_type = crng.choice(
+            ["application/pdf", "image/png", "text/plain; charset=utf-8"]
+        )
+    else:
+        content_type = "text/html; charset=utf-8" if crng.random() < 0.5 else "text/html"
     return {
         "url": url,
         "warc_ts": ts,
         "html": html,
         "text": extract_text(html),
         "lang": lang,
+        "content_type": content_type,
         "_topic": topic,
         "_targets": targets,
         "_host": host,
