@@ -172,8 +172,16 @@ def main():
         # back-to-back reps), so run REPS per level and keep the best rep
         # (min wall) — the only robust estimator of machine capacity here.
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
+        # the N vs 4N pair: default local[8] -> local[32]; override with
+        # SPARK_GRAFT_SCALING_LEVELS="2,8" (or "1,4") — lower levels
+        # amortize the constant per-stage driver latency the way a real
+        # cluster's 10^6-URL waves do (see BASELINE.md)
+        lo, hi = (
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
+        )
         results = {}
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             spark = make_spark(cpus, f"bench_scaling_{cpus}")
             spark.sparkContext.setLogLevel("ERROR")
             runs = []
@@ -184,15 +192,15 @@ def main():
             best = min(runs, key=lambda r: r["crawl_sec"])
             best["rep_crawl_secs"] = [r["crawl_sec"] for r in runs]
             results[cpus] = best
-        eff = (results[32]["urls_per_sec"] / results[8]["urls_per_sec"]) / 4.0
+        eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / (hi / lo)
         print(
             json.dumps(
                 {
-                    "metric": "scaling efficiency local[8] -> local[32]",
+                    "metric": f"scaling efficiency local[{lo}] -> local[{hi}]",
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    "local8": results[8],
-                    "local32": results[32],
+                    f"local{lo}": results[lo],
+                    f"local{hi}": results[hi],
                 }
             )
         )
