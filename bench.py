@@ -142,17 +142,24 @@ def crawl_bench(spark, workdir: str) -> dict:
     }
 
 
-def query_bench(spark, sf_dir: str) -> dict:
+def query_bench(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Time each headline query twice: cold (first execution in this
+    session — includes codegen/Janino compile and any one-shot
+    materialization) and warm (steady-state plan cost, the number that
+    matters when the operator runs for hours at 100 TB). Both are
+    recorded so a regression is attributable to compile-vs-compute."""
     from webcrawler_spark.queries import REGISTRY
 
-    out = {}
+    cold, warm = {}, {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # full execution, no result transfer cost
-        out[name] = round(time.time() - t0, 3)
-    return out
+        fn(spark, sf_dir).count()  # full execution, no result transfer cost
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        warm[name] = round(time.time() - t0, 3)
+    return cold, warm
 
 
 def run_once(cpus: int) -> dict:
@@ -160,9 +167,9 @@ def run_once(cpus: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     with tempfile.TemporaryDirectory() as td:
         crawl = crawl_bench(spark, td)
-    queries = query_bench(spark, SF_DIR)
+    cold, warm = query_bench(spark, SF_DIR)
     spark.stop()
-    return {"crawl": crawl, "queries": queries}
+    return {"crawl": crawl, "queries": cold, "queries_warm": warm}
 
 
 def main():
@@ -212,10 +219,12 @@ def main():
         "metric": "frontier-expansion throughput (URLs scheduled+fetched/sec)",
         "value": res["crawl"]["urls_per_sec"],
         "unit": "urls/sec",
-        "queries": res["queries"],
+        "queries": res["queries"],  # cold: first execution (comparable to r1/r2)
+        "queries_warm": res["queries_warm"],  # steady-state plan cost
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl": res["crawl"],
         "total_query_sec": round(sum(res["queries"].values()), 2),
+        "total_query_warm_sec": round(sum(res["queries_warm"].values()), 2),
         "cpus": CPUS,
     }
     print(json.dumps(out))

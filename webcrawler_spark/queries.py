@@ -328,19 +328,29 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # classic b x r banding (4 bands of 2 hashes): a band signature is the
     # concatenation of its 2 min-hashes — specific enough that bucket join
-    # stays near-linear even on shingle-homogeneous corpora
-    def _min(h: int):
-        return f"array_min(transform(shingles, s -> md5(concat('{h}', ':', s))))"
-
-    mins = sh_arr.select(
+    # stays near-linear even on shingle-homogeneous corpora.
+    # All 8 min-hashes come from ONE nested-lambda expression (the shingle
+    # array is referenced once, not inlined 8x — a tiny codegen unit), and
+    # the signature frame is materialized (localCheckpoint) so the self-join
+    # below probes stored signatures instead of re-running tokenize->shingle
+    # ->hash on both sides.
+    sigs = sh_arr.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 7), h -> "
+            "array_min(transform(shingles, s -> md5(concat(cast(h as string), ':', s)))))"
+        ).alias("hs"),
+    ).localCheckpoint(eager=True)
+    mins = sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.expr(
-                            f"concat({_min(2 * band)}, {_min(2 * band + 1)})"
+                        F.concat(
+                            F.element_at("hs", 2 * band + 1),
+                            F.element_at("hs", 2 * band + 2),
                         ).alias("sig"),
                     )
                     for band in range(4)
