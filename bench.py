@@ -115,6 +115,10 @@ def crawl_bench(spark, workdir: str) -> dict:
         per_host_budget=PER_HOST_BUDGET,
         host_salt_partitions=16,  # exercise the salted skew path
         factor_top_m=256,
+        # the C3 graph-snapshot cadence is a driver-side text-export
+        # (GML/statistics renderer) — real surface, but not part of the
+        # frontier-throughput metric; off for the bench
+        dump_every=0,
         fold_mode=FOLD_MODE,
         pipeline_waves=PIPELINE,
     )

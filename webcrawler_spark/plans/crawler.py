@@ -53,6 +53,7 @@ with servers=B.
 
 from __future__ import annotations
 
+import math
 import os
 import random
 import time
@@ -83,12 +84,78 @@ _FRONTIER_SCHEMA = T.StructType(
 
 _STATE_TABLES = (
     "frontier", "seen", "url_ids", "vocab", "page_terms", "net_edges",
-    "corpus", "accepted", "gml_log", "linkctx", "dispatch_log",
+    "corpus", "accepted", "gml_log", "linkctx", "dispatch_log", "avg_sum",
 )
 
 #: tables read by the next wave's joins — eagerly materialized every wave
 #: (lineage truncation keeps wave cost O(state scan), not O(history))
 _HOT_TABLES = ("frontier", "seen", "url_ids", "vocab", "page_terms", "net_edges")
+
+
+class _FrozenAvg:
+    """Driver-side view of the distributed running average, frozen at wave
+    start (bounded fold, VERDICT r2 item 3). Holds only a *restricted*
+    slice of Â₀ — its weights on a bounded support S (central ∪ pfactor ∪
+    target-cluster vocab ∪ candidate vocab) — plus two scalars from the
+    distributed table: ‖Σv‖² and ‖Â₀‖² (post-accuracy-prune). Every dot
+    the in-wave loop takes against the average has its partner's support
+    inside S, so the restricted dots are exact; norms use the scalars for
+    the unrestricted mass. Driver transfer: O(|S|), never O(wave vocab)."""
+
+    __slots__ = ("a", "sq_pruned", "accuracy")
+
+    def __init__(self, a_restricted: dict, sq_pruned: float, accuracy: float):
+        self.a = a_restricted  # word -> Â₀ weight (|w| >= accuracy)
+        self.sq_pruned = sq_pruned  # Σ Â₀² over ALL pruned entries
+        self.accuracy = accuracy
+
+    def factor_view(self, t: SparseVector) -> "_FactorView":
+        return _FactorView(self, t)
+
+
+class _FactorView:
+    """fct = t − Â₀ evaluated lazily on the frozen restricted average.
+    Requires supp(t) ⊆ S (the target cluster only grows by candidate
+    vectors, whose vocab is folded into S before the wave loop)."""
+
+    __slots__ = ("fa", "t", "_norm")
+
+    def __init__(self, fa: _FrozenAvg, t: SparseVector):
+        self.fa = fa
+        self.t = t
+        self._norm = None
+
+    def _entry(self, w) -> float:
+        # SparseVector.__sub__ prunes |t_w − â_w| < accuracy
+        e = self.t.d.get(w, 0.0) - self.fa.a.get(w, 0.0)
+        return e if abs(e) >= self.fa.accuracy else 0.0
+
+    def dot(self, v: SparseVector) -> float:
+        return sum(x * self._entry(w) for w, x in v.d.items())
+
+    @property
+    def norm(self) -> float:
+        if self._norm is None:
+            support = set(self.t.d) | set(self.fa.a)
+            s = sum(self._entry(w) ** 2 for w in support)
+            # entries outside S: t_w = 0, so fct_w = −â_w (same accuracy
+            # cut as sq_pruned) — their mass is the scalar minus S's share
+            s += self.fa.sq_pruned - sum(x * x for x in self.fa.a.values())
+            self._norm = math.sqrt(max(s, 0.0))
+        return self._norm
+
+    def normal_dot(self, v: SparseVector) -> float:
+        """prune(fct/‖fct‖)·v — the drift check's exact semantics."""
+        n = self.norm
+        if n == 0.0:
+            return 0.0
+        acc = self.fa.accuracy
+        tot = 0.0
+        for w, x in v.d.items():
+            e = self._entry(w) / n
+            if abs(e) >= acc:
+                tot += x * e
+        return tot
 #: append-only export feeds — materialized only every K waves / at commit
 _COLD_TABLES = ("corpus", "accepted", "gml_log", "linkctx", "dispatch_log")
 
@@ -256,7 +323,22 @@ class SparkCrawler:
             "linkctx": s.createDataFrame(
                 [], "ord long, url string, link string, feature string, weight double"
             ),
+            # distributed running average Σ v.normal (bounded fold only;
+            # the exact fold keeps the reference's driver-side
+            # AverageVector). word -> running sum of normalized tf weights
+            "avg_sum": s.createDataFrame([], "word string, val double"),
         }
+        #: scalars of the distributed average, refreshed by the background
+        #: hot-table pool after each wave's merge: ‖Σv‖² and ‖Â₀‖² (the
+        #: accuracy-pruned normalized vector) — all the driver ever needs
+        #: besides the bounded restricted slice
+        self._avg_norm_sqr = 0.0
+        self._avg_pruned_sqr = 0.0
+        #: bounded mode rides avg_sum through the per-wave hot pool; exact
+        #: mode leaves it empty and skips the materialization
+        self._hot_tables = (
+            _HOT_TABLES + ("avg_sum",) if cfg.fold_mode == "bounded" else _HOT_TABLES
+        )
         #: per-table delta DataFrames + delete keys accumulated since the
         #: last durable commit — commits write O(wave), not O(state)
         self._pending_deltas: dict[str, list[DataFrame]] = defaultdict(list)
@@ -276,6 +358,11 @@ class SparkCrawler:
         #: matrix is dumped each time it crosses a cfg.sample_every multiple
         self._sampler_nseed = 0
         self._sampler_dumps = 0
+        #: C3 in-loop snapshot cadence (EvaluatePriorityMatrix.scala:291-293
+        #: dumps the estimator to GML when ns % 500 == 0): the wave engine
+        #: dumps at the first wave boundary after ns crosses each
+        #: cfg.dump_every multiple (identical to the reference at budget=1)
+        self._dump_marks = 0
         #: durable commits run on this single worker OFF the wave critical
         #: path; the next commit (or finalize) joins the previous first, so
         #: manifests still land strictly in wave order, atomically last
@@ -558,6 +645,32 @@ class SparkCrawler:
             self.sense = SemanticEstimator.create(
                 self.central_acc.normal, cfg.targets, cfg.cluster_policy
             )
+            if cfg.fold_mode == "bounded":
+                # seed the distributed running average with the central
+                # vector (SemanticEstimator.create's AverageVector(central));
+                # the seed vocabulary is bounded, so its scalars are driver-
+                # computed — from here on only the background pool updates them
+                central = self.central_acc.normal
+                rows = list(central.d.items())
+                seed_df = (
+                    spark.createDataFrame(rows, "word string, val double")
+                    if rows
+                    else spark.createDataFrame([], "word string, val double")
+                )
+                self._pend("avg_sum", seed_df)
+                self._set("avg_sum", seed_df)
+                self._avg_norm_sqr = central.sqr
+                n = math.sqrt(self._avg_norm_sqr)
+                self._avg_pruned_sqr = (
+                    sum(
+                        x * x
+                        for x in central.d.values()
+                        if abs(x) >= cfg.accuracy * n
+                    )
+                    / self._avg_norm_sqr
+                    if n > 0.0
+                    else 0.0
+                )
             self.phase = "targeting"
             return
 
@@ -847,20 +960,56 @@ class SparkCrawler:
 
     def _fold_summaries(self, parsed, dr_lt: int | None = None):
         """The bounded fold's ONE distributed pass (mapInPandas over the
-        checkpointed parse output). Emits three row kinds per partition:
-        kind 0 — per-page scalars (dr, url, host, pri = vn·T̂₀, score0 =
-        v·T̂₀ − v·Â₀); kind 1 — full term arrays for the partition-local
-        candidate set (lowest (targets+1) dispatch ranks ∪ top
-        margin·(targets+1) by pri); kind 2 — the partition's Σ v.normal
-        word sums. Driver transfer is O(budget + candidates·pagevocab +
-        wave vocab) instead of O(wave · page vocab)."""
+        checkpointed parse output, with the page x average dots fused into
+        the same plan). Emits one scalar row per page (dr, url, host,
+        pri = vn-dot-T0, score0 = v-dot-T0 - v-dot-A0) plus full term
+        arrays ONLY for the partition-local candidate set (lowest
+        (targets+1) dispatch ranks UNION top margin*(targets+1) by pri).
+        v-dot-A0 is a distributed word-join against the avg_sum table, so
+        the running average is never shipped whole in either direction
+        (VERDICT r2 item 3). Driver transfer is
+        O(budget + candidates * pagevocab) — never O(wave vocab)."""
         cfg = self.cfg
         t0n = dict(self.sense.target.normal.items())
-        a0n = dict(self.sense.average.normal.items())
         acc_cut = cfg.accuracy
         n_cand = (cfg.targets + 1) * max(1, cfg.fold_margin)
         n_first = cfg.targets + 1
-        sigma_mode = cfg.cluster_policy == "cluster"
+
+        # per-page v-dot-A0: explode -> prune the (corpus-vocab) average to
+        # the wave's words (semi-join) -> word join -> per-page sum. A0's
+        # accuracy prune (|val| >= acc * ||sum||) is applied before the
+        # dot, exactly as SparseVector.normal does in the exact path. The
+        # wave-sized dot frame is broadcast back into `parsed`, so the big
+        # side keeps its partitioning (no shuffle before mapInPandas).
+        n_avg = math.sqrt(self._avg_norm_sqr)
+        base = parsed.select("dr", "url", "host", "terms")
+        if dr_lt is not None:
+            base = base.filter(F.col("dr") < dr_lt)
+        if n_avg > 0.0:
+            pt = (
+                base.select("dr", F.explode("terms").alias("e"))
+                .select(
+                    "dr", F.col("e.word").alias("word"), F.col("e.tf").alias("tf")
+                )
+                .filter(F.abs("tf") >= acc_cut)
+            )
+            apr = (
+                self._t("avg_sum")
+                .join(F.broadcast(pt.select("word").distinct()), "word", "left_semi")
+                .filter(F.abs(F.col("val")) >= F.lit(acc_cut * n_avg))
+            )
+            dots = (
+                pt.join(apr, "word")
+                .groupBy("dr")
+                .agg(
+                    (F.sum(F.col("tf") * F.col("val")) / F.lit(n_avg)).alias("dot_a")
+                )
+            )
+            summ_in = base.join(F.broadcast(dots), "dr", "left").withColumn(
+                "dot_a", F.coalesce("dot_a", F.lit(0.0))
+            )
+        else:
+            summ_in = base.withColumn("dot_a", F.lit(0.0))
 
         def summarize(batches):
             import pandas as pd
@@ -868,15 +1017,11 @@ class SparkCrawler:
             from webcrawler_spark.kernels.vectors import SparseVector as SV
 
             t0 = SV(t0n, acc_cut)
-            a0 = SV(a0n, acc_cut)
             pages = []  # (dr, url, host, pri, score0, terms)
-            vn_sum: dict[str, float] = {}
             for pdf in batches:
-                for dr, url, host, terms in zip(
-                    pdf["dr"], pdf["url"], pdf["host"], pdf["terms"]
+                for dr, url, host, terms, dot_a in zip(
+                    pdf["dr"], pdf["url"], pdf["host"], pdf["terms"], pdf["dot_a"]
                 ):
-                    if dr_lt is not None and dr >= dr_lt:
-                        continue
                     tlist = (
                         [
                             {"word": str(e["word"]), "tf": float(e["tf"])}
@@ -886,14 +1031,11 @@ class SparkCrawler:
                         else []
                     )
                     v = SV([(e["word"], e["tf"]) for e in tlist], acc_cut)
-                    vn = v.normal
-                    pri = vn.dot(t0)
-                    score0 = v.dot(t0) - v.dot(a0)
+                    pri = v.normal.dot(t0)
+                    score0 = v.dot(t0) - float(dot_a)
                     pages.append((int(dr), url, host, pri, score0, tlist))
-                    for k, val in vn.items():
-                        vn_sum[k] = vn_sum.get(k, 0.0) + val
             # candidate retention: first n_first by dispatch rank (unfilled
-            # cluster slots accept unconditionally) ∪ top n_cand by pri
+            # cluster slots accept unconditionally) UNION top n_cand by pri
             # (sigma policy ranks by distance — monotone decreasing in pri,
             # so the same top-pri set covers the smallest distances)
             by_dr = sorted(pages, key=lambda p: p[0])[:n_first]
@@ -901,7 +1043,7 @@ class SparkCrawler:
             keep = {p[0] for p in by_dr} | {p[0] for p in by_pri}
             out = {
                 "kind": [], "dr": [], "url": [], "host": [], "pri": [],
-                "score0": [], "terms": [], "word": [], "val": [],
+                "score0": [], "terms": [],
             }
             for dr, url, host, pri, score0, terms in pages:
                 out["kind"].append(0)
@@ -911,18 +1053,6 @@ class SparkCrawler:
                 out["pri"].append(pri)
                 out["score0"].append(score0)
                 out["terms"].append(terms if dr in keep else None)
-                out["word"].append(None)
-                out["val"].append(None)
-            for w, val in vn_sum.items():
-                out["kind"].append(2)
-                out["dr"].append(-1)
-                out["url"].append(None)
-                out["host"].append(None)
-                out["pri"].append(None)
-                out["score0"].append(None)
-                out["terms"].append(None)
-                out["word"].append(w)
-                out["val"].append(val)
             if out["kind"]:  # empty partitions yield nothing (an empty
                 # DataFrame infers float64 columns, which Arrow rejects
                 # for the list<struct> terms field)
@@ -930,24 +1060,83 @@ class SparkCrawler:
 
         schema = (
             "kind int, dr long, url string, host string, pri double, "
-            "score0 double, terms array<struct<word:string,tf:double>>, "
-            "word string, val double"
+            "score0 double, terms array<struct<word:string,tf:double>>"
         )
-        return parsed.select("dr", "url", "host", "terms").mapInPandas(
-            summarize, schema
-        ).collect()
+        return summ_in.mapInPandas(summarize, schema).collect()
+
+    def _avg_restricted(self, support: set) -> _FrozenAvg:
+        """Collect the running average's weights on a bounded support set
+        (one broadcast semi-join) — the only slice of A0 the in-wave loop
+        ever dots against. O(|support|) transfer."""
+        acc = self.cfg.accuracy
+        n = math.sqrt(self._avg_norm_sqr)
+        if n == 0.0 or not support:
+            return _FrozenAvg({}, 0.0, acc)
+        sdf = F.broadcast(
+            self.spark.createDataFrame(
+                [(w,) for w in sorted(support)], "word string"
+            )
+        )
+        rows = (
+            self._t("avg_sum")
+            .join(sdf, "word", "left_semi")
+            .filter(F.abs(F.col("val")) >= F.lit(acc * n))
+            .collect()
+        )
+        return _FrozenAvg(
+            {r["word"]: r["val"] / n for r in rows}, self._avg_pruned_sqr, acc
+        )
+
+    def _avg_update(self, parsed):
+        """Running-average wave delta, fully distributed: per-page v.normal
+        weights -> groupBy(word).sum -> merged into the avg_sum state table
+        (pruned at accuracy, as the exact path's SparseVector adds are).
+        Nothing crosses the driver boundary; the background hot-table pool
+        materializes the merge and refreshes the two norm scalars."""
+        acc = self.cfg.accuracy
+        pt = (
+            parsed.select("dr", F.explode("terms").alias("e"))
+            .select("dr", F.col("e.word").alias("word"), F.col("e.tf").alias("tf"))
+            .filter(F.abs("tf") >= acc)
+        )
+        norms = pt.groupBy("dr").agg(
+            F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("pn")
+        )
+        vn = (
+            pt.join(F.broadcast(norms), "dr")
+            .select("word", (F.col("tf") / F.col("pn")).alias("wv"))
+            .filter(F.abs("wv") >= acc)
+        )
+        delta = (
+            vn.groupBy("word")
+            .agg(F.sum("wv").alias("val"))
+            .filter(F.abs(F.col("val")) >= acc)
+        )
+        self._pend("avg_sum", delta)
+        self._set(
+            "avg_sum",
+            self._t("avg_sum")
+            .unionByName(delta)
+            .groupBy("word")
+            .agg(F.sum("val").alias("val"))
+            .filter(F.abs(F.col("val")) >= acc),
+        )
 
     def _fold_bounded(self, parsed):
-        """The 10^10-scale wave fold (VERDICT r1 item 3): exact target-
-        cluster updates over a bounded candidate set, link scores frozen at
-        the wave-start factor (the documented servers=B approximation — at
-        budget=1 use fold_mode='exact', which is the oracle-parity path),
-        and the running average applied as one distributed Σ v.normal.
-        Acceptance is exact whenever every accepted page is inside the
-        candidate margin (first targets+1 ranks ∪ top margin·(targets+1)
-        by wave-start priority) — cluster admission requires priority above
-        the cluster minimum, so a page far outside the margin cannot enter
-        unless the cluster mean drifts across it mid-wave."""
+        """The 10^10-scale wave fold (VERDICT r1 item 3, r2 item 3): exact
+        target-cluster updates over a bounded candidate set, link scores
+        frozen at the wave-start factor (the documented servers=B
+        approximation — at budget=1 use fold_mode='exact', the oracle-
+        parity path), and the running average held as a DISTRIBUTED table:
+        per-page dots ride a word-join inside the summary pass, the wave
+        update is a distributed groupBy(word).sum, and the driver touches
+        only a bounded restricted slice (central, pfactor, target-cluster
+        + candidate vocab) plus two norm scalars. Acceptance is exact
+        whenever every accepted page is inside the candidate margin (first
+        targets+1 ranks UNION top margin*(targets+1) by wave-start
+        priority) — cluster admission requires priority above the cluster
+        minimum, so a page far outside the margin cannot enter unless the
+        cluster mean drifts across it mid-wave."""
         cfg = self.cfg
         with self._timer("fold_collect"):
             rows = self._fold_summaries(parsed)
@@ -960,7 +1149,20 @@ class SparkCrawler:
             if r["terms"] is not None
         }
         self.hosts_set.update(r["host"] for r in summ if r["host"])
-        a0n_vec = self.sense.average.normal
+        # frozen wave-start average, restricted to the bounded support the
+        # loop's dots can touch — every partner vector lives inside it
+        with self._timer("fold_avg_slice"):
+            frozen = self._avg_restricted(
+                set(self.sense.central.d)
+                | set(self.pfactor.d)
+                | set(self.sense.target.average.v.d)
+                | {w for v in cand_vecs.values() for w in v.d}
+            )
+        #: the recalc passes run after this wave's average merge, but
+        #: their factor semantics are wave-start (as the exact path's old-
+        #: factor rule) — snapshot the wave-start table for them
+        avg_t0 = self._t("avg_sum")
+        fv = frozen.factor_view(self.sense.target.normal)
         stop_dr = None
         recalc_pre = None
         recalc_post = None
@@ -978,41 +1180,39 @@ class SparkCrawler:
             if dr in cand_vecs:
                 vn = cand_vecs[dr].normal
                 new_target = self.sense.target.add(vn, lambda: acc.append(url))
+                if new_target is not self.sense.target:
+                    fv = frozen.factor_view(new_target.normal)
                 self.sense = SemanticEstimator(
                     central=self.sense.central,
                     target=new_target,
-                    average=self.sense.average,  # applied as a wave sum below
+                    average=self.sense.average,  # unused in bounded mode —
+                    # the distributed avg_sum table is authoritative
                 )
             # frozen-average factor for this page's state
-            fct = self.sense.target.normal - a0n_vec
             scores.append((dr, float(r["score0"])))
             if self.phase == "targeting":
-                if fct.dot(self.sense.central) > cfg.targeting:
-                    recalc_post = fct
+                if fv.dot(self.sense.central) > cfg.targeting:
+                    recalc_post = (
+                        "dist", self.sense.target.normal, False, frozen, avg_t0
+                    )
                     self.phase = "estimating"
             else:
-                if fct.normal.dot(self.pfactor) < cfg.prioriting:
-                    recalc_pre = fct.normal
+                if fv.normal_dot(self.pfactor) < cfg.prioriting:
+                    recalc_pre = (
+                        "dist", self.sense.target.normal, True, frozen, avg_t0
+                    )
             for a in acc:
                 self._accept(a)
         self.result.processed += processed
-        # running average: one distributed Σ v.normal (recomputed under the
-        # stop filter in the rare final-wave case)
-        if stop_dr is not None:
-            rows = self._fold_summaries(parsed, dr_lt=stop_dr)
-        vn_sum: dict[str, float] = {}
-        for r in rows:
-            if r["kind"] == 2:
-                vn_sum[r["word"]] = vn_sum.get(r["word"], 0.0) + r["val"]
-        self.sense = SemanticEstimator(
-            central=self.sense.central,
-            target=self.sense.target,
-            average=AverageVector(
-                self.sense.average.v + SparseVector(vn_sum, cfg.accuracy)
-            ),
-        )
+        # running average: one distributed wave delta (under the stop
+        # filter in the rare final-wave case); no driver transfer
+        with self._timer("fold_avg_update"):
+            self._avg_update(
+                parsed if stop_dr is None else parsed.filter(F.col("dr") < stop_dr)
+            )
         dr2url = {r["dr"]: r["url"] for r in summ}
         return scores, stop_dr, recalc_pre, recalc_post, dr2url
+
 
     def _vocab_chain(self, parsed):
         """First-seen word-id assignment (P5 dictionary; Gather-side, all
@@ -1109,8 +1309,11 @@ class SparkCrawler:
         self._pend("linkctx", linkctx_delta)
         self._set("linkctx", self._t("linkctx").unionByName(linkctx_delta))
 
-    def _calculate(self, factor: SparseVector):
+    def _calculate(self, factor):
         with self._timer("calculate"):
+            if isinstance(factor, tuple):  # bounded mode's distributed
+                # factor snapshot: ("dist", t, normalized, frozen_avg)
+                return self._calculate_distributed(*factor[1:])
             return self._calculate_inner(factor)
 
     def _calculate_inner(self, factor: SparseVector):
@@ -1129,9 +1332,96 @@ class SparkCrawler:
             if fn.d
             else self.spark.createDataFrame([], "word string, w double")
         )
-        factor_ids = F.broadcast(
-            self._t("vocab").join(factor_df, "word").select("word_id", "w")
+        self._calculate_apply(factor_df, broadcast_ids=True)
+        self.pfactor = factor
+
+    def _calculate_distributed(self, t: SparseVector, normalized: bool,
+                               frozen: _FrozenAvg, avg_df: DataFrame):
+        """A7's re-score in bounded mode: the factor (t − Â₀) is built as
+        a distributed frame over the avg_sum table — the full average is
+        never collected. Norms come from the frozen view's exact scalars.
+        pfactor keeps the factor_top_m slice of the factor argument (the
+        same truncation the scorer applies; bit-exact _calculate_inner
+        semantics when factor_top_m=0)."""
+        cfg = self.cfg
+        acc = cfg.accuracy
+        spark = self.spark
+        n_avg = math.sqrt(self._avg_norm_sqr)
+        t_rows = list(t.d.items())
+        t_df = (
+            spark.createDataFrame(t_rows, "word string, tw double")
+            if t_rows
+            else spark.createDataFrame([], "word string, tw double")
         )
+        if n_avg > 0.0:
+            f1 = (
+                avg_df
+                .filter(F.abs(F.col("val")) >= F.lit(acc * n_avg))
+                .select("word", (F.col("val") / F.lit(n_avg)).alias("aw"))
+                .join(F.broadcast(t_df), "word", "left")
+                .select(
+                    "word",
+                    (F.coalesce(F.col("tw"), F.lit(0.0)) - F.col("aw")).alias("f"),
+                )
+            )
+        else:
+            f1 = spark.createDataFrame([], "word string, f double")
+        # words of t outside the average's support are driver-known:
+        # supp(t) is inside the frozen view's restricted support
+        extra = [(w, x) for w, x in t.d.items() if w not in frozen.a]
+        f2 = (
+            spark.createDataFrame(extra, "word string, f double")
+            if extra
+            else spark.createDataFrame([], "word string, f double")
+        )
+        fct_df = f1.unionByName(f2).filter(F.abs(F.col("f")) >= acc)
+        fct_norm = frozen.factor_view(t).norm
+        if fct_norm == 0.0:
+            factor_df = spark.createDataFrame([], "word string, f double")
+            arg_norm = 0.0
+        elif normalized:
+            # drift path passed factor.normal — replicate the prune
+            factor_df = (
+                fct_df.select("word", (F.col("f") / F.lit(fct_norm)).alias("f"))
+                .filter(F.abs(F.col("f")) >= acc)
+                .localCheckpoint()
+            )
+            arg_norm = math.sqrt(
+                (factor_df.agg(F.sum(F.col("f") * F.col("f"))).first()[0]) or 0.0
+            )
+        else:
+            factor_df = fct_df.localCheckpoint()
+            arg_norm = fct_norm
+        pf_df = factor_df
+        if cfg.factor_top_m > 0:
+            pf_df = factor_df.orderBy(F.abs(F.col("f")).desc()).limit(
+                cfg.factor_top_m
+            )
+        self.pfactor = SparseVector(
+            {r["word"]: r["f"] for r in pf_df.collect()}, acc
+        )
+        if arg_norm == 0.0:
+            fn_df = spark.createDataFrame([], "word string, w double")
+            self._calculate_apply(F.broadcast(fn_df), broadcast_ids=True)
+            return
+        fn_df = factor_df.select(
+            "word", (F.col("f") / F.lit(arg_norm)).alias("w")
+        ).filter(F.abs(F.col("w")) >= acc)
+        if cfg.factor_top_m > 0:
+            fn_df = F.broadcast(
+                fn_df.orderBy(F.abs(F.col("w")).desc()).limit(cfg.factor_top_m)
+            )
+            self._calculate_apply(fn_df, broadcast_ids=True)
+        else:
+            # untruncated factor: keep the word join distributed
+            self._calculate_apply(fn_df, broadcast_ids=False)
+
+    def _calculate_apply(self, factor_df: DataFrame, broadcast_ids: bool):
+        """Shared tail of the re-score: factor words -> ids -> page scores
+        -> max-propagation along edges -> frontier rewrite."""
+        factor_ids = self._t("vocab").join(factor_df, "word").select("word_id", "w")
+        if broadcast_ids:
+            factor_ids = F.broadcast(factor_ids)
         pscores = (
             self._t("page_terms")
             .join(factor_ids, "word_id")
@@ -1154,7 +1444,6 @@ class SparkCrawler:
                 F.col("new_priority").alias("priority"), "parents",
             ),
         )
-        self.pfactor = factor
 
     # ------------------------------------------------------------------
     # checkpointing
@@ -1166,8 +1455,11 @@ class SparkCrawler:
     def _ckpt_fence(self):
         """Swap in the background-materialized hot tables (if any)."""
         if self._ckpt_fut is not None:
-            for n, df in self._ckpt_fut.result().items():
+            tables, avg_scalars = self._ckpt_fut.result()
+            for n, df in tables.items():
                 self._set(n, df)
+            if avg_scalars is not None:
+                self._avg_norm_sqr, self._avg_pruned_sqr = avg_scalars
             self._ckpt_fut = None
 
     def _checkpoint_inner(self, force: bool = False):
@@ -1193,7 +1485,7 @@ class SparkCrawler:
                     self._set(n, f.result())
         snap = {
             n: self._t(n).coalesce(self._nparts)
-            for n in _HOT_TABLES
+            for n in self._hot_tables
             if n not in eager
         }
         # cold (export-feed) tables: lineage-truncate every 4 waves, also
@@ -1201,9 +1493,32 @@ class SparkCrawler:
         if self.wave % 4 == 0:
             for n in _COLD_TABLES:
                 snap[n] = self._t(n)
-        self._ckpt_fut = self._ckpt_pool.submit(
-            lambda: {n: df.localCheckpoint() for n, df in snap.items()}
-        )
+        acc = self.cfg.accuracy
+
+        def _materialize():
+            out = {n: df.localCheckpoint() for n, df in snap.items()}
+            scalars = None
+            if "avg_sum" in out:
+                # the two average scalars the next wave's fold needs —
+                # computed here, off the critical path, on the freshly
+                # materialized table (two narrow full scans, no shuffle)
+                nsq = (
+                    out["avg_sum"].agg(F.sum(F.col("val") * F.col("val")))
+                    .first()[0]
+                ) or 0.0
+                n = math.sqrt(nsq)
+                psq = 0.0
+                if n > 0.0:
+                    psq = (
+                        out["avg_sum"]
+                        .filter(F.abs(F.col("val")) >= F.lit(acc * n))
+                        .agg(F.sum(F.col("val") * F.col("val") / F.lit(nsq)))
+                        .first()[0]
+                    ) or 0.0
+                scalars = (nsq, psq)
+            return out, scalars
+
+        self._ckpt_fut = self._ckpt_pool.submit(_materialize)
         if not force and (self.wave % self.checkpoint_every) != 0:
             return
         import json as _json
@@ -1313,6 +1628,16 @@ class SparkCrawler:
                 if self._inflight == batch:
                     self._inflight = []  # batch processed → no longer at risk
                 self._record_accepts()
+                if (
+                    cfg.dump_every > 0
+                    and self.sense is not None
+                    and self.ns // cfg.dump_every > self._dump_marks
+                ):
+                    self._dump_marks = self.ns // cfg.dump_every
+                    with self._timer("dump_snapshot"):
+                        self.export_snapshot(
+                            os.path.join(self.catalog.root, "export")
+                        )
                 self.next_ord += len(batch)
                 self._checkpoint()
                 self.wave += 1
@@ -1400,7 +1725,7 @@ class SparkCrawler:
         log = self._t("gml_log")
         ids = gml_ids(log)
         terms, out_edges = gml_matrix(log, ids)
-        central, factor = self.sense.central, self.sense.factor
+        central, factor = self.sense.central, self._factor_vector()
         _os.makedirs(outdir, exist_ok=True)
         with open(_os.path.join(outdir, "network.gml"), "w") as f:
             f.write(
@@ -1420,11 +1745,30 @@ class SparkCrawler:
             with open(_os.path.join(vdir, name), "w") as f:
                 f.write(body)
 
+    def _factor_vector(self) -> SparseVector:
+        """Driver materialization of the current factor (t − Â₀) for the
+        text-export renderers, which are driver-side by design. In bounded
+        mode this is the ONLY place the average's full weight set crosses
+        the driver boundary — export/finalize time, never the wave loop."""
+        if self.cfg.fold_mode != "bounded":
+            return self.sense.factor
+        acc = self.cfg.accuracy
+        n = math.sqrt(self._avg_norm_sqr)
+        if n == 0.0:
+            return self.sense.target.normal - SparseVector({}, acc)
+        rows = (
+            self._t("avg_sum")
+            .filter(F.abs(F.col("val")) >= F.lit(acc * n))
+            .collect()
+        )
+        a0 = SparseVector({r["word"]: r["val"] / n for r in rows}, acc)
+        return self.sense.target.normal - a0
+
     def _write_vocabulary(self):
         """S8: at crawl end the factor decoded to words -> vocabulary table."""
         if self.sense is None:
             return
-        rows = sorted(self.sense.factor.d.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows = sorted(self._factor_vector().d.items(), key=lambda kv: (-kv[1], kv[0]))
         df = (
             self.spark.createDataFrame(rows, "word string, weight double")
             if rows
@@ -1469,6 +1813,8 @@ class SparkCrawler:
         self._inflight = [(int(i), u) for i, u in st.get("inflight") or []]
         self._sampler_nseed = st.get("sampler_nseed", 0)
         self._sampler_dumps = st.get("sampler_dumps", 0)
+        if cfg.dump_every > 0:  # no re-dump of already-passed marks
+            self._dump_marks = self.ns // cfg.dump_every
         self.result.processed = st["processed"]
         for name in _STATE_TABLES:
             try:
@@ -1477,6 +1823,30 @@ class SparkCrawler:
                 # a table with no written delta anywhere in the chain (e.g.
                 # no page was ever accepted) keeps its initial empty frame
                 pass
+        if cfg.fold_mode == "bounded":
+            # the committed chain stores per-wave avg deltas — fold them
+            # back into the running sum and recompute its two scalars
+            avg = (
+                self._t("avg_sum")
+                .groupBy("word")
+                .agg(F.sum("val").alias("val"))
+                .filter(F.abs(F.col("val")) >= cfg.accuracy)
+                .localCheckpoint()
+            )
+            self._set("avg_sum", avg)
+            nsq = (avg.agg(F.sum(F.col("val") * F.col("val"))).first()[0]) or 0.0
+            self._avg_norm_sqr = nsq
+            n = math.sqrt(nsq)
+            self._avg_pruned_sqr = (
+                (
+                    avg.filter(F.abs(F.col("val")) >= F.lit(cfg.accuracy * n))
+                    .agg(F.sum(F.col("val") * F.col("val") / F.lit(nsq)))
+                    .first()[0]
+                    or 0.0
+                )
+                if n > 0.0
+                else 0.0
+            )
         if "dispatched" in st:  # legacy manifests carried the full lists
             self.result.dispatched = list(st["dispatched"])
             self.result.accepted = list(st["accepted"])
