@@ -83,21 +83,42 @@ def make_spark(cpus: int, app: str):
     )
 
 
-def crawl_bench(spark, workdir: str) -> dict:
-    """Measure frontier-expansion throughput on the synthetic web."""
-    from webcrawler_spark.config import CrawlConfig
-    from webcrawler_spark.plans.crawler import SparkCrawler
-    from webcrawler_spark.sources.synth import SiteSpec, gen_pages_df, gen_page
+def _bench_spec():
+    from webcrawler_spark.sources.synth import SiteSpec
 
     # heavy_paras approximates real Common-Crawl page weight (~15-25 KB
     # html) so the bench is parse/compute-bound like a real crawl, not
     # dominated by per-wave scheduling latency
-    spec = SiteSpec(
+    return SiteSpec(
         n_pages=CRAWL_PAGES, n_hosts=16, seed=42, hot_host_frac=0.25,
         heavy_paras=int(os.environ.get("SPARK_GRAFT_HEAVY_PARAS", "150")),
+        # >0 routes non-HTML MIME pages through the generator so the
+        # engine's admission filter is on the measured path (default 0
+        # keeps round-over-round comparability)
+        nonhtml_frac=float(os.environ.get("SPARK_GRAFT_NONHTML_FRAC", "0")),
     )
-    pages = gen_pages_df(spark, spec).select("url", "html")
-    pages = pages.persist()
+
+
+def _bench_cols(spec):
+    cols = ["url", "html"]
+    if spec.nonhtml_frac > 0:
+        cols.append("content_type")
+    return cols
+
+
+def crawl_bench(spark, workdir: str, pages=None) -> dict:
+    """Measure frontier-expansion throughput on the synthetic web.
+
+    ``pages`` lets scaling reps share one materialized input per session
+    (generation is outside the measured window either way)."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.plans.crawler import SparkCrawler
+    from webcrawler_spark.sources.synth import gen_pages_df, gen_page
+
+    spec = _bench_spec()
+    owns_pages = pages is None
+    if owns_pages:
+        pages = gen_pages_df(spark, spec).select(*_bench_cols(spec)).persist()
     n_pages = pages.count()  # materialize input before the clock starts
 
     seeds = tuple(
@@ -133,7 +154,8 @@ def crawl_bench(spark, workdir: str) -> dict:
     commit_sec = time.time() - t1
     fetched = res.processed
     scheduled = crawler.next_id - 1  # URLs that entered the id space/frontier
-    pages.unpersist()
+    if owns_pages:
+        pages.unpersist()
     return {
         "n_pages_input": n_pages,
         "fetched": fetched,
@@ -195,10 +217,17 @@ def main():
         for cpus in (lo, hi):
             spark = make_spark(cpus, f"bench_scaling_{cpus}")
             spark.sparkContext.setLogLevel("ERROR")
+            from webcrawler_spark.sources.synth import gen_pages_df
+
+            # one materialized input per level — identical bytes across
+            # reps, generation outside every measured window
+            spec = _bench_spec()
+            pages = gen_pages_df(spark, spec).select(*_bench_cols(spec)).persist()
             runs = []
             for _ in range(reps):
                 with tempfile.TemporaryDirectory() as td:
-                    runs.append(crawl_bench(spark, td))
+                    runs.append(crawl_bench(spark, td, pages=pages))
+            pages.unpersist()
             spark.stop()
             best = min(runs, key=lambda r: r["crawl_sec"])
             best["rep_crawl_secs"] = [r["crawl_sec"] for r in runs]

@@ -70,3 +70,49 @@ def test_nonhtml_matches_oracle_budget1(spark, site, tmp_path):
     for u in nonhtml:
         if u in page_ids:
             assert page_ids[u] not in src_ids
+
+
+def test_gen_pages_df_carries_content_type(spark):
+    """The distributed generator (the bench's input path) must emit the
+    same content_type column the driver-side gen_pages produces, so the
+    engine's MIME admission is exercisable from the same source the
+    bench uses (synth.py gen_pages_df)."""
+    from webcrawler_spark.sources.synth import gen_pages_df
+
+    pages = gen_pages(SPEC)
+    got = {
+        r["url"]: r["content_type"]
+        for r in gen_pages_df(spark, SPEC).select("url", "content_type").collect()
+    }
+    assert got == {p["url"]: p["content_type"] for p in pages}
+    assert any(not _is_html(p) for p in pages)
+
+
+def test_distributed_generator_admission_budget1(spark, site, tmp_path):
+    """Full budget=1 oracle parity with the engine fed straight from
+    gen_pages_df (not a hand-built DataFrame): MIME admission drops the
+    same URLs the oracle's fetch refuses."""
+    from webcrawler_spark.sources.synth import gen_pages_df
+
+    pages, seeds, _ = site
+    by_url = {p["url"]: p for p in pages}
+    cfg = CrawlConfig(
+        seeds=tuple(seeds), limit=12, targets=3, targeting=0.001,
+        allhosts=True, budget=1, respect_robots=False,
+    )
+
+    def fetch(url):
+        p = by_url.get(url)
+        if p is None or not _is_html(p):
+            return None
+        return p["html"]
+
+    oracle = OracleCrawler(cfg, fetch=fetch).run()
+    df = gen_pages_df(spark, SPEC).select("url", "html", "content_type")
+    engine = SparkCrawler(spark, cfg, df, str(tmp_path / "g"), checkpoint_every=50)
+    res = engine.run()
+
+    assert res.dispatched == oracle.dispatched
+    assert res.accepted == oracle.accepted
+    seen = {r["url"] for r in engine.tables["seen"].collect()}
+    assert seen == oracle.seen

@@ -72,6 +72,22 @@ def test_learn_epoch_counts_errors(spark):
     assert err == pairs.filter("haslink").count()
 
 
+def test_pair_ids_stable_without_cache(spark):
+    """pid is a pure function of pair provenance, so the score and delta
+    jobs inside learn_epoch agree even when the pairs plan is recomputed
+    from scratch between jobs (no cache — the eviction scenario)."""
+    vectors, edges = _graph(spark)
+    pairs = build_pairs(vectors, edges, seed=7)  # deliberately NOT cached
+    assert "pid" in pairs.columns
+    rows = pairs.collect()
+    assert len({r["pid"] for r in rows}) == len(rows)  # unique ids
+    # two full epochs on the uncached frame: identical results both times
+    net_a, err_a = learn_epoch(pairs, {"linkword": 0.5})
+    net_b, err_b = learn_epoch(pairs, {"linkword": 0.5})
+    assert err_a == err_b
+    assert net_a == net_b
+
+
 def _dense_graph(spark):
     """Pairs dense enough to pass the sample.main filters: every doc
     carries 20 shared words (count(v1∩v2) > 5, count(v) > 10)."""
@@ -151,3 +167,24 @@ def test_sampler_pivot_and_render(spark):
     text = render_sample(piv)
     assert text.splitlines()[-1] == "div"
     assert text.splitlines()[0].endswith(": 12")
+
+
+def test_sampler_pivot_bounded(spark):
+    """max_links keeps only the top-K links by priority — the in-loop
+    dump's bound against unbounded driver collects — and the kept slice
+    renders identically to its rows in the unbounded matrix."""
+    n = 50
+    linkctx = spark.createDataFrame(
+        [(f"l{i}", "div", 1.0) for i in range(n) for _ in range(3)],
+        "link string, feature string, weight double",
+    )
+    prios = spark.createDataFrame(
+        [(f"l{i}", float(i)) for i in range(n)], "link string, priority double"
+    )
+    piv = sampler_pivot(linkctx, prios, min_count=10, max_links=5)
+    rows = piv.collect()
+    assert len(rows) == 5
+    # the top-5 by priority, still rendered ascending
+    assert [r["link"] for r in rows] == [f"l{i}" for i in range(45, 50)]
+    full = sampler_pivot(linkctx, prios, min_count=10).collect()
+    assert rows == full[-5:]

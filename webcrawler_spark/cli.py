@@ -51,7 +51,79 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _tune_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="webcrawler-spark tune|sample",
+        description="Offline vocabulary tuning over a crawl's S7 vectors/ "
+        "export (reference TuneVocabulary.main / sample.main, "
+        "TuneVocabulary.scala:92-112,165-199).",
+    )
+    p.add_argument("cmd", choices=["tune", "sample"])
+    p.add_argument(
+        "--path", required=True,
+        help="crawl export dir containing vectors/ (export_snapshot output)",
+    )
+    p.add_argument("--epochs", type=int, default=10,
+                   help="perceptron epochs (reference main uses 100)")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--epoch-sample", type=int, default=100_000)
+    p.add_argument("--max-words", type=int, default=40_000,
+                   help="sample.main word-index cap (:182)")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def tune_main(argv: list[str]) -> int:
+    """TuneVocabulary.main: read vectors/, learn, write
+    vocabulary_tuned.dat; sample.main: write index.dat + sample.dat."""
+    import os
+
+    args = _tune_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("webcrawler-spark-tune")
+    if args.master:
+        b = b.master(args.master)
+    spark = b.getOrCreate()
+
+    from webcrawler_spark.plans.tune import (
+        build_pairs,
+        octave_sample_export,
+        read_vectors_export,
+        tune_vocabulary,
+    )
+
+    vectors, edges = read_vectors_export(
+        spark, os.path.join(args.path, "vectors")
+    )
+    if args.cmd == "tune":
+        net, errs = tune_vocabulary(
+            vectors, edges, epochs=args.epochs, seed=args.seed,
+            epoch_sample=args.epoch_sample,
+        )
+        out = os.path.join(args.path, "vocabulary_tuned.dat")
+        with open(out, "w") as f:
+            for w in sorted(net):
+                f.write(f"{w:<40} : {net[w]:.6f}\n")
+        print(json.dumps({"cmd": "tune", "words": len(net), "errs": errs,
+                          "out": out}))
+    else:
+        pairs = build_pairs(vectors, edges, seed=args.seed)
+        files = octave_sample_export(
+            pairs, max_words=args.max_words, seed=args.seed
+        )
+        for name, body in files.items():
+            with open(os.path.join(args.path, name), "w") as f:
+                f.write(body)
+        print(json.dumps({"cmd": "sample",
+                          "files": sorted(files), "path": args.path}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] in ("tune", "sample"):
+        return tune_main(argv)
     args = build_parser().parse_args(argv)
 
     from pyspark.sql import SparkSession

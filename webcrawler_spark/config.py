@@ -93,6 +93,11 @@ class CrawlConfig:
     #: every 100). 0 = off (the reference only samples when a sampling
     #: sink is configured).
     sample_every: int = 0
+    #: cap on the sampler matrix: keep only the top-K frontier links by
+    #: priority in each in-loop dump (the render is a driver-side text
+    #: write, so the collect must stay bounded at 10^8-link frontiers).
+    #: 0 = unbounded (reference-exact full matrix, offline use).
+    sample_max_links: int = 10_000
 
     # -- target-cluster policy: "target" (TargetVector.scala) or
     #    "cluster" (TargetVectorCluster.scala sigma criterion)

@@ -1694,7 +1694,10 @@ class SparkCrawler:
             F.col("url").alias("link"), "priority"
         )
         ctx = self._t("linkctx").select("link", "feature", "weight")
-        piv = sampler_pivot(ctx, prios, min_count=10)
+        cap = self.cfg.sample_max_links
+        piv = sampler_pivot(
+            ctx, prios, min_count=10, max_links=cap if cap > 0 else None
+        )
         text = render_sample(piv)
         outdir = os.path.join(self.catalog.root, "samples")
         os.makedirs(outdir, exist_ok=True)

@@ -30,6 +30,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def read_vectors_export(
+    spark: SparkSession, root: str
+) -> tuple[DataFrame, DataFrame]:
+    """L1 read (readVectors/readMatrix, TuneVocabulary.scala:69-90):
+    parse the S7 ``vectors/`` export file set (matrix.dat + ``<id>.dat``)
+    back into (vectors, edges) DataFrames. The reference's interchange
+    format is a per-node text file set, so the parse is driver-side; the
+    learning itself is distributed from here on."""
+    import os
+
+    nodes: dict[int, list[str]] = {}
+    with open(os.path.join(root, "matrix.dat")) as f:
+        for line in f:
+            parts = line.split(":")
+            if len(parts) != 2:
+                continue
+            try:
+                nid = int(parts[0].strip())
+            except ValueError:
+                continue
+            nodes[nid] = parts[1].split()
+    vec_rows: list[tuple[int, list[str]]] = []
+    for nid in nodes:
+        path = os.path.join(root, f"{nid}.dat")
+        if not os.path.exists(path):
+            continue
+        words = []
+        with open(path) as f:
+            for ln in f:
+                seg = ln.split(":")
+                if len(seg) >= 2:
+                    words.append(seg[0].strip())
+        vec_rows.append((nid, words))
+    known = {nid for nid, _ in vec_rows}
+    edge_rows = [
+        (nid, out)
+        for nid, outs in nodes.items()
+        if nid in known
+        for out in (
+            int(t) for t in outs if t.strip().lstrip("-").isdigit()
+        )
+        if out in known
+    ]
+    vectors = spark.createDataFrame(vec_rows, "id long, words array<string>")
+    edges = spark.createDataFrame(edge_rows, "src long, dst long")
+    return vectors, edges
+
+
 def build_pairs(
     vectors: DataFrame, edges: DataFrame, seed: int = 42, neg_factor: float = 1.0
 ) -> DataFrame:
@@ -46,7 +94,7 @@ def build_pairs(
     n_ids = ids.count()
     if n_ids == 0 or n_edges == 0:
         return vectors.sparkSession.createDataFrame(
-            [], "w1 array<string>, w2 array<string>, haslink boolean"
+            [], "w1 array<string>, w2 array<string>, haslink boolean, pid long"
         )
     # negatives: deterministic pseudo-random id pairs, anti-joined vs edges
     # (TuneVocabulary.scala:47 `filterNot(m contains _)` — the anti-join
@@ -57,27 +105,39 @@ def build_pairs(
     cand = (
         vectors.sparkSession.range(int(n_edges * neg_factor))
         .select(
+            F.col("id").alias("nid"),  # distinct draw id → unique pair id
             (F.xxhash64(F.col("id"), F.lit(seed)) % n_ids).alias("i"),
             (F.xxhash64(F.col("id"), F.lit(seed + 1)) % n_ids).alias("j"),
         )
-        .select(F.abs("i").alias("i"), F.abs("j").alias("j"))
+        .select("nid", F.abs("i").alias("i"), F.abs("j").alias("j"))
     )
     cand = (
         cand.join(F.broadcast(idx).select(F.col("rn").alias("i"), F.col("id").alias("src")), "i")
         .join(F.broadcast(idx).select(F.col("rn").alias("j"), F.col("id").alias("dst")), "j")
-        .select("src", "dst")
+        .select("nid", "src", "dst")
     )
     negatives = cand.join(edges, ["src", "dst"], "left_anti").withColumn(
         "haslink", F.lit(False)
     )
-    positives = edges.select("src", "dst").withColumn("haslink", F.lit(True))
+    positives = (
+        edges.select("src", "dst")
+        .withColumn("haslink", F.lit(True))
+        .withColumn("nid", F.lit(-1).cast("long"))  # (src,dst) already unique
+    )
     pairs = positives.unionByName(negatives)
     v1 = vectors.select(F.col("id").alias("src"), F.col("words").alias("w1"))
     v2 = vectors.select(F.col("id").alias("dst"), F.col("words").alias("w2"))
     return (
         pairs.join(v1, "src")
         .join(v2, "dst")
-        .select("w1", "w2", "haslink")
+        # pid is a pure function of the pair's provenance (edge endpoints
+        # + draw id), so the score and delta jobs in learn_epoch see the
+        # SAME ids even if the frame is recomputed after cache eviction —
+        # unlike monotonically_increasing_id, which renumbers per plan run
+        .select(
+            "w1", "w2", "haslink",
+            F.xxhash64("src", "dst", "haslink", "nid").alias("pid"),
+        )
         # deterministic shuffle (reference Random.shuffle :45)
         .orderBy(F.xxhash64("w1", "w2", "haslink", F.lit(seed)))
     )
@@ -98,12 +158,13 @@ def learn_epoch(
     """L3 one epoch (learnstage :29-39): returns (new net, error count)."""
     spark = pairs.sparkSession
     net_b = F.broadcast(_net_df(spark, net))
-    # pair ids must be STABLE across the two jobs below (score + delta):
-    # tune_vocabulary materializes them once; monotonically_increasing_id
-    # on an unmaterialized frame would silently misalign if recomputed
+    # pair ids must be STABLE across the two jobs below (score + delta).
+    # build_pairs supplies a deterministic content/provenance pid; the
+    # fallback below only serves ad-hoc callers that hand-build pairs,
+    # and hashes row content so a recomputed plan yields the same ids
     feats = pairs
     if "pid" not in feats.columns:
-        feats = feats.withColumn("pid", F.monotonically_increasing_id())
+        feats = feats.withColumn("pid", F.xxhash64("w1", "w2", "haslink"))
     feats = feats.withColumn("feat", F.array_intersect("w1", "w2"))
     scored = (
         feats.select("pid", "haslink", F.explode_outer("feat").alias("word"))
@@ -280,16 +341,29 @@ def octave_sample_export(
 
 
 def sampler_pivot(
-    linkctx: DataFrame, priorities: DataFrame, min_count: int = 10
+    linkctx: DataFrame,
+    priorities: DataFrame,
+    min_count: int = 10,
+    max_links: int | None = None,
 ) -> DataFrame:
     """Dense sample matrix: one row per sampled link ordered by priority,
     one column per link-context feature with global count > min_count
     (A14, :66-73,84). linkctx: (link, feature, weight);
-    priorities: (link, priority)."""
+    priorities: (link, priority).
+
+    ``max_links`` bounds the matrix to the top-K links by priority (the
+    most promising frontier slice) — at a 10^8-link frontier the full
+    pivot is an unbounded driver collect at render time, so the in-loop
+    cadence passes a cap, mirroring the sampled density_cloud treatment.
+    The top-K is a TakeOrderedAndProject (no global sort task)."""
     counts = linkctx.groupBy("feature").agg(F.count("*").alias("n")).filter(
         F.col("n") > min_count
     )
     kept = linkctx.join(F.broadcast(counts.select("feature")), "feature", "left_semi")
+    if max_links is not None:
+        top = priorities.orderBy(F.desc("priority"), "link").limit(max_links)
+        priorities = top
+        kept = kept.join(F.broadcast(top.select("link")), "link", "left_semi")
     features = sorted(r["feature"] for r in counts.select("feature").collect())
     return (
         kept.groupBy("link")

@@ -193,6 +193,7 @@ def gen_pages_df(spark, spec: SiteSpec, include_meta: bool = False):
 
     schema = (
         "url string, warc_ts timestamp, html binary, text string, lang string"
+        ", content_type string"
     )
     if include_meta:
         schema += ", _topic int, _host int"
@@ -202,11 +203,14 @@ def gen_pages_df(spark, spec: SiteSpec, include_meta: bool = False):
             rows = []
             for i in pdf["id"]:
                 p = gen_page(spec, int(i))
-                row = [p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]]
+                row = [
+                    p["url"], p["warc_ts"], p["html"], p["text"], p["lang"],
+                    p["content_type"],
+                ]
                 if include_meta:
                     row += [p["_topic"], p["_host"]]
                 rows.append(row)
-            cols = ["url", "warc_ts", "html", "text", "lang"]
+            cols = ["url", "warc_ts", "html", "text", "lang", "content_type"]
             if include_meta:
                 cols += ["_topic", "_host"]
             yield pd.DataFrame(rows, columns=cols)
