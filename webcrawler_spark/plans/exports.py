@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from webcrawler_spark.kernels.urls import seed_to_filename
@@ -48,7 +48,15 @@ def gml_ids(gml_log: DataFrame) -> DataFrame:
     independently from the estimator's ids, fed the same stream): first-seen
     order over (event ord, position), page url at pos -1 before its links.
 
+    Id assignment reuses the crawler's two-phase distributed numbering
+    (dense_first_seen_ids) instead of a global Window.orderBy — a global
+    row_number funnels the whole url universe through ONE task, which at
+    a 10^8-node graph is the single-task sort the wave engine already
+    eliminated. Buckets are contiguous ``ord`` ranges.
+
     Returns (url, gid)."""
+    from webcrawler_spark.plans.crawler import dense_first_seen_ids
+
     pages = gml_log.select("ord", F.lit(-1).alias("pos"), F.col("url").alias("u"))
     links = gml_log.select("ord", F.posexplode("links").alias("pos", "u"))
     firsts = (
@@ -56,10 +64,19 @@ def gml_ids(gml_log: DataFrame) -> DataFrame:
         .groupBy("u")
         .agg(F.min(F.struct("ord", "pos")).alias("fp"))
     )
-    w = Window.orderBy("fp.ord", "fp.pos")
-    return firsts.select(
-        F.col("u").alias("url"), F.row_number().over(w).cast("long").alias("gid")
+    max_ord = gml_log.agg(F.max("ord")).first()[0]
+    if max_ord is None:
+        return gml_log.sparkSession.createDataFrame([], "url string, gid long")
+    ent = firsts.select(
+        F.col("u").alias("url"),
+        F.col("fp.ord").alias("dr"),
+        F.col("fp.pos").alias("pos"),
     )
+    n_parts = max(gml_log.sparkSession.sparkContext.defaultParallelism, 8)
+    ids, _total = dense_first_seen_ids(
+        ent, "url", "gid", base=1, nb=int(max_ord) + 1, n_parts=n_parts
+    )
+    return ids
 
 
 def gml_matrix(gml_log: DataFrame, ids: DataFrame) -> tuple[DataFrame, DataFrame]:
