@@ -198,7 +198,70 @@ def run_once(cpus: int) -> dict:
     return {"crawl": crawl, "queries": cold, "queries_warm": warm}
 
 
+def trace_once(cpus: int) -> dict:
+    """One crawl with the per-phase profiler on: reports phase wall-clock
+    accumulators (the crawler's own _timer instrumentation) plus Spark
+    job/stage counts — the stage-count trace behind the scaling-efficiency
+    analysis in BASELINE.md (what is serial per wave vs parallel work)."""
+    os.environ["SPARK_CRAWLER_PROFILE"] = "1"
+    spark = make_spark(cpus, f"bench_trace_{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.plans.crawler import SparkCrawler
+    from webcrawler_spark.sources.synth import gen_pages_df, gen_page
+
+    spec = _bench_spec()
+    pages = gen_pages_df(spark, spec).select(*_bench_cols(spec)).persist()
+    pages.count()
+    seeds = tuple(gen_page(spec, i)["url"] for i in range(4))
+    cfg = CrawlConfig(
+        seeds=seeds, limit=CRAWL_LIMIT, targets=9, targeting=-1.0,
+        allhosts=True, budget=CRAWL_BUDGET, per_host_budget=PER_HOST_BUDGET,
+        host_salt_partitions=16, factor_top_m=256, dump_every=0,
+        fold_mode=FOLD_MODE, pipeline_waves=PIPELINE,
+    )
+    st = spark.sparkContext.statusTracker()
+    jobs_before = set(st.getJobIdsForGroup())
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as td:
+        t0 = time.time()
+        crawler = SparkCrawler(spark, cfg, pages, td, checkpoint_every=2)
+        res = crawler.run(max_waves=64, finalize=False)
+        dt = time.time() - t0
+        jobs_after = set(st.getJobIdsForGroup())
+        new_jobs = sorted(jobs_after - jobs_before)
+        n_stages = 0
+        for j in new_jobs:
+            info = st.getJobInfo(j)
+            if info is not None:
+                n_stages += len(info.stageIds)
+        out = {
+            "cpus": cpus,
+            "crawl_sec": round(dt, 2),
+            "waves": res.waves,
+            "fetched": res.processed,
+            "jobs": len(new_jobs),
+            "stages": n_stages,
+            "jobs_per_wave": round(len(new_jobs) / max(res.waves, 1), 1),
+            "stages_per_wave": round(n_stages / max(res.waves, 1), 1),
+            "phase_sec": {
+                k: round(v, 2)
+                for k, v in sorted(
+                    crawler.timings.items(), key=lambda kv: -kv[1]
+                )
+            },
+        }
+        crawler.finalize()
+    pages.unpersist()
+    spark.stop()
+    return out
+
+
 def main():
+    if "--trace" in sys.argv:
+        print(json.dumps(trace_once(CPUS)))
+        return
     if "--scaling" in sys.argv:
         # N vs 4N parallelism on identical input. The sandbox host shows
         # spiky steal time (measured 2.4x wall spread across identical
