@@ -1,0 +1,90 @@
+"""Physical-plan audits: pin the plan properties the 100 TB posture
+depends on (predicate pushdown to the parquet scan, column pruning,
+top-k without a global sort, no cartesian/nested-loop joins in the
+candidate generators, whole-stage codegen on the agg path). A plan
+regression here is a silent 100x at scale even when results stay
+correct — these tests make `.explain` discipline durable."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from webcrawler_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _q(name, spark):
+    fn, _ = REGISTRY[name]
+    return fn(spark, SF)
+
+
+def test_tpch_q1_pushdown_and_codegen(spark):
+    p = plan_str(_q("tpch_q1", spark))
+    # the shipdate predicate must reach the parquet scan, not a
+    # post-scan Filter only
+    assert "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1].split("]")[0]
+    # partial+final hash aggregation
+    assert p.count("HashAggregate") >= 2
+    # the agg path compiles into whole-stage codegen subtrees
+    # (codegen mode shows them pre-AQE-finalization)
+    c = plan_str(_q("tpch_q1", spark), "codegen")
+    assert "WholeStageCodegen" in c
+
+
+def test_tpch_q1_column_pruning(spark):
+    p = plan_str(_q("tpch_q1", spark))
+    scan_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    # 7 needed columns only — the 4 unused ones must be pruned from IO
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in scan_schema
+
+
+def test_token_stats_prunes_documents_scan(spark):
+    p = plan_str(_q("token_stats", spark))
+    scan_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in scan_schema
+    # untouched columns never leave the parquet reader
+    for col in ("source", "n_chars", "lang"):
+        assert col not in scan_schema
+
+
+def test_frontier_topk_is_take_ordered(spark):
+    # top-k must be TakeOrderedAndProject (per-partition heap + driver
+    # merge of k rows) — a global Sort+Exchange would shuffle the whole
+    # frontier to sort it
+    p = plan_str(_q("frontier_topk", spark))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_candidate_generators_never_cartesian(spark):
+    # the near-dup candidate generators must stay bucket-joined: an
+    # optimizer fallback to a cartesian/nested-loop product is the
+    # classic all-pairs blowup
+    for name in ("minhash_lsh_candidates", "ngram_jaccard_pairs",
+                 "embedding_neardup"):
+        p = plan_str(_q(name, spark))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_seen_antijoin_is_anti_join(spark):
+    p = plan_str(_q("seen_antijoin", spark))
+    assert "LeftAnti" in p
+
+
+def test_ann_prunes_embeddings_scan(spark):
+    p = plan_str(_q("ann_cosine_topk", spark))
+    scan_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "embedding" in scan_schema
+    assert "label" not in scan_schema
