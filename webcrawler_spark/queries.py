@@ -259,10 +259,22 @@ FROM documents
 """
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     """Near-dup detection by 3-gram shingle Jaccard >= 0.5 over candidate
-    pairs produced by a shingle-bucket join (no O(n^2) cross join)."""
-    docs = _tokens(_docs_parallel(spark, sf_dir)).filter(F.expr("size(toks) >= 3"))
+    pairs produced by a shingle-bucket join (no O(n^2) cross join).
+
+    ``max_df`` is the web-scale knob against hot-shingle quadratic blowup
+    (a shingle shared by d docs contributes d^2 rows to the bucket join;
+    boilerplate shingles on a real corpus have d ~ 10^6). When set,
+    candidate generation joins only on shingles whose document frequency
+    is <= max_df (the hot list is tiny, so it broadcasts into an
+    anti-join), and the Jaccard of each candidate pair is then computed
+    EXACTLY over the pair's FULL shingle sets in a verification join
+    bounded by |candidates| x doc shingles. The only semantic difference
+    vs the exact path is pairs whose every shared shingle is hot
+    (stop-shingle removal, standard near-dup practice). Default None =
+    single-stage exact join, bit-identical to the DuckDB oracle."""
+    docs = _tokens(docs).filter(F.expr("size(toks) >= 3"))
     sh = docs.select(
         "doc_id",
         F.explode(
@@ -273,14 +285,39 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     ).distinct()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").alias("i"))
-    )
+    if max_df is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        a = rare.alias("a")
+        b = rare.alias("b")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .distinct()
+        )
+        sha = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+        shb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+        inter = (
+            cand.join(sha, "a_id")
+            .join(shb, ["b_id", "shingle"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("i"))
+        )
     return (
         inter.join(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
         .join(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
@@ -288,6 +325,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the oracle-exact single-stage path (max_df=None)."""
+    return ngram_jaccard(_docs_parallel(spark, sf_dir))
 
 
 SQL_NGRAM_JACCARD_PAIRS = f"""
