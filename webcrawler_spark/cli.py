@@ -45,6 +45,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seen-filter", choices=["exact", "bloom", "cuckoo"], default="exact",
                    help="URL-seen membership strategy (cuckoo supports expiry)")
     p.add_argument("--checkpoint-every", type=int, default=8)
+    p.add_argument("--dump-every", type=int, default=500,
+                   help="in-loop GML/statistics snapshot every K processed pages "
+                        "(reference dumps every 500; 0 = off)")
+    p.add_argument("--sample-every", type=int, default=0,
+                   help="S9 sampler matrix dump every N priority updates (0 = off)")
+    p.add_argument("--sample-max-links", type=int, default=10_000,
+                   help="cap each sampler dump at the top-K frontier links by priority "
+                        "(0 = unbounded full matrix)")
+    p.add_argument("--fold-mode", choices=["exact", "bounded"], default="exact",
+                   help="wave fold: exact (reference-faithful driver fold) or "
+                        "bounded (distributed running average, the 10^10 path)")
+    p.add_argument("--pipeline-waves", action="store_true",
+                   help="overlap wave N+1 fetch+parse with wave N processing "
+                        "(scores lag one wave — the servers=2*budget equivalence)")
     p.add_argument("--export", action="store_true", help="write GML/statistics/vectors at end")
     p.add_argument("--master", default=None, help="override master (default: from spark-submit)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -161,6 +175,11 @@ def main(argv: list[str] | None = None) -> int:
         per_host_budget=args.per_host_budget,
         use_bloom_seen=args.bloom,
         seen_filter=args.seen_filter,
+        dump_every=args.dump_every,
+        sample_every=args.sample_every,
+        sample_max_links=args.sample_max_links,
+        fold_mode=args.fold_mode,
+        pipeline_waves=args.pipeline_waves,
     )
     pages = spark.read.parquet(args.pages)
     robots = spark.read.parquet(args.robots) if args.robots else None
