@@ -352,6 +352,47 @@ WHERE round(i / (ca.n + cb.n - i), 4) >= 0.5
 """
 
 
+_NGRAM_MAX_DF = 5
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-scale variant of ngram_jaccard_pairs: stop-shingle cap
+    (document frequency > max_df excluded from candidate generation) with
+    exact Jaccard verification over candidates' full shingle sets — the
+    plan that stays near-linear on boilerplate-heavy corpora."""
+    return ngram_jaccard(_docs_parallel(spark, sf_dir), max_df=_NGRAM_MAX_DF)
+
+
+SQL_NGRAM_JACCARD_CAPPED = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2),
+    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), dfc AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+), rare AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle)
+  WHERE dfc.df <= {_NGRAM_MAX_DF}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(i / (ca.n + cb.n - i), 4) AS jaccard
+FROM inter JOIN counts ca ON a_id = ca.doc_id JOIN counts cb ON b_id = cb.doc_id
+WHERE round(i / (ca.n + cb.n - i), 4) >= 0.5
+"""
+
+
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 8 salted min-hashes per doc over
     3-gram shingles; LSH bands of 1 hash; candidates = pairs sharing any
@@ -1132,6 +1173,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "simhash": (q_simhash, SQL_SIMHASH),
     # scoring / aggregation / graph (§2.6-2.7)
