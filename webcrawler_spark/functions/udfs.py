@@ -74,10 +74,11 @@ def parse_pages(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from urllib.parse import urlsplit
 
     from webcrawler_spark.kernels import (
-        extract_links,
-        extract_text,
-        link_context,
-        term_counts,
+        extract_links_doc,
+        extract_text_doc,
+        link_context_doc,
+        parse_html,
+        term_counts_doc,
     )
 
     for pdf in it:
@@ -88,22 +89,23 @@ def parse_pages(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows.append((dr, url, host, False, None, [], [], []))
                 continue
             try:
-                links = extract_links(html, url, allhosts=True)
+                doc = parse_html(html)  # ONE parse, four consumers
+                links = extract_links_doc(doc, url, allhosts=True)
                 rows.append(
                     (
                         dr,
                         url,
                         host,
                         True,
-                        extract_text(html),
+                        extract_text_doc(doc),
                         [
                             (i, l, urlsplit(l).hostname)
                             for i, l in enumerate(links)
                         ],
-                        list(term_counts(html).items()),
+                        list(term_counts_doc(doc).items()),
                         [
                             (link, feat, w)
-                            for link, vec in link_context(html, url).items()
+                            for link, vec in link_context_doc(doc, url).items()
                             for feat, w in vec.items()
                         ],
                     )

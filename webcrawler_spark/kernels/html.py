@@ -52,13 +52,17 @@ HEADING_TAGS = frozenset("title h1 h2 h3 h4 h5 h6".split())
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "_rendered")
 
     def __init__(self, tag: str, attrs=None, parent=None):
         self.tag = tag
         self.attrs = dict(attrs or {})
         self.children: list = []  # Node or str (text)
         self.parent = parent
+        #: render_text memo — the tree is immutable after parse, and the
+        #: engine renders the same <body> for both text extraction and
+        #: tokenization (one render, two consumers)
+        self._rendered: str | None = None
 
     # -- queries ----------------------------------------------------------
     def iter_elements(self):
@@ -200,18 +204,29 @@ def _flush(blocks: list[list[str]], inline: list[str]):
 def render_text(node: Node) -> str:
     """Plain-text rendering of a subtree (the Html2Ascii 'rectify' spec):
     blocks separated by one blank line, whitespace collapsed, headings
-    underlined with '='. No wrapping."""
+    underlined with '='. No wrapping. Memoized per node (post-parse the
+    tree is immutable; body is rendered by two consumers)."""
+    if node._rendered is not None:
+        return node._rendered
     blocks: list[list[str]] = []
     inline: list[str] = []
     _render_blocks(node, blocks, inline)
     _flush(blocks, inline)
-    return "\n\n".join(b[0] for b in blocks)
+    node._rendered = "\n\n".join(b[0] for b in blocks)
+    return node._rendered
 
 
 def extract_text(html: str | bytes) -> str:
     """xml2intel (Gather.scala:98-112): all <title>s, then the
     <div id="mw-content-text"> if present, else the <body>."""
-    doc = parse_html(html)
+    return extract_text_doc(parse_html(html))
+
+
+def extract_text_doc(doc: Node) -> str:
+    """extract_text over an already-parsed document — the engine's parse
+    UDF parses each page ONCE and shares the tree across all four
+    consumers (text, tokens, links, link-context), mirroring the
+    reference's single page2xml parse (Gather.scala:151-182)."""
     parts = []
     for title in doc.find_all("title"):
         t = _collapse(title.text())
@@ -241,7 +256,10 @@ def page_tokens(html: str | bytes) -> list[str]:
     """Tokens of the rendered <body> text (body only — titles excluded,
     matching the golden TF vector of TestGather.scala:70-73). Lowercased
     ``[a-z0-9']`` words — our pinned tokenizer spec."""
-    doc = parse_html(html)
+    return page_tokens_doc(parse_html(html))
+
+
+def page_tokens_doc(doc: Node) -> list[str]:
     body = doc.find("body")
     if body is None:
         return []
@@ -249,8 +267,12 @@ def page_tokens(html: str | bytes) -> list[str]:
 
 
 def term_counts(html: str | bytes) -> dict[str, float]:
+    return term_counts_doc(parse_html(html))
+
+
+def term_counts_doc(doc: Node) -> dict[str, float]:
     counts: dict[str, float] = {}
-    for tok in page_tokens(html):
+    for tok in page_tokens_doc(doc):
         counts[tok] = counts.get(tok, 0.0) + 1.0
     return counts
 
@@ -271,7 +293,15 @@ def extract_links(
 
     The allowed-host set must already include the page's own host
     (Gather.scala:153 adds the fetched page's host before filtering)."""
-    doc = parse_html(html)
+    return extract_links_doc(parse_html(html), base, allowed_hosts, allhosts)
+
+
+def extract_links_doc(
+    doc: Node,
+    base: str,
+    allowed_hosts: frozenset[str] | set[str] = frozenset(),
+    allhosts: bool = False,
+) -> list[str]:
     body = doc.find("body")
     if body is None:
         return []
@@ -303,7 +333,10 @@ def link_context(html: str | bytes, base: str) -> dict[str, SparseVector]:
     Walk starts at the document root's child elements (the <html> element
     itself contributes no feature — pinned by TestGather.scala:128-169
     where anchor vectors are {a, body} without 'html')."""
-    doc = parse_html(html)
+    return link_context_doc(parse_html(html), base)
+
+
+def link_context_doc(doc: Node, base: str) -> dict[str, SparseVector]:
     roots = [c for c in doc.children if isinstance(c, Node)]
     base_host = urlsplit(base).hostname
     out: dict[str, SparseVector] = {}
