@@ -6,7 +6,13 @@ from __future__ import annotations
 
 import os
 
-from webcrawler_spark.queries import q_ann_cosine_topk, q_ann_ivf
+from webcrawler_spark.queries import (
+    ANN_HAM_RADIUS,
+    _hamming_planes,
+    q_ann_cosine_topk,
+    q_ann_hamming,
+    q_ann_ivf,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
@@ -20,3 +26,31 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     # neighbourhood of vec 0 is concentrated in few cells; require the
     # scale path to find at least 70% of the exact top-20.
     assert recall >= 0.7, f"IVF recall@20 too low: {recall}"
+
+
+def test_ann_hamming_recall_and_pruning(spark):
+    """The LSH-signature path must (a) retrieve >=85% of the brute-force
+    top-20 and (b) actually prune — the Hamming prefilter must pass well
+    under half the corpus to the exact rerank, or it isn't a scale path."""
+    import numpy as np
+
+    truth = {r.vec_id for r in q_ann_cosine_topk(spark, SF_DIR).collect()}
+    got = {r.vec_id for r in q_ann_hamming(spark, SF_DIR).collect()}
+    assert len(truth) == 20 and len(got) == 20
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.85, f"Hamming-LSH recall@20 too low: {recall}"
+
+    # pruning: recompute the candidate fraction with the same planes
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    W = _hamming_planes()
+    bits = (V @ W.T) >= 0
+    qb = bits[ids == 0][0]
+    ham = (bits != qb).sum(1)
+    frac = ((ham <= ANN_HAM_RADIUS) & (ids != 0)).mean()
+    assert frac <= 0.35, f"Hamming prefilter passes too much: {frac:.3f}"

@@ -1156,6 +1156,103 @@ FROM documents
 """
 
 
+#: random-hyperplane signature width / Hamming radius for ann_hamming.
+#: 192 planes at radius 88 give recall@20 = 0.9-0.95 vs brute force while
+#: scanning ~25% of the corpus on the synth embeddings (both SFs measured;
+#: pinned by tests/test_ann.py::test_ann_hamming_recall_and_pruning).
+ANN_HAM_PLANES, ANN_HAM_RADIUS, ANN_HAM_DIM = 192, 88, 64
+
+
+def _hamming_planes() -> "object":
+    """Deterministic pseudo-random hyperplanes: weight(p, i) derives from
+    md5(f"{p}:{i}") exactly as the oracle CTE derives it in-engine, so both
+    sides hash from the same plane matrix with zero shipped constants."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                (int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+                / 1000.0
+                for i in range(ANN_HAM_DIM)
+            ]
+            for p in range(ANN_HAM_PLANES)
+        ]
+    )
+
+
+def q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-signature ANN — the second scale path next to IVF (q_ann_ivf):
+    a 192-bit random-hyperplane signature per vector (sign of plane dots,
+    the SimHash/LSH family), a cheap Hamming-distance prefilter against the
+    query signature, then exact cosine rerank of the survivors. At 100 TB
+    the signature is computed once map-side in a single Arrow-vectorized
+    pass (numpy matmul per batch — no per-row Python), the prefilter
+    compares 24 bytes/vector, and the expensive 64-d rerank touches only
+    ~25% of rows. The DuckDB oracle regenerates the identical hyperplanes
+    from md5 in-engine and checks the full approximate result hash-exactly."""
+    import numpy as np
+
+    W = _hamming_planes()
+    e = _read(spark, sf_dir, "embeddings")
+    refv = np.array(
+        e.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    qbits = (refv @ W.T) >= 0
+    qbits_b = spark.sparkContext.broadcast(qbits)
+    planes_b = spark.sparkContext.broadcast(W)
+
+    @F.pandas_udf("int")
+    def hamming(emb: pd.Series) -> pd.Series:
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        bits = (mat @ planes_b.value.T) >= 0
+        return pd.Series((bits != qbits_b.value).sum(1))
+
+    ref = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("ref"))
+    dot = F.expr(_dot_expr("embedding", "ref"))
+    na = F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
+    nr = F.sqrt(F.expr(_dot_expr("ref", "ref")))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .filter(hamming("embedding") <= ANN_HAM_RADIUS)
+        .crossJoin(F.broadcast(ref))
+        .select("vec_id", F.round(dot / (na * nr), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+SQL_ANN_HAMMING = f"""
+WITH planes AS (
+  SELECT p.range AS p, i.range AS i,
+         ((('0x'||substr(md5(p.range::VARCHAR||':'||i.range::VARCHAR),1,8))::BIGINT % 2001) - 1000)/1000.0 AS w
+  FROM range({ANN_HAM_PLANES}) p, range({ANN_HAM_DIM}) i
+),
+wvecs AS (SELECT p, list(w ORDER BY i) AS wvec FROM planes GROUP BY p),
+bits AS (
+  SELECT e.vec_id, w.p,
+         CASE WHEN {_sql_dot('e.embedding', 'w.wvec')} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN wvecs w
+),
+qbits AS (SELECT p, bit FROM bits WHERE vec_id = 0),
+ham AS (
+  SELECT b.vec_id, SUM(CASE WHEN b.bit <> q.bit THEN 1 ELSE 0 END) AS ham
+  FROM bits b JOIN qbits q USING (p) WHERE b.vec_id <> 0 GROUP BY b.vec_id
+),
+cand AS (SELECT vec_id FROM ham WHERE ham <= {ANN_HAM_RADIUS}),
+ref AS (SELECT embedding AS refv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id,
+       round({_sql_dot('e.embedding', 'r.refv')} /
+             (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+              sqrt({_sql_dot('r.refv', 'r.refv')})), 4) AS cos
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN ref r
+ORDER BY cos DESC, vec_id ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1193,6 +1290,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_id": (q_lang_id, SQL_LANG_ID),
     # similarity search
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_hamming": (q_ann_hamming, SQL_ANN_HAMMING),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     # relational coverage
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
