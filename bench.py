@@ -37,6 +37,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "simhash",
     "ann_cosine_topk",
+    "ann_hamming",
     "token_stats",
     "tpch_q1",
     "tpch_q3_topk",

@@ -111,3 +111,50 @@ def test_host_window_counts(spark, tmp_path):
     assert rows[("a.org", "2024-01-01 00:00:00")] == (2, 0.9)
     assert rows[("b.org", "2024-01-01 00:00:00")] == (1, 0.1)
     assert rows[("a.org", "2024-01-01 00:05:00")] == (1, 0.2)
+
+
+def test_host_budget_stream_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState per-host budget: batch 1 admits the top-2
+    links of a.org by priority; batch 2 must admit NOTHING more for a.org
+    (state persisted across micro-batches via the checkpoint) while b.org
+    still gets its own budget."""
+    from webcrawler_spark.streaming import host_budget_stream
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(events, name):
+        _write_events(indir, name, events)
+        links = spark.readStream.schema(LINK_EVENT_SCHEMA).json(indir)
+        out = host_budget_stream(links, max_per_host=2)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(
+        [
+            _ev(1, "http://a.org/1", "a.org", 0.5),
+            _ev(1, "http://a.org/2", "a.org", 0.9),
+            _ev(1, "http://a.org/3", "a.org", 0.7),
+        ],
+        "b1.json",
+    )
+    got1 = {r["url"] for r in spark.read.parquet(outdir).collect()}
+    assert got1 == {"http://a.org/2", "http://a.org/3"}  # top-2 by priority
+
+    run_batch(
+        [
+            _ev(2, "http://a.org/4", "a.org", 9.9),  # over budget — dropped
+            _ev(2, "http://b.org/1", "b.org", 0.1),
+        ],
+        "b2.json",
+    )
+    got2 = {r["url"] for r in spark.read.parquet(outdir).collect()}
+    assert got2 == got1 | {"http://b.org/1"}

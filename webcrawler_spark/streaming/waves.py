@@ -58,6 +58,43 @@ def host_window_counts(
     )
 
 
+#: output/state schemas for host_budget_stream (module-level so callers
+#: and tests can assert against them)
+BUDGET_OUT_SCHEMA = "url string, host string, priority double"
+BUDGET_STATE_SCHEMA = "used long"
+
+
+def host_budget_stream(links: DataFrame, max_per_host: int) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): a per-host crawl
+    budget enforced ACROSS micro-batches — the streaming twin of the batch
+    engine's ``per_host_budget`` (F5, EvaluatePriorityMatrix.scala:206-215
+    politeness cap). Each host's group keeps one long of state (URLs
+    admitted so far); a micro-batch admits its highest-priority links
+    (priority desc, url asc — deterministic) until the host's lifetime
+    budget is spent, then drops the rest forever. State is O(hosts), not
+    O(links) — at a 10^10-URL frontier the state store holds one counter
+    per host."""
+    import pandas as pd
+
+    def admit(key, pdfs, state):
+        used = state.get[0] if state.exists else 0
+        remaining = max(0, max_per_host - used)
+        batch = pd.concat(list(pdfs))  # one host's slice of the micro-batch
+        take = batch.sort_values(["priority", "url"], ascending=[False, True]).iloc[
+            :remaining
+        ]
+        state.update((used + len(take),))
+        yield take[["url", "host", "priority"]]
+
+    return links.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType=BUDGET_OUT_SCHEMA,
+        stateStructType=BUDGET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_frontier_stream(
     spark: SparkSession,
     links: DataFrame,
