@@ -352,6 +352,84 @@ WHERE round(i / (ca.n + cb.n - i), 4) >= 0.5
 """
 
 
+def connected_components(edges: DataFrame, max_iters: int = 32) -> DataFrame:
+    """Connected components by min-label propagation: every node starts as
+    its own representative; each round a node's rep becomes the min of its
+    own and its neighbours' current reps; fixpoint in O(component diameter)
+    rounds. Near-dup clusters have tiny diameters (pairs/triangles), so
+    this converges in 2-3 rounds; a corpus with genuinely deep chains
+    would swap in the large-star/small-star contraction, same contract.
+    ``edges`` is (a_id, b_id) undirected-as-one-direction; returns
+    (doc_id, rep) over the nodes that appear in edges only — callers join
+    singletons back themselves."""
+    both = edges.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).union(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    both = both.localCheckpoint()  # reused every round — cut the lineage once
+    labels = both.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "rep", F.col("doc_id")
+    )
+    for _ in range(max_iters):
+        nb_min = (
+            both.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("rep").alias("nrep")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nrep").alias("nb"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new = labels.join(nb_min, "doc_id", "left").select(
+            "doc_id", F.least("rep", F.coalesce("nb", "rep")).alias("rep")
+        )
+        new = new.localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup RESOLUTION — the step after candidate generation that a
+    training-data pipeline actually ships: group the ngram-Jaccard pairs
+    into connected components and keep the min-doc_id representative per
+    component (doc_id == rep <=> keep). DuckDB checks the full closure
+    with a recursive CTE, so the iterative Spark propagation is
+    hash-verified against an exact transitive answer."""
+    pairs = ngram_jaccard(_docs_parallel(spark, sf_dir)).select("a_id", "b_id")
+    comps = connected_components(pairs)
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(comps, "doc_id", "left").select(
+        "doc_id", F.coalesce("rep", F.col("doc_id")).alias("rep")
+    )
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({{NGRAM}}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lab FROM edges
+  UNION
+  SELECT e.dst AS node, r.lab AS lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lab) AS rep FROM reach GROUP BY node)
+SELECT d.doc_id AS doc_id, COALESCE(c.rep, d.doc_id) AS rep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""".replace("{NGRAM}", SQL_NGRAM_JACCARD_PAIRS)
+
+
 _NGRAM_MAX_DF = 5
 
 
@@ -1271,6 +1349,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "simhash": (q_simhash, SQL_SIMHASH),
     # scoring / aggregation / graph (§2.6-2.7)
