@@ -33,3 +33,35 @@ def test_garbage_and_truncation():
     assert parse_image(b"notanimage") is None
     assert parse_image(make_png(4, 4)[:15]) is None
     assert parse_image(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") is None
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from webcrawler_spark.kernels.media import make_wav, parse_wav
+
+    b = make_wav(16000, 48000, channels=2, bits=16)
+    assert len(b) == 44
+    assert parse_wav(b) == (16000, 2, 16, 48000)
+    # the parser walks chunks — a LIST chunk before fmt must be skipped
+    import struct
+
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx"  # odd size: word-align pad
+    spliced = b[:12] + lst + b"\x00" + b[12:]
+    assert parse_wav(spliced) == (16000, 2, 16, 48000)
+
+
+def test_wav_garbage_and_truncation():
+    from webcrawler_spark.kernels.media import make_wav, parse_wav
+
+    assert parse_wav(b"RIFFxxxxJUNK") is None
+    assert parse_wav(b"") is None
+    assert parse_wav(make_wav(8000, 10)[:16]) is None
+
+
+def test_avi_roundtrip_and_garbage():
+    from webcrawler_spark.kernels.media import make_avi, parse_avi
+
+    b = make_avi(640, 360, 250, us_per_frame=40000)
+    assert parse_avi(b) == (40000, 250, 640, 360)
+    assert parse_avi(b"RIFF\x00\x00\x00\x00WAVE") is None  # wrong RIFF form
+    assert parse_avi(b[:30]) is None
+    assert parse_avi(b"") is None

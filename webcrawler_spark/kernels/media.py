@@ -76,3 +76,104 @@ def parse_image(blob: bytes) -> tuple[str, int, int] | None:
             i += 2 + seg_len
         return None
     return None
+
+
+def make_wav(
+    sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16
+) -> bytes:
+    """A REAL RIFF/WAVE container: RIFF header, complete fmt chunk
+    (PCM, byte-rate and block-align derived fields included), and a data
+    chunk header sized for ``n_samples`` frames (no payload bytes — header
+    parsers like ours are exercised on authentic structure). 44 bytes."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def parse_wav(blob: bytes) -> tuple[int, int, int, int] | None:
+    """RIFF/WAVE structural parse: verify RIFF/WAVE magic, then walk the
+    chunk list (not fixed offsets — fmt may be preceded by LIST etc.),
+    reading PCM params from ``fmt `` and the frame count from ``data``.
+    Returns (sample_rate, channels, bits, n_samples) or None."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = ch = bits = block_align = None
+    n_samples = None
+    while i + 8 <= len(blob):
+        cid = blob[i : i + 4]
+        size = struct.unpack("<I", blob[i + 4 : i + 8])[0]
+        if cid == b"fmt " and size >= 16 and i + 8 + 16 <= len(blob):
+            _, ch, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", blob[i + 8 : i + 24]
+            )
+        elif cid == b"data" and block_align:
+            n_samples = size // block_align
+        # chunks are word-aligned in RIFF
+        i += 8 + size + (size & 1)
+    if rate is None or n_samples is None:
+        return None
+    return (rate, ch, bits, n_samples)
+
+
+def make_avi(
+    width: int, height: int, total_frames: int, us_per_frame: int = 33333
+) -> bytes:
+    """A REAL AVI container skeleton: RIFF/'AVI ' header, LIST/'hdrl'
+    with a complete 56-byte 'avih' main header (frame period, frame
+    count, dimensions). No movi payload — header parsers are exercised
+    on authentic RIFF structure, like make_png/make_wav."""
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame,  # dwMicroSecPerFrame
+        0,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags (AVIF_HASINDEX)
+        total_frames,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        0,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+def parse_avi(blob: bytes) -> tuple[int, int, int, int] | None:
+    """AVI structural parse: verify RIFF/'AVI ' magic, walk top-level
+    chunks for LIST/'hdrl', then walk the list body for 'avih' and read
+    (us_per_frame, total_frames, width, height). Returns None for
+    unrecognized/truncated input."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+    i = 12
+    while i + 8 <= len(blob):
+        cid = blob[i : i + 4]
+        size = struct.unpack("<I", blob[i + 4 : i + 8])[0]
+        if cid == b"LIST" and blob[i + 8 : i + 12] == b"hdrl":
+            j = i + 12
+            end = min(i + 8 + size, len(blob))
+            while j + 8 <= end:
+                sub = blob[j : j + 4]
+                ssz = struct.unpack("<I", blob[j + 4 : j + 8])[0]
+                if sub == b"avih" and j + 8 + 40 <= len(blob):
+                    vals = struct.unpack("<10I", blob[j + 8 : j + 48])
+                    return (vals[0], vals[4], vals[8], vals[9])
+                j += 8 + ssz + (ssz & 1)
+            return None
+        i += 8 + size + (size & 1)
+    return None

@@ -1331,6 +1331,152 @@ ORDER BY cos DESC, vec_id ASC LIMIT 20
 """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of q_multimodal_decode: each doc gets an authentic
+    RIFF/WAVE container (complete fmt + data chunk headers) whose PCM
+    params derive in closed form from (doc_id, length(text)), and the
+    Arrow-batched decode pass must genuinely walk the RIFF chunk list it
+    is handed. DuckDB verifies the round trip from the same closed form.
+    A production deployment swaps kernels.media.parse_wav for
+    soundfile/ffmpeg behind the identical (bytes) -> metadata contract."""
+    from pyspark.sql import types as T
+
+    from webcrawler_spark.kernels.media import make_wav, parse_wav
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("bits", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                rate = 8000 * (int(doc_id) % 3 + 1)  # 8/16/24 kHz
+                ch = int(doc_id) % 2 + 1
+                n = int(n_chars) * 100 + 1
+                blob = make_wav(rate, n, channels=ch, bits=16)
+                meta = parse_wav(blob)  # the real structural parse
+                r, c, b, ns = meta if meta else (None, None, None, None)
+                rows.append((int(doc_id), r, c, b, ns, ns * 1000 // r))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "channels",
+                    "bits",
+                    "n_samples",
+                    "duration_ms",
+                ],
+            )
+
+    return docs.mapInPandas(decode, out_schema)
+
+
+SQL_AUDIO_DECODE = """
+SELECT doc_id,
+       CAST(8000 * (doc_id % 3 + 1) AS INTEGER) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bits,
+       CAST(length(text) * 100 + 1 AS BIGINT) AS n_samples,
+       CAST((length(text) * 100 + 1) * 1000 // (8000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+_FRAME_STRIDE = 10
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video leg of the multimodal family: each doc gets an authentic AVI
+    (RIFF LIST/hdrl/avih) header whose frame count / rate / dimensions
+    derive in closed form from (doc_id, length(text)); the Arrow pass
+    structurally parses it, then FRAME-SAMPLING runs as a distributed
+    explode(sequence(0, frames-1, stride)) — the Spark plumbing a real
+    ffmpeg-backed sampler would feed (at 100 TB the explode is the shape:
+    per-frame rows with timestamps, never a driver loop)."""
+    from pyspark.sql import types as T
+
+    from webcrawler_spark.kernels.media import make_avi, parse_avi
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+    meta_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("us_per_frame", T.LongType()),
+            T.StructField("total_frames", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                upf = 1000000 // (int(doc_id) % 3 * 5 + 20)  # 20/25/30 fps
+                frames = int(n_chars) % 300 + 30
+                w, h = 320 * (int(doc_id) % 2 + 1), 180 * (int(doc_id) % 2 + 1)
+                blob = make_avi(w, h, frames, us_per_frame=upf)
+                meta = parse_avi(blob)  # the real structural parse
+                u, f, pw, ph = meta if meta else (None, None, None, None)
+                rows.append((int(doc_id), u, f, pw, ph))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "us_per_frame", "total_frames", "width", "height"],
+            )
+
+    meta = docs.mapInPandas(decode, meta_schema)
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("total_frames") - 1, F.lit(_FRAME_STRIDE)
+            )
+        ).alias("frame_idx"),
+        "us_per_frame",
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.expr("(frame_idx * us_per_frame) div 1000").alias("ts_ms"),
+        "width",
+        "height",
+    )
+
+
+SQL_VIDEO_FRAME_SAMPLE = f"""
+WITH meta AS (
+  SELECT doc_id,
+         CAST(1000000 // (doc_id % 3 * 5 + 20) AS BIGINT) AS us_per_frame,
+         CAST(length(text) % 300 + 30 AS INTEGER) AS total_frames,
+         CAST(320 * (doc_id % 2 + 1) AS INTEGER) AS width,
+         CAST(180 * (doc_id % 2 + 1) AS INTEGER) AS height
+  FROM documents
+)
+SELECT doc_id,
+       CAST(f.frame_idx AS INTEGER) AS frame_idx,
+       CAST(f.frame_idx * us_per_frame // 1000 AS BIGINT) AS ts_ms,
+       width, height
+FROM meta, unnest(range(0, total_frames, {_FRAME_STRIDE})) AS f(frame_idx)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1378,6 +1524,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
+    "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "tune_vocabulary": (q_tune_vocabulary, None),
     "sampler_pivot": (q_sampler_pivot, None),
 }
