@@ -65,3 +65,47 @@ def test_avi_roundtrip_and_garbage():
     assert parse_avi(b"RIFF\x00\x00\x00\x00WAVE") is None  # wrong RIFF form
     assert parse_avi(b[:30]) is None
     assert parse_avi(b"") is None
+
+
+def test_media_roundtrip_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webcrawler_spark.kernels.media import (
+        make_avi,
+        make_jpeg,
+        make_png,
+        make_wav,
+        parse_avi,
+        parse_image,
+        parse_wav,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(1, 65535),
+        h=st.integers(1, 65535),
+        rate=st.integers(1, 192000),
+        n=st.integers(0, 10**6),
+        ch=st.integers(1, 8),
+        bits=st.sampled_from([8, 16, 24, 32]),
+        frames=st.integers(0, 10**6),
+        upf=st.integers(1, 10**6),
+    )
+    def prop(w, h, rate, n, ch, bits, frames, upf):
+        assert parse_image(make_png(w, h)) == ("png", w, h)
+        assert parse_image(make_jpeg(w, h)) == ("jpeg", w, h)
+        assert parse_wav(make_wav(rate, n, channels=ch, bits=bits)) == (
+            rate,
+            ch,
+            bits,
+            n,
+        )
+        assert parse_avi(make_avi(w, h, frames, us_per_frame=upf)) == (
+            upf,
+            frames,
+            w,
+            h,
+        )
+
+    prop()
