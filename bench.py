@@ -38,6 +38,9 @@ HEADLINE = [
     "simhash",
     "ann_cosine_topk",
     "ann_hamming",
+    "dedup_components",
+    "audio_decode",
+    "video_frame_sample",
     "token_stats",
     "tpch_q1",
     "tpch_q3_topk",
