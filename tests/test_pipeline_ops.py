@@ -1,0 +1,155 @@
+"""Training-data pipeline ops added in round 3: PII scrub, intra-doc
+repetition filter, benchmark decontamination. Ground-truth semantics are
+pinned here; Spark<->DuckDB parity is pinned by the driver oracle (and
+scripts/check_oracle.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from webcrawler_spark.queries import (
+    _DECON_MOD,
+    _DECON_N,
+    _RE_EMAIL,
+    _RE_IP,
+    _RE_PHONE,
+    q_decontaminate,
+    q_pii_scrub,
+    q_repetition_filter,
+    q_token_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- pii_scrub
+
+
+def test_pii_scrub_counts_injected_ground_truth(spark):
+    rows = {r.doc_id: r for r in q_pii_scrub(spark, SF).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        if doc_id % 3 == 0:
+            # the deterministic injection adds exactly one of each
+            assert r.n_emails == 1, doc_id
+            assert r.n_phones == 1, doc_id
+            assert r.n_ips == 1, doc_id
+        else:
+            # word-salad base text carries no PII patterns
+            assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 0), doc_id
+
+
+def test_pii_scrub_redacts_what_python_re_redacts(spark):
+    """Re-derive the scrub in Python re (same regex source strings) for a
+    handful of injected docs and compare md5 signatures."""
+    import hashlib
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {r.doc_id: r.scrub_sig for r in q_pii_scrub(spark, SF).collect()}
+    checked = 0
+    for doc_id, text in sorted(docs.items())[:30]:
+        t2 = text
+        if doc_id % 3 == 0:
+            t2 = (
+                f"{text} contact user{doc_id}@example.com or "
+                f"555-{(doc_id * 7) % 1000:03d}-{doc_id % 10000:04d} "
+                f"ip 10.{doc_id % 256}.0.1"
+            )
+        scrubbed = re.sub(_RE_EMAIL, "<EMAIL>", t2)
+        scrubbed = re.sub(_RE_PHONE, "<PHONE>", scrubbed)
+        scrubbed = re.sub(_RE_IP, "<IP>", scrubbed)
+        assert got[doc_id] == hashlib.md5(scrubbed.encode()).hexdigest()
+        checked += 1
+    assert checked == 30
+
+
+def test_pii_scrub_prunes_documents_scan(spark):
+    p = plan_str(q_pii_scrub(spark, SF))
+    scan_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("source", "n_chars", "lang"):
+        assert col not in scan_schema
+
+
+# ------------------------------------------------------- repetition_filter
+
+
+def test_repetition_filter_matches_python_recount(spark):
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    out = {r.doc_id: r for r in q_repetition_filter(spark, SF).collect()}
+    toks_of = {
+        d: [t for t in re.split(r"\s+", text.lower()) if t]
+        for d, text in docs.items()
+    }
+    for d, toks in toks_of.items():
+        if len(toks) < 2:
+            assert d not in out
+            continue
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        from collections import Counter
+
+        c = Counter(bgs)
+        r = out[d]
+        assert r.n_bigrams == len(bgs)
+        # Spark rounds HALF_UP, Python banker's — compare unrounded within
+        # half an ulp of the 4-dp rounding
+        assert abs(r.top_bigram_frac - max(c.values()) / len(bgs)) <= 5.0001e-5
+        assert abs(r.dup_tok_frac - (1.0 - len(set(toks)) / len(toks))) <= 5.0001e-5
+        assert r.keep == (r.top_bigram_frac <= 0.18 and r.dup_tok_frac <= 0.9)
+
+
+def test_repetition_filter_consistent_with_token_stats(spark):
+    ts = {r.doc_id: r for r in q_token_stats(spark, SF).collect()}
+    for r in q_repetition_filter(spark, SF).collect():
+        assert r.n_bigrams == ts[r.doc_id].n_tokens - 1
+
+
+# ----------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_matches_python_recount(spark):
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    shingles = {}
+    for d, text in docs.items():
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        shingles[d] = {
+            " ".join(toks[i : i + _DECON_N])
+            for i in range(len(toks) - _DECON_N + 1)
+        }
+    ev = set()
+    for d, sh in shingles.items():
+        if d % _DECON_MOD == 0:
+            ev |= sh
+    expect = {
+        d: len(sh & ev)
+        for d, sh in shingles.items()
+        if d % _DECON_MOD != 0 and sh & ev
+    }
+    got = {r.doc_id: r.n_hit_ngrams for r in q_decontaminate(spark, SF).collect()}
+    assert got == expect
+    assert got, "decontaminate oracle must be non-trivial at sf0.001"
+    # eval docs never flag themselves
+    assert all(d % _DECON_MOD != 0 for d in got)
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    p = plan_str(q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

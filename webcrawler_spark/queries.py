@@ -861,6 +861,201 @@ FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents) t
 """
 
 
+# PII injection shared by q_pii_scrub and its oracle: every third document
+# gets a deterministic email / US-phone / IPv4 appended, so the scrub
+# operator is exercised on known ground truth while the input stays the
+# driver's documents table. The expression is written once per engine
+# dialect and MUST stay semantically identical.
+_PII_SPARK = (
+    "case when doc_id % 3 = 0 then concat(text, ' contact user', doc_id, "
+    "'@example.com or 555-', lpad(cast((doc_id * 7) % 1000 as string), 3, '0'), "
+    "'-', lpad(cast(doc_id % 10000 as string), 4, '0'), "
+    "' ip 10.', cast(doc_id % 256 as string), '.0.1') else text end"
+)
+_PII_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id || "
+    "'@example.com or 555-' || lpad(((doc_id * 7) % 1000)::VARCHAR, 3, '0') || "
+    "'-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+    "' ip 10.' || (doc_id % 256)::VARCHAR || '.0.1' ELSE text END"
+)
+
+# common-subset regexes (Java regex on Spark, RE2 on DuckDB): character
+# classes, bounded quantifiers and \b only. Spark SQL string literals eat
+# one level of backslash (see _TOKS), DuckDB's do not — _sp() doubles them
+# for the Spark side.
+_RE_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_RE_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_RE_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _sp(regex: str) -> str:
+    return regex.replace("\\", "\\\\")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the pre-training scrub pass: find and mask emails,
+    phone numbers and IPv4 addresses with vectorized JVM-side regexes (no
+    Python in the hot path; at 100 TB this is a pure map stage that
+    pipelines with the scan). Counts per category plus an md5 signature of
+    the scrubbed text pin exact redaction behavior."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text2", F.expr(_PII_SPARK)
+    )
+    # order matters: emails contain dots that the IP regex must not see —
+    # scrub emails first, then phones, then IPs.
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text2, '{_sp(_RE_EMAIL)}', "
+        f"'<EMAIL>'), '{_sp(_RE_PHONE)}', '<PHONE>'), '{_sp(_RE_IP)}', '<IP>')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"cast(size(regexp_extract_all(text2, '{_sp(_RE_EMAIL)}', 0)) as bigint)"
+        ).alias("n_emails"),
+        F.expr(
+            f"cast(size(regexp_extract_all(text2, '{_sp(_RE_PHONE)}', 0)) as bigint)"
+        ).alias("n_phones"),
+        F.expr(
+            f"cast(size(regexp_extract_all(text2, '{_sp(_RE_IP)}', 0)) as bigint)"
+        ).alias("n_ips"),
+        F.expr(f"md5({scrub})").alias("scrub_sig"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH d AS (SELECT doc_id, {_PII_SQL} AS text2 FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text2, '{_RE_EMAIL}')) AS n_emails,
+  len(regexp_extract_all(text2, '{_RE_PHONE}')) AS n_phones,
+  len(regexp_extract_all(text2, '{_RE_IP}')) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(text2,
+      '{_RE_EMAIL}', '<EMAIL>', 'g'),
+      '{_RE_PHONE}', '<PHONE>', 'g'),
+      '{_RE_IP}', '<IP>', 'g')) AS scrub_sig
+FROM d
+"""
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (Gopher/C4-style quality rule):
+    fraction of word-bigrams taken by the most frequent bigram, plus the
+    duplicate-token fraction; `keep` applies the thresholds. Bigram counts
+    run as explode -> groupBy (distributed, map-side combined), never a
+    per-doc O(n^2) expression — at 100 TB the explode pipelines with the
+    scan and the two aggregations share one shuffle by doc_id."""
+    docs = _tokens(_docs_parallel(spark, sf_dir)).filter(F.expr("size(toks) >= 2"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")
+        ).alias("bigram"),
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    tok_stats = docs.select(
+        "doc_id",
+        F.expr("cast(size(toks) as bigint)").alias("n_tokens"),
+        F.expr("cast(size(array_distinct(toks)) as bigint)").alias("n_uniq"),
+    )
+    out = per_doc.join(tok_stats, "doc_id")
+    top_frac = F.round(F.col("top_cnt") / F.col("n_bigrams").cast("double"), 4)
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("n_uniq") / F.col("n_tokens").cast("double"), 4
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_tok_frac"),
+        ((top_frac <= 0.18) & (dup_frac <= 0.9)).alias("keep"),
+    )
+
+
+SQL_REPETITION_FILTER = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), d AS (
+  SELECT * FROM toks WHERE len(toks) >= 2
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM d
+), cnts AS (
+  SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram
+), per_doc AS (
+  SELECT doc_id, sum(cnt) AS n_bigrams, max(cnt) AS top_cnt
+  FROM cnts GROUP BY doc_id
+), tok_stats AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq FROM d
+)
+SELECT p.doc_id, p.n_bigrams,
+  round(p.top_cnt / p.n_bigrams::DOUBLE, 4) AS top_bigram_frac,
+  round(1.0 - t.n_uniq / t.n_tokens::DOUBLE, 4) AS dup_tok_frac,
+  (round(p.top_cnt / p.n_bigrams::DOUBLE, 4) <= 0.18
+   AND round(1.0 - t.n_uniq / t.n_tokens::DOUBLE, 4) <= 0.9) AS keep
+FROM per_doc p JOIN tok_stats t USING (doc_id)
+"""
+
+_DECON_N = 4  # n-gram length for the overlap check (13/500 docs hit at sf0.01)
+_DECON_MOD = 37  # doc_id % _DECON_MOD == 0 defines the held-out eval set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any
+    word n-gram with a held-out eval set (the train/test-overlap pass every
+    LLM data pipeline runs before training). The eval side is tiny by
+    construction, so its distinct shingle set is BROADCAST and the scan of
+    the 100 TB training side stays shuffle-free: explode -> broadcast
+    semi-ish join -> partial-agg groupBy on doc_id."""
+    n = _DECON_N
+    docs = _tokens(_docs_parallel(spark, sf_dir))
+    shingled = docs.filter(F.expr(f"size(toks) >= {n}")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+                f"i -> array_join(slice(toks, i + 1, {n}), ' ')))"
+            )
+        ).alias("shingle"),
+    )
+    ev = (
+        shingled.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    train = shingled.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return (
+        train.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - {_DECON_N} + 2),
+                i -> array_to_string(toks[i : i + {_DECON_N} - 1], ' ')))) AS shingle
+  FROM toks WHERE len(toks) >= {_DECON_N}
+), ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_MOD} = 0
+)
+SELECT s.doc_id, count(*) AS n_hit_ngrams
+FROM sh s JOIN ev USING (shingle)
+WHERE s.doc_id % {_DECON_MOD} <> 0
+GROUP BY s.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1513,6 +1708,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # similarity search
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_hamming": (q_ann_hamming, SQL_ANN_HAMMING),
