@@ -82,6 +82,38 @@ def test_pii_scrub_prunes_documents_scan(spark):
         assert col not in scan_schema
 
 
+# ----------------------------------------------------------- text_clean
+
+
+def test_text_clean_ground_truth(spark):
+    """Re-derive the cleanup with Python unicodedata/re on the raw docs:
+    NFC composes the injected combining accent, controls are stripped,
+    whitespace runs collapse."""
+    import hashlib
+    import unicodedata
+
+    from webcrawler_spark.queries import _DAMAGE, q_text_clean
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {r.doc_id: r for r in q_text_clean(spark, SF).collect()}
+    assert set(got) == set(docs)
+    ctrl = re.compile("[\x00-\x08\x0b-\x1f\x7f]")
+    ws = re.compile("[ \t\n\r\x0b\x0c]+")
+    for doc_id, text in docs.items():
+        dirty = text + _DAMAGE if doc_id % 5 == 0 else text
+        clean = ws.sub(" ", ctrl.sub("", unicodedata.normalize("NFC", dirty))).strip()
+        r = got[doc_id]
+        assert r.n_chars_in == len(dirty)
+        assert r.n_chars_out == len(clean)
+        assert r.clean_sig == hashlib.md5(clean.encode()).hexdigest()
+        if doc_id % 5 == 0:
+            # NFC composition + control strip + collapse must shrink it
+            assert r.n_chars_out < r.n_chars_in
+
+
 # ------------------------------------------------------- repetition_filter
 
 

@@ -1003,6 +1003,72 @@ SELECT p.doc_id, p.n_bigrams,
 FROM per_doc p JOIN tok_stats t USING (doc_id)
 """
 
+# text_clean: inject deterministic unicode damage (combining accent,
+# BEL control char, run of spaces) into every fifth document so the
+# cleanup operator has ground truth; same expression per engine dialect.
+# the damage literal is embedded as raw characters: Spark's chr() is
+# ASCII-mod-256 while DuckDB's is code-point, so chr() is not portable
+_DAMAGE = " café x\x07\ttabbed  and  doubled "  # decomposed e+U+0301: NFC must compose
+_DIRTY_SPARK = (
+    f"case when doc_id % 5 = 0 then concat(text, '{_DAMAGE}') else text end"
+)
+_DIRTY_SQL = f"CASE WHEN doc_id % 5 = 0 THEN text || '{_DAMAGE}' ELSE text END"
+# explicit ASCII whitespace class: \s is unicode-aware in Python re but
+# ASCII in RE2 — spell the class out so all three engines agree
+_WS_CLASS = "[ \\t\\n\\r\\x0b\\x0c]+"
+_CTRL_CLASS = "[\\x00-\\x08\\x0b-\\x1f\\x7f]"
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text cleanup — the pre-tokenization pass every training
+    pipeline runs: NFC normalization, control-character strip, whitespace
+    collapse, trim. NFC has no Spark builtin, so this is the one text op
+    implemented as an Arrow-batched pandas UDF (vectorized batch transfer,
+    no per-row Python overhead); everything around it stays JVM-side.
+    DuckDB's nfc_normalize pins the exact same Unicode behavior."""
+    import re as _re
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    ctrl = _re.compile("[\x00-\x08\x0b-\x1f\x7f]")
+    ws = _re.compile("[ \t\n\r\x0b\x0c]+")
+
+    @pandas_udf("string")
+    def clean(col: pd.Series) -> pd.Series:
+        def one(t: str) -> str:
+            t = unicodedata.normalize("NFC", t)
+            t = ctrl.sub("", t)
+            return ws.sub(" ", t).strip()
+
+        return col.map(one)
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .withColumn("dirty", F.expr(_DIRTY_SPARK))
+        .withColumn("clean", clean(F.col("dirty")))
+    )
+    return docs.select(
+        "doc_id",
+        F.expr("cast(length(dirty) as bigint)").alias("n_chars_in"),
+        F.expr("cast(length(clean) as bigint)").alias("n_chars_out"),
+        F.expr("md5(clean)").alias("clean_sig"),
+    )
+
+
+SQL_TEXT_CLEAN = f"""
+WITH d AS (SELECT doc_id, {_DIRTY_SQL} AS dirty FROM documents),
+c AS (SELECT doc_id, dirty,
+        trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+             '{_CTRL_CLASS}', '', 'g'), '{_WS_CLASS}', ' ', 'g')) AS clean
+      FROM d)
+SELECT doc_id,
+       length(dirty) AS n_chars_in,
+       length(clean) AS n_chars_out,
+       md5(clean) AS clean_sig
+FROM c
+"""
+
 _DECON_N = 4  # n-gram length for the overlap check (13/500 docs hit at sf0.01)
 _DECON_MOD = 37  # doc_id % _DECON_MOD == 0 defines the held-out eval set
 
@@ -1709,6 +1775,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
     "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # similarity search
