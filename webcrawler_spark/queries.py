@@ -755,6 +755,120 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _us(col: str) -> "F.Column":
+    """epoch microseconds of a parquet TIMESTAMP_NTZ column — cast through
+    session-tz (UTC) timestamp so it equals DuckDB's epoch_us."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each click matched to the user's most recent view at
+    or before the click (attribution). Spark has no ASOF JOIN operator;
+    the scale-correct composition is the union-and-carry trick: tag both
+    sides, ONE shuffle by user, sort by event time within the partition,
+    and carry the latest view forward with last(..., ignorenulls) — never
+    a range join (whose candidate blow-up is quadratic in events/user).
+    DuckDB's native ASOF JOIN is the oracle."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("bigint").alias("v_id"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    # at equal ts the view sorts first (is_click asc) => inclusive <=
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(views).select(
+        "user_id",
+        "ts",
+        "click_id",
+        "is_click",
+        F.last("v_id", ignorenulls=True).over(w).alias("view_id"),
+        F.last("v_ts", ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return carried.filter(F.col("is_click") == 1).select(
+        "click_id",
+        "user_id",
+        _us("ts").alias("click_ts_us"),
+        "view_id",
+        _us("view_ts").alias("view_ts_us"),
+        (_us("ts") - _us("view_ts")).alias("gap_us"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+     views  AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.click_id, c.user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       v.view_id,
+       epoch_us(v.ts) AS view_ts_us,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+_SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12 h inactivity closes a session
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the canonical event-analytics stateful
+    operator expressed statelessly: lag() marks session starts, a running
+    sum numbers them, one groupBy folds per-session metrics. One shuffle
+    by user; both windows and the aggregation reuse the same hash
+    partitioning (no second exchange). In streaming mode the same
+    semantics run via session_window(ts, '12 hours') with a watermark."""
+    ev = _read(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = _us("ts") - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(wo))
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0),
+    ).withColumn("session_num", F.sum("new_sess").over(run))
+    return sess.groupBy("user_id", "session_num").agg(
+        F.count("*").alias("n_events"),
+        F.min(_us("ts")).alias("start_us"),
+        F.max(_us("ts")).alias("end_us"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM g
+)
+SELECT user_id, session_num, count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_num
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. text analysis (training-data pipeline surface over `documents`)
 # ---------------------------------------------------------------------------
@@ -1767,6 +1881,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "feature_count_filter": (q_feature_count_filter, SQL_FEATURE_COUNT_FILTER),
     "wave_metrics": (q_wave_metrics, SQL_WAVE_METRICS),
     "hourly_rollup": (q_hourly_rollup, SQL_HOURLY_ROLLUP),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     # text analysis
