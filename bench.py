@@ -41,6 +41,12 @@ HEADLINE = [
     "dedup_components",
     "audio_decode",
     "video_frame_sample",
+    "pii_scrub",
+    "text_clean",
+    "repetition_filter",
+    "decontaminate",
+    "asof_join",
+    "sessionize",
     "token_stats",
     "tpch_q1",
     "tpch_q3_topk",

@@ -1509,6 +1509,70 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HB_BUDGET = 40  # lifetime per-host admission budget for the stream
+
+
+def q_host_budget_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator driven end-to-end: events become
+    a link stream (3 deterministic micro-batches via maxFilesPerTrigger),
+    applyInPandasWithState enforces a lifetime per-host budget ACROSS
+    batches (O(hosts) state), and the result folds to per-host admission
+    counts. The oracle checks the operator's cross-batch invariant —
+    admitted(host) == least(n_links(host), budget) — which batch
+    boundaries cannot change; the within-batch selection itself is pinned
+    by tests/test_streaming.py."""
+    import tempfile
+
+    from webcrawler_spark.streaming.waves import host_budget_stream
+
+    ev = _read(spark, sf_dir, "events")
+    links = ev.select(
+        F.concat(
+            F.lit("http://h"),
+            F.col("user_id"),
+            F.lit(".com/p"),
+            F.col("event_id"),
+        ).alias("url"),
+        F.concat(F.lit("h"), F.col("user_id")).alias("host"),
+        F.col("value").alias("priority"),
+        (F.col("event_id") % 3).alias("_b"),
+    )
+    workdir = tempfile.mkdtemp(prefix="hbstream_")
+    in_dir = f"{workdir}/in"
+    # one file per batch id => 3 micro-batches under maxFilesPerTrigger=1
+    links.repartition(1).write.partitionBy("_b").parquet(in_dir)
+
+    stream_in = (
+        spark.readStream.schema("url string, host string, priority double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/_b=*")
+    )
+    admitted = host_budget_stream(stream_in, max_per_host=_HB_BUDGET)
+    # unique sink name: the workdir suffix — a second run in the same
+    # session must not collide with the first run's memory table
+    qname = "host_budget_admitted_" + workdir.rsplit("_", 1)[-1]
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("host")
+        .agg(F.count("*").alias("n_admitted"))
+    )
+
+
+SQL_HOST_BUDGET_STREAM = f"""
+SELECT 'h' || user_id AS host,
+       least(count(*), {_HB_BUDGET}) AS n_admitted
+FROM events GROUP BY user_id
+"""
+
+
 def q_tune_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1-L4 — perceptron word-weight learning over a document graph
     (TuneVocabulary.scala:12-108). Iterative driver loop over distributed
@@ -1908,6 +1972,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "tune_vocabulary": (q_tune_vocabulary, None),
+    "host_budget_stream": (q_host_budget_stream, SQL_HOST_BUDGET_STREAM),
     "sampler_pivot": (q_sampler_pivot, None),
 }
 

@@ -79,7 +79,12 @@ def host_budget_stream(links: DataFrame, max_per_host: int) -> DataFrame:
     def admit(key, pdfs, state):
         used = state.get[0] if state.exists else 0
         remaining = max(0, max_per_host - used)
-        batch = pd.concat(list(pdfs))  # one host's slice of the micro-batch
+        parts = [p for p in pdfs if len(p)]  # drop empties: concat of
+        # all-NA frames is deprecated and the result dtype would drift
+        if not parts:
+            state.update((used,))
+            return
+        batch = pd.concat(parts)  # one host's slice of the micro-batch
         take = batch.sort_values(["priority", "url"], ascending=[False, True]).iloc[
             :remaining
         ]
