@@ -822,6 +822,31 @@ FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.ts <= c.ts
 """
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group — Spark's percentile() and
+    DuckDB's quantile_cont() share the linear-interpolation definition, so
+    this pins distribution-summary parity. At 100 TB you'd swap in
+    percentile_approx (t-digest, mergeable map-side sketch); the exact
+    form is the oracle-able baseline."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 _SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12 h inactivity closes a session
 
 
@@ -1947,6 +1972,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hourly_rollup": (q_hourly_rollup, SQL_HOURLY_ROLLUP),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     # text analysis
