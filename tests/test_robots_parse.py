@@ -65,6 +65,35 @@ def test_longest_match_allow_wins_ties():
     assert is_allowed(r2, "/abc")
 
 
+def test_render_parse_round_trip_property():
+    """Any rule set rendered as robots.txt parses back identically."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    path = st.text(
+        alphabet="abcdefghij/-_.~%", min_size=1, max_size=20
+    ).map(lambda s: "/" + s.lstrip("/"))
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        dis=st.lists(path, max_size=5),
+        allow=st.lists(path, max_size=5),
+        delay_ms=st.integers(0, 10_000_000),
+    )
+    def run(dis, allow, delay_ms):
+        txt = "User-agent: *\n"
+        txt += "".join(f"Disallow: {p}\n" for p in dis)
+        txt += "".join(f"Allow: {p}\n" for p in allow)
+        if delay_ms:
+            txt += f"Crawl-delay: {delay_ms / 1000}\n"
+        r = parse_robots(txt)
+        assert r.disallow_prefixes == dis
+        assert r.allow_prefixes == allow
+        assert r.crawl_delay_ms == delay_ms
+
+    run()
+
+
 def test_distributed_parse_matches_synth_robots_table(spark):
     """Render the synth robots rules as real robots.txt text, parse it
     back distributed, and compare to the table the crawl e2e consumes."""

@@ -82,7 +82,8 @@ def parse_robots(text: str | bytes, agent: str = "*") -> RobotsRules:
                     cur_rules.allow_prefixes.append(value)
             elif key == "crawl-delay":
                 try:
-                    cur_rules.crawl_delay_ms = int(float(value) * 1000)
+                    # round, don't truncate: 0.003 * 1000 is 2.999… in IEEE
+                    cur_rules.crawl_delay_ms = int(round(float(value) * 1000))
                 except ValueError:
                     pass
         # rules before any user-agent line are ignored per spec
