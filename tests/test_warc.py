@@ -104,6 +104,42 @@ def test_distributed_round_trip(spark, gz):
     assert got == orig
 
 
+def test_crawl_from_warc_segments_matches_parquet_pages(spark, tmp_path):
+    """The engine consumes a WARC-sourced page table identically to the
+    canonical parquet shape: same dispatch order and accepted set under
+    the same seeds and budget — the Common-Crawl ingestion path e2e."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.plans.crawler import SparkCrawler
+    from webcrawler_spark.sources.synth import SiteSpec, gen_pages
+
+    spec = SiteSpec(n_pages=40, n_hosts=2, n_topics=2, seed=42, private_frac=0.0)
+    pages = gen_pages(spec)
+    seeds = [p["url"] for p in pages if p["_topic"] == 0][:2]
+    cfg = CrawlConfig(
+        seeds=tuple(seeds), limit=8, targets=3, targeting=0.001,
+        allhosts=True, budget=4, respect_robots=False,
+    )
+
+    plain = spark.createDataFrame(
+        [(p["url"], p["html"]) for p in pages], "url string, html binary"
+    ).cache()
+    a = SparkCrawler(spark, cfg, plain, str(tmp_path / "a"), checkpoint_every=50).run()
+
+    full = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], p["html"]) for p in pages],
+        "url string, warc_ts timestamp, html binary",
+    )
+    segs = pages_to_warc_df(full, n_segments=3, per_record_gzip=True)
+    from_warc = read_warc_df(segs.select("blob")).select("url", "html").cache()
+    assert from_warc.count() == len(pages)
+    b = SparkCrawler(
+        spark, cfg, from_warc, str(tmp_path / "b"), checkpoint_every=50
+    ).run()
+
+    assert a.dispatched == b.dispatched
+    assert a.accepted == b.accepted
+
+
 def test_read_warc_df_no_shuffle(spark):
     import contextlib
     import io as _io

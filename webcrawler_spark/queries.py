@@ -822,6 +822,40 @@ FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.ts <= c.ts
 """
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing — the Pile/Dolma recipe step: take a
+    per-source quota of documents, chosen by content-stable hash rank so
+    the mix is reproducible across runs and engines (no RNG, no shuffle
+    nondeterminism). Quota: sources with an even numeric suffix are
+    upweighted 2:1. One shuffle (rank by source); at 100 TB the same plan
+    holds — rank is a per-partition top-k after hash partitioning by
+    source, never a global sort."""
+    docs = _read(spark, sf_dir, "documents")
+    quota = F.expr(
+        "case when cast(substring(source, 4) as int) % 2 = 0 then 20 else 10 end"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.expr("md5(cast(doc_id as string))")
+    )
+    return (
+        docs.withColumn("mix_rank", F.row_number().over(w))
+        .withColumn("quota", quota)
+        .filter(F.col("mix_rank") <= F.col("quota"))
+        .select("doc_id", "source", "mix_rank")
+    )
+
+
+SQL_SOURCE_MIX = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(doc_id::VARCHAR)) AS INTEGER) AS mix_rank,
+         CASE WHEN substring(source, 4)::INT % 2 = 0 THEN 20 ELSE 10 END AS quota
+  FROM documents)
+SELECT doc_id, source, mix_rank FROM r WHERE mix_rank <= quota
+"""
+
+
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group — Spark's percentile() and
     DuckDB's quantile_cont() share the linear-interpolation definition, so
@@ -1973,6 +2007,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
+    "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     # text analysis
