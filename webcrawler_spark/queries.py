@@ -822,6 +822,57 @@ FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.ts <= c.ts
 """
 
+_WARC_EPOCH = 1_700_000_000  # fixed capture-time base for the round trip
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container kernel driven end-to-end: documents become real
+    WARC/1.0 response records (one per doc, 97 gzip segment blobs built
+    with applyInPandas), then read back through the tolerant record
+    walker (read_warc_df). The oracle re-derives every parsed field in
+    closed form from the source table — same pattern as
+    multimodal_decode: the structure that survives the byte round trip
+    IS the check."""
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    from webcrawler_spark.sources.warc import read_warc_df, write_warc
+
+    docs = _docs_parallel(spark, sf_dir).select(
+        "doc_id", "text", (F.col("doc_id") % 97).alias("_seg")
+    )
+
+    def pack(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        rows = [
+            (
+                f"http://w{int(d)}.example/doc",
+                datetime.fromtimestamp(_WARC_EPOCH + int(d), tz=timezone.utc),
+                t.encode("utf-8"),
+            )
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame({"blob": [write_warc(rows, per_record_gzip=True)]})
+
+    blobs = docs.groupBy("_seg").applyInPandas(pack, "blob binary")
+    back = read_warc_df(blobs)
+    return back.select(
+        "url",
+        F.unix_micros("warc_ts").alias("ts_us"),
+        F.expr("cast(length(html) as bigint)").alias("n_bytes"),
+        F.expr("md5(html)").alias("payload_sig"),
+    )
+
+
+SQL_WARC_ROUNDTRIP = f"""
+SELECT 'http://w' || doc_id || '.example/doc' AS url,
+       (doc_id + {_WARC_EPOCH}) * 1000000 AS ts_us,
+       strlen(text) AS n_bytes,
+       md5(text) AS payload_sig
+FROM documents
+"""
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data mixing — the Pile/Dolma recipe step: take a
     per-source quota of documents, chosen by content-stable hash rank so
@@ -2008,6 +2059,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     # text analysis
