@@ -1007,6 +1007,40 @@ FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) t
 """
 
 
+# GPT-2-style pre-tokenizer, constrained to the Java-regex ∩ RE2 subset
+# (no lookahead: RE2 rejects the original pattern's (?!\S)): a token is a
+# letter run, a digit run, or a punctuation run, each with an optional
+# single leading space.
+_RE_BPE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish half (SURVEY training-data surface): count
+    pre-tokenizer segments per document next to the whitespace count, plus
+    the chars-per-token ratio every data ablation reports. Pure JVM regex
+    map stage — pipelines with the scan at 100 TB."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"cast(size(regexp_extract_all(text, '{_sp(_RE_BPE)}', 0)) as bigint)"
+        ).alias("n_bpe_tokens"),
+        F.expr(f"cast(size({_TOKS}) as bigint)").alias("n_ws_tokens"),
+        F.expr(
+            f"round(length(text) / cast(size(regexp_extract_all(text, '{_sp(_RE_BPE)}', 0)) as double), 4)"
+        ).alias("chars_per_tok"),
+    )
+
+
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_RE_BPE}')) AS n_bpe_tokens,
+       len({_SQL_TOKS}) AS n_ws_tokens,
+       round(length(text) / len(regexp_extract_all(text, '{_RE_BPE}'))::DOUBLE, 4) AS chars_per_tok
+FROM documents
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + length signal (linear, per-row
     deterministic)."""
@@ -2064,6 +2098,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
