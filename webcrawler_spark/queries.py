@@ -1807,6 +1807,72 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(decode, out_schema)
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extract + resize: build a deterministic RGB
+    gradient bitmap per document (numpy), nearest-neighbor-resize it to a
+    16x16 thumbnail with vectorized index arithmetic (the real batch
+    image path — at 100 TB this exact mapInPandas shape wraps
+    PIL.Image.resize), and report per-channel thumbnail means. The
+    oracle replays the NN sampling lattice in closed form — the resize
+    indices and pixel function are the contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            # exact integer pixel sums: a k/256 thumbnail mean can land
+            # exactly on a 4-dp rounding half, where Python (banker's)
+            # and Spark/DuckDB (half-up) disagree
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+        ]
+    )
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, w, h = int(doc_id), int(n_chars) % 640 + 8, (int(doc_id) * 7) % 480 + 8
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                r = (x * 3 + y * 5 + d) % 256  # full h x w bitmaps
+                g = (x * 7 + y * 11 + d * 13) % 256
+                xi = (np.arange(16) * w) // 16  # NN sample lattice
+                yj = (np.arange(16) * h) // 16
+                thumb_r = r[np.ix_(yj, xi)]
+                thumb_g = g[np.ix_(yj, xi)]
+                rows.append(
+                    (d, w, h, int(thumb_r.sum()), int(thumb_g.sum()))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "w", "h", "r_sum", "g_sum"])
+
+    return docs.mapInPandas(resize, out_schema)
+
+
+SQL_IMAGE_RESIZE = """
+WITH d AS (
+  SELECT doc_id,
+         (length(text) % 640 + 8)::INTEGER AS w,
+         ((doc_id * 7) % 480 + 8)::INTEGER AS h
+  FROM documents)
+SELECT doc_id, w, h,
+  list_sum(flatten(list_transform(range(0, 16), j ->
+        list_transform(range(0, 16), i ->
+          (((i * w) // 16) * 3 + ((j * h) // 16) * 5 + doc_id) % 256)))) AS r_sum,
+  list_sum(flatten(list_transform(range(0, 16), j ->
+        list_transform(range(0, 16), i ->
+          (((i * w) // 16) * 7 + ((j * h) // 16) * 11 + doc_id * 13) % 256)))) AS g_sum
+FROM d
+"""
+
+
 SQL_MULTIMODAL_DECODE = """
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END AS n_bytes,
@@ -2117,6 +2183,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "tune_vocabulary": (q_tune_vocabulary, None),
