@@ -47,6 +47,11 @@ HEADLINE = [
     "decontaminate",
     "asof_join",
     "sessionize",
+    "value_quantiles",
+    "source_mix",
+    "bpe_token_count",
+    "image_resize",
+    "warc_roundtrip",
     "token_stats",
     "tpch_q1",
     "tpch_q3_topk",
