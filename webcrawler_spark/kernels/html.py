@@ -164,11 +164,12 @@ def parse_html(html: str | bytes) -> Node:
 # P4: text extraction ("intel") — the byte-identical invariant surface
 # ---------------------------------------------------------------------------
 
-_WS = re.compile(r"\s+")
-
-
 def _collapse(s: str) -> str:
-    return _WS.sub(" ", s).strip()
+    # C-speed equivalent of re.sub(r"\s+", " ", s).strip(): str.split()
+    # splits on the same Unicode whitespace set as \s — measured ~4x
+    # faster on the hot render path (the 100 TB determinant is this
+    # kernel's per-page cost)
+    return " ".join(s.split())
 
 
 def _render_blocks(node: Node, blocks: list[list[str]], inline: list[str]):
