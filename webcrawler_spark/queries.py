@@ -2131,6 +2131,235 @@ FROM meta, unnest(range(0, total_frames, {_FRAME_STRIDE})) AS f(frame_idx)
 # ---------------------------------------------------------------------------
 
 #: name -> (spark callable, oracle SQL or None)
+# ---------------------------------------------------------------------------
+# link-graph analytics + corpus-level LM scoring (training-data surface):
+# PageRank over a derived host graph, TF-IDF term weighting, unigram-LM
+# negative log-likelihood (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+_PR_NODES = 50
+
+
+def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50-node host graph derived from events: src = user_id
+    mod 50, dst = first-4-hex of md5(event_id) mod 50 (the md5-derived
+    pseudo-random endpoint is reproducible bit-for-bit in DuckDB)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.col("user_id") % _PR_NODES).alias("src"),
+            (
+                F.expr(
+                    "cast(conv(substring(md5(cast(event_id as string)), 1, 4), 16, 10) as bigint)"
+                )
+                % _PR_NODES
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank, fixed 3 iterations, damping 0.85, dangling mass
+    redistributed uniformly each iteration (total rank mass stays 1.0 —
+    asserted by the verify invariant).
+
+    The iterative-DataFrame shape that survives 100 TB: per iteration one
+    shuffle join (edges ⋈ ranks on src) + one groupBy(dst).sum, plus a
+    1-row dangling-mass aggregate broadcast back in; ranks are re-derived
+    over the full node set via a left join so zero-in-degree nodes keep
+    the teleport mass. At web scale the rank frame is localCheckpoint()ed
+    every few iterations to truncate lineage; 3 iterations stay within
+    one lineage chain. Graph surface ref: GMLStorage.scala:56-60 (net
+    edges), NetworkEstimator.scala:101-124 (priority propagation —
+    PageRank is its normalized fixpoint cousin)."""
+    edges = _pagerank_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(outdeg, "src")
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("outdeg").cast("double")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1.0 - _PR_DAMPING) / F.col("n").cast("double")
+                    + _PR_DAMPING
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / F.col("n").cast("double")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def _sql_pagerank_iter(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.node AS node,
+         (1.0 - {_PR_DAMPING}) / nn.n::DOUBLE
+           + {_PR_DAMPING} * (coalesce(c.contrib, 0.0) + dg.dang / nn.n::DOUBLE) AS rank
+  FROM nodes n
+  CROSS JOIN ncount nn
+  CROSS JOIN (
+    SELECT coalesce(sum(p.rank), 0.0) AS dang
+    FROM {prev} p WHERE p.node NOT IN (SELECT DISTINCT src FROM edges)
+  ) dg
+  LEFT JOIN (
+    SELECT e.dst AS dst, sum(p.rank / e.outdeg::DOUBLE) AS contrib
+    FROM ed e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst
+  ) c ON n.node = c.dst
+)"""
+
+
+SQL_PAGERANK = f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ncount AS (SELECT count(*) AS n FROM nodes),
+ed AS (
+  SELECT e.src, e.dst, d.outdeg
+  FROM edges e JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) d
+    ON e.src = d.src
+),
+r0 AS (SELECT node, 1.0 / nn.n::DOUBLE AS rank FROM nodes CROSS JOIN ncount nn),
+{_sql_pagerank_iter('r0', 'r1')},
+{_sql_pagerank_iter('r1', 'r2')},
+{_sql_pagerank_iter('r2', 'r3')}
+SELECT node, round(rank, 6) AS pagerank FROM r3
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (idf = ln(N/df)). Two shuffles
+    (doc×term tf, term df) + one window; the df side is tiny relative to
+    the corpus and broadcasts at scale. Ranking uses the ROUNDED score so
+    engine ulp differences in ln() cannot flip the order; term breaks
+    ties."""
+    tf = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_cnt = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = _read(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_cnt), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+SQL_TFIDF_TOPK = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents) t
+  GROUP BY doc_id, term
+),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         round(tf.tf::DOUBLE * ln(nd.n_docs::DOUBLE / dfc.df::DOUBLE), 6) AS tfidf
+  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN nd
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+) r WHERE rnk <= 3
+"""
+
+
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signal (CCNet-style): train p(t) = count(t)/total
+    on the corpus itself, score each doc by mean negative log-likelihood.
+    One corpus-level count (broadcastable vocab) + one join + one per-doc
+    aggregate — the filter-by-perplexity pattern at 100 TB runs exactly
+    this plan with the LM table broadcast."""
+    toks = _tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("toks").alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        (-F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))).alias(
+            "nll_t"
+        ),
+    )
+    return (
+        toks.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.avg("nll_t"), 5).alias("mean_nll"),
+        )
+    )
+
+
+SQL_UNIGRAM_LM_SCORE = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+lm AS (
+  SELECT term, -ln(cnt::DOUBLE / tot.total::DOUBLE) AS nll_t
+  FROM vocab CROSS JOIN tot
+)
+SELECT t.doc_id AS doc_id, count(*) AS n_toks, round(avg(l.nll_t), 5) AS mean_nll
+FROM toks t JOIN lm l ON t.term = l.term
+GROUP BY t.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -2157,6 +2386,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hourly_rollup": (q_hourly_rollup, SQL_HOURLY_ROLLUP),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
@@ -2164,6 +2394,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "unigram_lm_score": (q_unigram_lm_score, SQL_UNIGRAM_LM_SCORE),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
