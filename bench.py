@@ -53,6 +53,9 @@ HEADLINE = [
     "image_resize",
     "warc_roundtrip",
     "token_stats",
+    "pagerank",
+    "tfidf_topk",
+    "unigram_lm_score",
     "tpch_q1",
     "tpch_q3_topk",
 ]

@@ -88,3 +88,24 @@ def test_ann_prunes_embeddings_scan(spark):
     scan_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "embedding" in scan_schema
     assert "label" not in scan_schema
+
+
+def test_tfidf_broadcasts_small_sides(spark):
+    # the df/n_docs sides are tiny relative to the corpus: they must come
+    # in as broadcast joins, and the per-doc top-3 must not trigger a
+    # cartesian fallback
+    p = plan_str(_q("tfidf_topk", spark))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pagerank_mass_conserved(spark):
+    # dangling mass is redistributed each iteration, so total rank mass
+    # stays 1.0 (within the round(6) output quantization) even on the
+    # sf0.001 graph where 35/50 nodes have no out-edges
+    import math
+
+    rows = _q("pagerank", spark).collect()
+    mass = sum(r.pagerank for r in rows)
+    assert len(rows) == 50
+    assert math.isclose(mass, 1.0, abs_tol=1e-3), mass
