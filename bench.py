@@ -56,6 +56,7 @@ HEADLINE = [
     "pagerank",
     "tfidf_topk",
     "unigram_lm_score",
+    "range_join_bins",
     "tpch_q1",
     "tpch_q3_topk",
 ]

@@ -99,6 +99,14 @@ def test_tfidf_broadcasts_small_sides(spark):
     assert "CartesianProduct" not in p
 
 
+def test_range_join_bins_no_nested_loop(spark):
+    # the whole point of the binned rewrite: a containment theta-join
+    # must NOT plan as BroadcastNestedLoopJoin/CartesianProduct
+    p = plan_str(_q("range_join_bins", spark))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_pagerank_mass_conserved(spark):
     # dangling mass is redistributed each iteration, so total rank mass
     # stays 1.0 (within the round(6) output quantization) even on the

@@ -2181,13 +2181,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
-    n_nodes = nodes.agg(F.count("*").alias("n"))
+    # N is a single driver-side scalar (one count job), not a per-iteration
+    # broadcast — folding it as a literal keeps every iteration's plan flat
+    n = float(nodes.count())
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ed = edges.join(outdeg, "src")
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
-    )
+    ed = edges.join(outdeg, "src").localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = (
             ed.join(ranks, ed.src == ranks.node)
@@ -2196,24 +2197,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("contrib"))
         )
         dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            ranks.join(ed.select("src").distinct(), ranks.node == F.col("src"), "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
         )
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(n_nodes))
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    (1.0 - _PR_DAMPING) / F.col("n").cast("double")
+                    F.lit((1.0 - _PR_DAMPING) / n)
                     + _PR_DAMPING
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dang") / F.col("n").cast("double")
+                        + F.col("dang") / F.lit(n)
                     )
                 ).alias("rank"),
             )
+            .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
@@ -2258,6 +2259,65 @@ r0 AS (SELECT node, 1.0 / nn.n::DOUBLE AS rank FROM nodes CROSS JOIN ncount nn),
 {_sql_pagerank_iter('r1', 'r2')},
 {_sql_pagerank_iter('r2', 'r3')}
 SELECT node, round(rank, 6) AS pagerank FROM r3
+"""
+
+
+_RJ_HOUR_US = 3_600_000_000  # 1h in epoch-microseconds
+
+
+def q_range_join_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join via time binning: count events
+    falling inside each interval, where intervals = [first event, +1h) per
+    user_id%50 group.
+
+    Spark has no range-join optimization — the naive `e.ts BETWEEN i.t0
+    AND i.t1` theta-join plans as BroadcastNestedLoopJoin (O(|E|·|I|)
+    probe work). The scale pattern: explode each interval into the hour
+    bins it covers, map each event to its single hour bin, equi-join on
+    the bin (hash shuffle both sides), then filter exact containment —
+    O(|E| + |I|·span) with no nested loop. Pinned by the plan audit."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        _us("ts").alias("t_us"),
+        "user_id",
+    )
+    iv = ev.groupBy((F.col("user_id") % 50).alias("interval_id")).agg(
+        F.min("t_us").alias("t0"),
+        (F.min("t_us") + F.lit(_RJ_HOUR_US)).alias("t1"),
+    )
+    iv_bins = iv.select(
+        "interval_id",
+        "t0",
+        "t1",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("t0") / _RJ_HOUR_US),
+                F.floor((F.col("t1") - 1) / _RJ_HOUR_US),
+            )
+        ).alias("bin"),
+    )
+    evb = ev.withColumn("bin", F.floor(F.col("t_us") / _RJ_HOUR_US))
+    return (
+        evb.join(iv_bins, "bin")
+        .filter((F.col("t_us") >= F.col("t0")) & (F.col("t_us") < F.col("t1")))
+        .groupBy("interval_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+SQL_RANGE_JOIN_BINS = f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS t_us, user_id FROM events
+),
+iv AS (
+  SELECT user_id % 50 AS interval_id,
+         min(t_us) AS t0,
+         min(t_us) + {_RJ_HOUR_US} AS t1
+  FROM ev GROUP BY user_id % 50
+)
+SELECT iv.interval_id AS interval_id, count(*) AS n_events
+FROM ev JOIN iv ON ev.t_us >= iv.t0 AND ev.t_us < iv.t1
+GROUP BY iv.interval_id
 """
 
 
@@ -2387,6 +2447,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "range_join_bins": (q_range_join_bins, SQL_RANGE_JOIN_BINS),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
