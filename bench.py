@@ -57,6 +57,7 @@ HEADLINE = [
     "tfidf_topk",
     "unigram_lm_score",
     "range_join_bins",
+    "label_centroids",
     "tpch_q1",
     "tpch_q3_topk",
 ]

@@ -2379,6 +2379,57 @@ FROM (
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid — the distributed face of the
+    reference's AverageVector estimator (AverageVector.scala:24-43; A2 in
+    SURVEY §2.6) and the exact building block the IVF trainer and
+    topical-steering target vectors are made of.
+
+    posexplode → groupBy(label, pos).avg → re-assemble ordered: two
+    narrow shuffles on (label, pos), no per-row Python, component sums
+    associative so map-side partial aggregation does the heavy lifting
+    at 100 TB. Components are rounded (6 dp) to absorb summation-order
+    differences between engines."""
+    e = _read(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("c"),
+        F.count("*").alias("n"),
+    )
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c"))
+            ).alias("pc"),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            F.expr("transform(pc, p -> p.c)").alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+WITH comp AS (
+  SELECT label, pos - 1 AS pos, round(avg(x::DOUBLE), 6) AS c, count(*) AS n
+  FROM (
+    SELECT label, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  ) t
+  GROUP BY label, pos
+)
+SELECT label,
+       list(c ORDER BY pos) AS centroid,
+       max(n) AS n_vectors
+FROM comp GROUP BY label
+"""
+
+
 def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality signal (CCNet-style): train p(t) = count(t)/total
     on the corpus itself, score each doc by mean negative log-likelihood.
@@ -2469,6 +2520,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_hamming": (q_ann_hamming, SQL_ANN_HAMMING),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     # relational coverage
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3_TOPK),
