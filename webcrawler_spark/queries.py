@@ -1717,6 +1717,141 @@ FROM events GROUP BY user_id
 """
 
 
+# late_window_stream: deterministic (batch, slot) -> minute-offset layout.
+# Tumbling 1h windows, watermark delay 2h. Batch maxima: b0 -> 210 min,
+# b1 -> 330 min, so the watermark in force while PROCESSING batch b is
+# wm(1) = 210-120 = 90 and wm(2) = 330-120 = 210 (wm(0) = -inf); final
+# watermark after all data = 450-120 = 330.
+#
+# Version-proof late-drop design: Spark documents "drop if window end <=
+# current watermark", but (measured, Spark 4.1) a late row whose window
+# STATE is still live merges anyway — state eviction at the end of batch
+# b uses wm(b), so the effective drop rule is "window end <= wm(b-1)".
+# Every late row below is either kept under BOTH rules (end > wm(b)) or
+# dropped under BOTH (end <= wm(b-1)), and every window boundary is
+# >= 30 min away from every watermark value — no engine tie-breaking.
+_LW_OFF = {
+    0: (30, 90, 150, 210),  # all on-time (no watermark yet)
+    1: (270, 330, 90, 150),  # 90 -> end 120 > wm 90: kept (old window, still live)
+    2: (390, 450, 30, 270),  # 30 -> end 60 <= wm(b1)=90: DROPPED under both rules
+}
+_LW_DELAY_MIN = 120
+_LW_FINAL_WM = 330
+_LW_BASE = "2026-01-01 00:00:00"
+
+
+def q_late_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation driven end-to-end through
+    Structured Streaming with engineered late data: events are laid out
+    on a deterministic (micro-batch, slot) -> event-time grid, streamed
+    as 3 file-batches (maxFilesPerTrigger=1), aggregated into 1h tumbling
+    windows under a 2h watermark in append mode.
+
+    The oracle replays the exact streaming contract in closed form: a row
+    is dropped iff its window end <= the watermark in force when its
+    batch is processed (cummax of prior batch event-time maxima minus the
+    delay), and a window is emitted iff its end <= the final watermark.
+    The grid keeps every boundary >=30 min clear of every watermark, so
+    the kept/dropped/emitted sets are engine-version-proof."""
+    import tempfile
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (F.col("event_id") % 3).alias("_b"),
+        F.expr("(event_id div 3) % 4").alias("slot"),
+    )
+    off = F.lit(None).cast("int")
+    for b, offs in _LW_OFF.items():
+        for s, o in enumerate(offs):
+            off = F.when((F.col("_b") == b) & (F.col("slot") == s), o).otherwise(off)
+    rows = ev.withColumn("off_min", off).select(
+        "event_id",
+        "value",
+        "_b",
+        (
+            F.unix_timestamp(F.lit(_LW_BASE).cast("timestamp"))
+            + F.col("off_min") * 60
+        )
+        .cast("timestamp")
+        .alias("ts"),
+    )
+
+    workdir = tempfile.mkdtemp(prefix="lwstream_")
+    in_dir = f"{workdir}/in"
+    rows.repartition(1).write.partitionBy("_b").parquet(in_dir)
+
+    stream_in = (
+        spark.readStream.schema("event_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/_b=*")
+    )
+    agg = (
+        stream_in.withWatermark("ts", f"{_LW_DELAY_MIN} minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("val_sum"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "n",
+            "val_sum",
+        )
+    )
+    qname = "late_window_" + workdir.rsplit("_", 1)[-1]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def _lw_sql_off() -> str:
+    cases = []
+    for b, offs in _LW_OFF.items():
+        for s, o in enumerate(offs):
+            cases.append(f"WHEN b = {b} AND slot = {s} THEN {o}")
+    return "CASE " + " ".join(cases) + " END"
+
+
+SQL_LATE_WINDOW_STREAM = f"""
+WITH laid AS (
+  SELECT event_id, value,
+         event_id % 3 AS b,
+         (event_id // 3) % 4 AS slot
+  FROM events
+),
+rows_ AS (
+  SELECT event_id, value, b,
+         {_lw_sql_off()} AS off_min
+  FROM laid
+),
+-- drop boundary per batch: rows whose window end <= this are dropped
+-- (the layout makes the documented current-wm rule and the measured
+-- evicted-state rule agree — see _LW_OFF comment)
+kept AS (
+  SELECT *,
+         (off_min // 60) * 60 + 60 AS win_end_min,
+         CASE b WHEN 2 THEN 90 ELSE NULL END AS drop_below
+  FROM rows_
+)
+SELECT strftime(TIMESTAMP '{_LW_BASE}'
+                + to_minutes((win_end_min - 60)::BIGINT), '%Y-%m-%d %H:%M:%S')
+         AS win_start,
+       count(*) AS n,
+       round(sum(value), 4) AS val_sum
+FROM kept
+WHERE (drop_below IS NULL OR win_end_min > drop_below)  -- late-drop rule
+  AND win_end_min <= {_LW_FINAL_WM}                      -- append-mode emission
+GROUP BY win_end_min
+"""
+
+
 def q_tune_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1-L4 — perceptron word-weight learning over a document graph
     (TuneVocabulary.scala:12-108). Iterative driver loop over distributed
@@ -2533,6 +2668,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "tune_vocabulary": (q_tune_vocabulary, None),
     "host_budget_stream": (q_host_budget_stream, SQL_HOST_BUDGET_STREAM),
+    "late_window_stream": (q_late_window_stream, SQL_LATE_WINDOW_STREAM),
     "sampler_pivot": (q_sampler_pivot, None),
 }
 
