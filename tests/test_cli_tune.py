@@ -60,3 +60,21 @@ def test_cli_sample_writes_octave_files(spark, tmp_path):
     with open(os.path.join(str(tmp_path), "sample.dat")) as f:
         sample = f.read()
     assert "# name: sample" in sample and "# type: sparse matrix" in sample
+
+
+def test_cli_query_list_and_run(spark, capsys, tmp_path):
+    # --list needs no Spark session and must cover the whole registry
+    from webcrawler_spark.queries import REGISTRY
+
+    rc = main(["query", "--list"])
+    assert rc == 0
+    listed = [ln.split(" ", 1)[1] for ln in capsys.readouterr().out.splitlines()]
+    assert set(listed) == set(REGISTRY)
+    # unknown name is a usage error, not a crash
+    assert main(["query", "no_such_query"]) == 2
+    # a real run writes parquet (reuses the test session via getOrCreate)
+    out = str(tmp_path / "q_out")
+    rc = main(["query", "token_stats", "--sf-dir", "/root/testdata/sf0.001",
+               "--out", out])
+    assert rc == 0
+    assert spark.read.parquet(out).count() > 0

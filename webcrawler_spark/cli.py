@@ -134,10 +134,68 @@ def tune_main(argv: list[str]) -> int:
     return 0
 
 
+def _query_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="webcrawler-spark query",
+        description="Run a registry operator query (webcrawler_spark."
+        "queries.REGISTRY) against a testdata-shaped parquet dir.",
+    )
+    p.add_argument("cmd", choices=["query"])
+    p.add_argument("name", nargs="?", default=None,
+                   help="registry entry name (omit with --list)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="dir containing the parquet tables")
+    p.add_argument("--out", default=None,
+                   help="write result parquet here instead of printing")
+    p.add_argument("--limit", type=int, default=20,
+                   help="rows to print when not writing parquet")
+    p.add_argument("--list", action="store_true",
+                   help="list registry entries (o = DuckDB-oracled)")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def query_main(argv: list[str]) -> int:
+    """Registry runner: every operator a reference user would call is one
+    CLI invocation (spark-submit friendly)."""
+    args = _query_parser().parse_args(argv)
+    from webcrawler_spark.queries import REGISTRY
+
+    if args.list or args.name is None:
+        for name, (_, sql) in REGISTRY.items():
+            print(f"{'o' if sql else '-'} {name}")
+        return 0
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(f"webcrawler-spark-query-{args.name}")
+    if args.master:
+        b = b.master(args.master)
+    spark = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    df = REGISTRY[args.name][0](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"query": args.name, "out": args.out,
+                          "rows": spark.read.parquet(args.out).count()}))
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:]) if argv is None else list(argv)
     if argv and argv[0] in ("tune", "sample"):
         return tune_main(argv)
+    if argv and argv[0] == "query":
+        return query_main(argv)
     args = build_parser().parse_args(argv)
 
     from pyspark.sql import SparkSession
