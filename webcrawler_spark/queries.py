@@ -430,6 +430,68 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 """.replace("{NGRAM}", SQL_NGRAM_JACCARD_PAIRS)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the pipeline step after
+    near-dup resolution: within each connected component keep the
+    highest-quality document (longest text, ties to the lowest doc_id)
+    and map every member to that canonical id. Composition of the
+    component resolver with an argmax window; singletons keep themselves.
+    At 100 TB the component table is a fraction of the corpus and the
+    argmax is one partial-aggregatable shuffle on the component key."""
+    pairs = ngram_jaccard(_docs_parallel(spark, sf_dir)).select("a_id", "b_id")
+    comps = connected_components(pairs)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = docs.join(comps, "doc_id", "left").select(
+        "doc_id", "n_chars", F.coalesce("rep", F.col("doc_id")).alias("comp")
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    best = (
+        labeled.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(F.col("comp").alias("b_comp"), F.col("doc_id").alias("canonical_id"))
+    )
+    return (
+        labeled.join(best, labeled.comp == best.b_comp)
+        .select(
+            "doc_id",
+            "comp",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE pairs AS ({{NGRAM}}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lab FROM edges
+  UNION
+  SELECT e.dst AS node, r.lab AS lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lab) AS rep FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.rep, d.doc_id) AS comp
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+best AS (
+  SELECT comp, doc_id AS canonical_id
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY comp
+                                 ORDER BY n_chars DESC, doc_id ASC) AS rnk
+    FROM labeled
+  ) r WHERE rnk = 1
+)
+SELECT l.doc_id AS doc_id, l.comp AS comp, b.canonical_id AS canonical_id,
+       l.doc_id = b.canonical_id AS keep
+FROM labeled l JOIN best b USING (comp)
+""".replace("{NGRAM}", SQL_NGRAM_JACCARD_PAIRS)
+
+
 _NGRAM_MAX_DF = 5
 
 
@@ -2565,6 +2627,71 @@ FROM comp GROUP BY label
 """
 
 
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment: each embedding goes to the label whose centroid
+    is nearest in squared L2 — the assignment half of k-means / IVF and
+    the cluster-steering decision (TargetVectorCluster.scala:35-52 picks
+    targets by vector proximity the same way).
+
+    Centroids are the label_centroids result (rounded 6 dp on both
+    engines, so the assignment inputs are identical); distances use the
+    shared sequential-fold expression (bit-identical before comparison);
+    ties break by label. Plan: tiny centroid table broadcast, one
+    argmin-by-window over vec x centroid — at 100 TB this is the
+    canonical broadcast-assignment map stage."""
+    e = _read(spark, sf_dir, "embeddings")
+    cent = q_label_centroids(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    d2 = F.expr(_sqdist_expr("embedding", "centroid"))
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        "c_label",
+        d2.alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            "own_label",
+            F.col("c_label").alias("assigned_label"),
+            F.round("d2", 6).alias("d2"),
+            (F.col("c_label") == F.col("own_label")).alias("is_own"),
+        )
+    )
+
+
+SQL_NEAREST_CENTROID = f"""
+WITH comp AS (
+  SELECT label, pos - 1 AS pos, round(avg(x::DOUBLE), 6) AS c
+  FROM (
+    SELECT label, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  ) t
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+  FROM comp GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label AS own_label, cent.c_label,
+         {_sql_sqdist('e.embedding', 'cent.centroid')} AS d2
+  FROM embeddings e CROSS JOIN cent
+)
+SELECT vec_id, own_label, c_label AS assigned_label,
+       round(d2, 6) AS d2, c_label = own_label AS is_own
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rnk
+  FROM scored
+) r WHERE rnk = 1
+"""
+
+
 def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality signal (CCNet-style): train p(t) = count(t)/total
     on the corpus itself, score each doc by mean negative log-likelihood.
@@ -2620,6 +2747,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "simhash": (q_simhash, SQL_SIMHASH),
     # scoring / aggregation / graph (§2.6-2.7)
@@ -2656,6 +2784,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_hamming": (q_ann_hamming, SQL_ANN_HAMMING),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "nearest_centroid": (q_nearest_centroid, SQL_NEAREST_CENTROID),
     # relational coverage
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3_TOPK),
