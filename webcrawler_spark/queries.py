@@ -1447,6 +1447,74 @@ GROUP BY s.doc_id
 # ---------------------------------------------------------------------------
 
 
+_PIPE_QUALITY_MIN = 0.30
+
+
+def q_pipeline_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline a user actually ships: a
+    document survives iff it clears quality scoring, the repetition
+    filter, benchmark decontamination (and is not itself eval data), and
+    is the canonical representative of its near-dup component. Built by
+    joining the individual operators' outputs — each stage is its own
+    oracled registry entry; this entry pins the composition. All joins
+    are on doc_id; at 100 TB every stage is a map/shuffle pipeline and
+    the composition adds only doc-keyed hash joins."""
+    qual = q_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= _PIPE_QUALITY_MIN).alias("q_ok")
+    )
+    rep = q_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_ok")
+    )
+    dec = q_decontaminate(spark, sf_dir).select("doc_id", F.lit(False).alias("clean"))
+    kb = q_dedup_keep_best(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("canon_ok")
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    out = (
+        docs.join(qual, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .join(kb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("q_ok", F.lit(False)).alias("q_ok"),
+            # docs under 2 tokens have no bigrams: repetition passes them
+            F.coalesce("rep_ok", F.lit(True)).alias("rep_ok"),
+            ((F.coalesce("clean", F.lit(True))) & (F.col("doc_id") % _DECON_MOD != 0)).alias(
+                "clean_ok"
+            ),
+            F.coalesce("canon_ok", F.lit(False)).alias("canon_ok"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.col("q_ok") & F.col("rep_ok") & F.col("clean_ok") & F.col("canon_ok"),
+    )
+
+
+SQL_PIPELINE_KEEP_SET = f"""
+WITH qual AS ({SQL_QUALITY_SCORE}),
+rep AS ({SQL_REPETITION_FILTER}),
+dec AS ({SQL_DECONTAMINATE}),
+kb AS ({SQL_DEDUP_KEEP_BEST}),
+flags AS (
+  SELECT d.doc_id,
+         coalesce(q.quality >= {_PIPE_QUALITY_MIN}, FALSE) AS q_ok,
+         coalesce(r.keep, TRUE) AS rep_ok,
+         (dec.doc_id IS NULL AND d.doc_id % {_DECON_MOD} <> 0) AS clean_ok,
+         coalesce(k.keep, FALSE) AS canon_ok
+  FROM documents d
+  LEFT JOIN qual q USING (doc_id)
+  LEFT JOIN rep r USING (doc_id)
+  LEFT JOIN dec USING (doc_id)
+  LEFT JOIN kb k USING (doc_id)
+)
+SELECT doc_id, q_ok, rep_ok, clean_ok, canon_ok,
+       q_ok AND rep_ok AND clean_ok AND canon_ok AS keep
+FROM flags
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs the query vector (vec_id=0) — the ANN
     baseline; sequential-fold dot products, rounded."""
@@ -2748,6 +2816,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "pipeline_keep_set": (q_pipeline_keep_set, SQL_PIPELINE_KEEP_SET),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "simhash": (q_simhash, SQL_SIMHASH),
     # scoring / aggregation / graph (§2.6-2.7)
