@@ -56,6 +56,8 @@ HEADLINE = [
     "pagerank",
     "tfidf_topk",
     "unigram_lm_score",
+    "perplexity_buckets",
+    "exact_substring_dup",
     "range_join_bins",
     "label_centroids",
     "tpch_q1",

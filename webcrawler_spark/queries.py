@@ -2801,6 +2801,135 @@ GROUP BY t.doc_id
 """
 
 
+def exact_substring_pairs(
+    docs: DataFrame, k: int = 8, max_df: int | None = None
+) -> DataFrame:
+    """Exact-substring duplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): pairs of docs sharing at least
+    one exact run of ``k`` consecutive tokens, with the number of shared
+    k-token windows per pair. The suffix-array approach of the paper is
+    single-machine; the distributed equivalent is this hashed
+    sliding-window equi-join — every k-window md5-hashed map-side (one
+    pass, no shuffle until the join), distinct per doc, then a bucket
+    join on the window hash. n_shared == (run_len - k + 1) for one
+    contiguous shared run, so thresholding n_shared is thresholding the
+    longest shared span.
+
+    ``max_df`` is the same hot-bucket cap as ngram_jaccard: windows
+    shared by > max_df docs (boilerplate at web scale) are dropped from
+    candidate generation and pairs are then counted exactly over full
+    window sets — bounded by |candidates| x doc windows, never d^2 on a
+    hot window."""
+    docs = _tokens(docs).filter(F.expr(f"size(toks) >= {k}"))
+    win = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k} + 1), "
+                f"i -> md5(concat_ws(' ', slice(toks, i, {k}))))"
+            )
+        ).alias("wh"),
+    ).distinct()
+    if max_df is None:
+        a, b = win.alias("a"), win.alias("b")
+        return (
+            a.join(b, "wh")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .agg(F.count("*").alias("n_shared"))
+        )
+    hot = (
+        win.groupBy("wh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("wh")
+    )
+    rare = win.join(F.broadcast(hot), "wh", "left_anti")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, "wh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    wa = win.select(F.col("doc_id").alias("a_id"), "wh")
+    wb = win.select(F.col("doc_id").alias("b_id"), "wh")
+    return (
+        cand.join(wa, "a_id")
+        .join(wb, ["b_id", "wh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def q_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_substring_pairs(_docs_parallel(spark, sf_dir), k=8)
+
+
+SQL_EXACT_SUBSTRING_DUP = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE len({_SQL_TOKS}) >= 8),
+win AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - 8 + 2, 1)),
+                          i -> md5(array_to_string(t[i:i+7], ' ')))) AS wh
+  FROM toks
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+FROM win a JOIN win b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every doc with the corpus
+    unigram LM (q_unigram_lm_score) and split the corpus into
+    head/middle/tail at the 33rd/66th score percentiles (head = lowest
+    mean NLL = most fluent). The boundaries are two scalars computed
+    once and broadcast — no global sort of the corpus, so at 100 TB this
+    is one aggregate + one broadcast-join map stage (swap the exact
+    percentile for approx_percentile on a real corpus; the comparison
+    plan is unchanged)."""
+    lm = q_unigram_lm_score(spark, sf_dir)
+    bounds = lm.agg(
+        F.round(F.expr("percentile(mean_nll, 0.33)"), 6).alias("q33"),
+        F.round(F.expr("percentile(mean_nll, 0.66)"), 6).alias("q66"),
+    )
+    return lm.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "mean_nll",
+        F.when(F.col("mean_nll") <= F.col("q33"), F.lit("head"))
+        .when(F.col("mean_nll") <= F.col("q66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+lm AS (
+  SELECT term, -ln(cnt::DOUBLE / tot.total::DOUBLE) AS nll_t
+  FROM vocab CROSS JOIN tot
+),
+scored AS (
+  SELECT t.doc_id AS doc_id, round(avg(l.nll_t), 5) AS mean_nll
+  FROM toks t JOIN lm l ON t.term = l.term
+  GROUP BY t.doc_id
+),
+bounds AS (
+  SELECT round(quantile_cont(mean_nll, 0.33), 6) AS q33,
+         round(quantile_cont(mean_nll, 0.66), 6) AS q66
+  FROM scored
+)
+SELECT doc_id, mean_nll,
+       CASE WHEN mean_nll <= q33 THEN 'head'
+            WHEN mean_nll <= q66 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored CROSS JOIN bounds
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -2815,6 +2944,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "exact_substring_dup": (q_exact_substring_dup, SQL_EXACT_SUBSTRING_DUP),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "pipeline_keep_set": (q_pipeline_keep_set, SQL_PIPELINE_KEEP_SET),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
@@ -2840,6 +2970,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "unigram_lm_score": (q_unigram_lm_score, SQL_UNIGRAM_LM_SCORE),
+    "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
