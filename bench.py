@@ -54,6 +54,7 @@ HEADLINE = [
     "warc_roundtrip",
     "token_stats",
     "pagerank",
+    "triangle_count",
     "tfidf_topk",
     "unigram_lm_score",
     "perplexity_buckets",

@@ -2880,6 +2880,108 @@ GROUP BY 1, 2
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the deterministic 50-node host graph
+    (same graph as pagerank — GMLStorage.scala:56-60's net-edges surface,
+    here as the cocitation-density analytic).
+
+    Plan is the degree-oriented node-iterator++ (Cohen's MapReduce
+    triangle counting): canonicalize to undirected edges a<b, orient each
+    edge from its lower-(degree, id) endpoint, build wedges by self-join
+    on the oriented source, close each wedge against the canonical edge
+    set. Orientation bounds every join key's fan-out by O(sqrt(m))
+    (arboricity), so a hot host with 10^6 neighbors contributes
+    O(sqrt-bounded) wedges, not 10^12 — the only triangle plan that
+    survives a web-scale power-law graph. Each triangle is found exactly
+    once, at its min-degree vertex, then exploded to its three corners."""
+    und = (
+        _pagerank_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient low -> high by (deg, id); broadcast deg (O(nodes) — hosts, not pages)
+    o = (
+        und.join(F.broadcast(deg).withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(F.broadcast(deg).withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("deg", "deg_b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1, w2 = o.alias("w1"), o.alias("w2")
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.col("w1.v") < F.col("w2.v"))
+        .select("u", F.col("w1.v").alias("x"), F.col("w2.v").alias("y"))
+    )
+    tri = wedges.join(
+        und, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b"))
+    ).select("u", "x", "y")
+    return (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) t GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node
+),
+wedges AS (
+  SELECT w1.u AS u, w1.v AS x, w2.v AS y
+  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v
+),
+tri AS (
+  SELECT w.u, w.x, w.y
+  FROM wedges w JOIN und e ON w.x = e.a AND w.y = e.b
+)
+SELECT node, count(*) AS n_triangles
+FROM (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT x FROM tri
+  UNION ALL SELECT y FROM tri
+) c
+GROUP BY node
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing: score every doc with the corpus
     unigram LM (q_unigram_lm_score) and split the corpus into
@@ -2960,6 +3062,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "range_join_bins": (q_range_join_bins, SQL_RANGE_JOIN_BINS),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
