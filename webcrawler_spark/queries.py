@@ -2880,6 +2880,64 @@ GROUP BY 1, 2
 """
 
 
+def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: corpus stats at (source, lang), (source) and grand
+    totals in ONE pass (Spark expands grouping sets map-side, so it's a
+    single shuffle, not three jobs — the plan 100-TB reporting wants).
+    NULL group keys are folded to 'ALL' on both engines so the rollup
+    level is explicit in the row."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "avg_chars",
+            "total_chars",
+        )
+    )
+
+
+SQL_ROLLUP_STATS = """
+SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+"""
+
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-source doc counts with one column per language, fixed
+    value list. With explicit values Spark compiles pivot to map-side
+    conditional aggregation — one shuffle, no second pass to discover
+    columns (at 100 TB always pass the value list; value discovery is an
+    extra full scan)."""
+    d = _read(spark, sf_dir, "documents")
+    p = d.groupBy("source").pivot("lang", list(_PIVOT_LANGS)).count()
+    return p.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).alias(f"n_{l}") for l in _PIVOT_LANGS],
+    )
+
+
+SQL_LANG_PIVOT = f"""
+SELECT source,
+       {", ".join(f"count(*) FILTER (WHERE lang = '{l}') AS n_{l}" for l in _PIVOT_LANGS)}
+FROM documents
+GROUP BY source
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the deterministic 50-node host graph
     (same graph as pagerank — GMLStorage.scala:56-60's net-edges surface,
@@ -3065,6 +3123,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "range_join_bins": (q_range_join_bins, SQL_RANGE_JOIN_BINS),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
+    "rollup_stats": (q_rollup_stats, SQL_ROLLUP_STATS),
+    "lang_pivot": (q_lang_pivot, SQL_LANG_PIVOT),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
