@@ -2880,6 +2880,75 @@ GROUP BY 1, 2
 """
 
 
+_HE_DIM = 16
+
+
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embedder (Weinberger et al. hashing trick):
+    every token lands in md5-derived bucket h%16 with sign from the next
+    hex digit; per-doc signed counts are l2-normalized into a dense
+    vector. This is the in-engine text→vector featurizer that feeds the
+    ANN / centroid operators when no model embeddings exist.
+
+    Plan: one explode + one conditional aggregation (16 sums in a single
+    groupBy — no per-bucket shuffle, no pivot discovery pass), then a
+    map-side normalize over the assembled array. Signed integer sums are
+    exact, so cross-engine parity is just the final divide+round."""
+    toks = _tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("toks").alias("term")
+    )
+    h = "md5(term)"
+    t = toks.select(
+        "doc_id",
+        (F.expr(f"cast(conv(substring({h}, 1, 8), 16, 10) as bigint)") % _HE_DIM).alias("bucket"),
+        F.when(
+            F.expr(f"cast(conv(substring({h}, 9, 1), 16, 10) as int)") % 2 == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    agg = t.groupBy("doc_id").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("bucket") == i, F.col("sgn"))), F.lit(0))
+            .alias(f"c{i}")
+            for i in range(_HE_DIM)
+        ]
+    )
+    vec = "array(" + ", ".join(f"cast(c{i} as double)" for i in range(_HE_DIM)) + ")"
+    return agg.select(
+        "doc_id",
+        F.expr(
+            f"transform({vec}, x -> round(x / nullif(sqrt(aggregate({vec}, "
+            f"cast(0.0 as double), (a, y) -> a + y * y)), 0.0), 6))"
+        ).alias("embedding"),
+    )
+
+
+SQL_HASH_EMBED = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT % {_HE_DIM} AS bucket,
+         CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+),
+agg AS (
+  SELECT doc_id,
+         {", ".join(f"coalesce(sum(sgn) FILTER (WHERE bucket = {i}), 0) AS c{i}" for i in range(_HE_DIM))}
+  FROM t GROUP BY doc_id
+),
+v AS (
+  SELECT doc_id,
+         [{", ".join(f"c{i}::DOUBLE" for i in range(_HE_DIM))}] AS vec
+  FROM agg
+)
+SELECT doc_id,
+       list_transform(vec, x -> round(x / nullif(sqrt(list_sum(
+           list_transform(vec, y -> y * y))), 0.0), 6)) AS embedding
+FROM v
+"""
+
+
 def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP rollup: corpus stats at (source, lang), (source) and grand
     totals in ONE pass (Spark expands grouping sets map-side, so it's a
@@ -3123,6 +3192,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "range_join_bins": (q_range_join_bins, SQL_RANGE_JOIN_BINS),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
+    "hash_embed": (q_hash_embed, SQL_HASH_EMBED),
     "rollup_stats": (q_rollup_stats, SQL_ROLLUP_STATS),
     "lang_pivot": (q_lang_pivot, SQL_LANG_PIVOT),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
