@@ -557,13 +557,25 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature frame is materialized (localCheckpoint) so the self-join
     # below probes stored signatures instead of re-running tokenize->shingle
     # ->hash on both sides.
-    sigs = sh_arr.select(
+    sigs_lazy = sh_arr.select(
         "doc_id",
         F.expr(
             "transform(sequence(0, 7), h -> "
             "array_min(transform(shingles, s -> md5(concat(cast(h as string), ':', s)))))"
         ).alias("hs"),
-    ).localCheckpoint(eager=True)
+    )
+    # one-shot cost control: this stage is one giant higher-order-function
+    # expression — HOFs evaluate interpreted regardless, but whole-stage
+    # codegen still Janino-compiles the enclosing method (measured 4-15 s
+    # compile for ~1.6 s of actual compute). Turn codegen off for just
+    # this eagerly-materialized job; the checkpointed result feeds the
+    # (codegen-friendly) band join below.
+    wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        sigs = sigs_lazy.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", wsc)
     mins = sigs.select(
         "doc_id",
         F.explode(
