@@ -117,3 +117,52 @@ def test_pagerank_mass_conserved(spark):
     mass = sum(r.pagerank for r in rows)
     assert len(rows) == 50
     assert math.isclose(mass, 1.0, abs_tol=1e-3), mass
+
+
+def test_exact_substring_is_bucket_join(spark):
+    # the hashed-window dedup joins on window hash — a cartesian or
+    # nested-loop fallback is the all-pairs blowup the design avoids
+    p = plan_str(_q("exact_substring_dup", spark))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_triangle_count_broadcasts_degrees(spark):
+    # degree table is O(hosts): must broadcast into the orientation join,
+    # and the wedge/closing joins must stay hash joins
+    p = plan_str(_q("triangle_count", spark))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_perplexity_buckets_broadcasts_boundaries(spark):
+    # the two percentile scalars must come in broadcast (no global sort
+    # of the scored corpus anywhere in the plan)
+    p = plan_str(_q("perplexity_buckets", spark))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "Sort [mean_nll" not in p and "GlobalSort" not in p
+
+
+def test_rollup_is_single_expand_aggregate(spark):
+    # Spark plans rollup as Expand + one aggregation pass — there must
+    # be exactly one Expand and no union of three scans
+    p = plan_str(_q("rollup_stats", spark))
+    assert p.count("Expand") >= 1
+    assert "Union" not in p
+
+
+def test_lang_pivot_single_pass(spark):
+    # fixed value list -> conditional aggregation: one scan, one
+    # shuffle, no per-language union
+    p = plan_str(_q("lang_pivot", spark))
+    assert "Union" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_hash_embed_single_shuffle(spark):
+    # the 16 bucket sums ride ONE groupBy: exactly one shuffle exchange
+    # attributable to the aggregation (plus AQE reads)
+    p = plan_str(_q("hash_embed", spark))
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
