@@ -2892,6 +2892,69 @@ GROUP BY 1, 2
 """
 
 
+_MIX_ALPHA = 0.7
+_MIX_TARGET = 200
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training-data mixing (the multilingual sampling
+    rule of XLM-R / LLaMA data recipes): group weight w_i proportional to
+    n_i^alpha (alpha=0.7 upsamples the tail), a fixed total budget split
+    as floor(w_i * N + 0.5), and a deterministic per-group selection by
+    md5(doc_id) rank so reruns pick the same docs.
+
+    Plan: group counts are one aggregation (tiny — O(langs)), weights are
+    computed on that broadcast table, and selection is a per-group
+    row_number window. At 100 TB the exact-rank window becomes a
+    hash-threshold sample (keep doc if md5-percentile <= w_i·N/n_i) —
+    same keys, no sort; the exact window stays here because the driver
+    compare needs deterministic counts."""
+    d = _read(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = cnt.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))).alias("z")
+    )
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA)) / F.col("z")).alias("w"),
+    )
+    quota = w.select(
+        "lang",
+        "n_docs",
+        F.round("w", 6).alias("weight"),
+        F.floor(F.col("w") * _MIX_TARGET + 0.5).cast("int").alias("take_n"),
+    )
+    rk = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    picked = d.select("doc_id", "lang").withColumn("rk", F.row_number().over(rk))
+    return (
+        picked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("take_n"))
+        .select("doc_id", "lang", "rk", "weight", "take_n")
+    )
+
+
+SQL_MIX_TEMPERATURE = f"""
+WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT sum(pow(n_docs::DOUBLE, {_MIX_ALPHA})) AS z FROM cnt),
+quota AS (
+  SELECT lang, n_docs,
+         round(pow(n_docs::DOUBLE, {_MIX_ALPHA}) / z, 6) AS weight,
+         CAST(floor(pow(n_docs::DOUBLE, {_MIX_ALPHA}) / z * {_MIX_TARGET} + 0.5) AS INT) AS take_n
+  FROM cnt CROSS JOIN tot
+),
+picked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY md5(doc_id::VARCHAR), doc_id) AS INT) AS rk
+  FROM documents
+)
+SELECT p.doc_id, p.lang, p.rk, q.weight, q.take_n
+FROM picked p JOIN quota q ON p.lang = q.lang
+WHERE p.rk <= q.take_n
+"""
+
+
 _HE_DIM = 16
 
 
@@ -3208,6 +3271,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rollup_stats": (q_rollup_stats, SQL_ROLLUP_STATS),
     "lang_pivot": (q_lang_pivot, SQL_LANG_PIVOT),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
+    "mix_temperature": (q_mix_temperature, SQL_MIX_TEMPERATURE),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
