@@ -62,6 +62,7 @@ HEADLINE = [
     "range_join_bins",
     "label_centroids",
     "tpch_q1",
+    "tpch_q5_region",
     "tpch_q3_topk",
 ]
 

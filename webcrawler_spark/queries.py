@@ -1701,6 +1701,89 @@ GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def q_tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join pipeline with a region filter that
+    prunes through two broadcast dims (region -> nation are tiny and
+    broadcast; the c_nationkey = s_nationkey local-supplier predicate
+    rides the supplier join). The fact-side join chain shuffles once per
+    big-big join; dims never shuffle."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q5_REGION = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+_Q18_QTY = 220
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: find large orders via a HAVING subquery, then
+    semi-join the fact tables back to it. The qualifying-order set is
+    small, so it broadcasts into both rejoins — one aggregation shuffle,
+    no second fact-fact shuffle."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+SQL_TPCH_Q18_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_QTY}
+)
+SELECT c_name, o_orderkey, o_totalprice, round(total_qty, 2) AS total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # 7. Spark-only entries (no SQL oracle -> driver's rows-only check)
 # ---------------------------------------------------------------------------
@@ -3297,6 +3380,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # relational coverage
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3_TOPK),
+    "tpch_q5_region": (q_tpch_q5_region, SQL_TPCH_Q5_REGION),
+    "tpch_q18_large_orders": (q_tpch_q18_large_orders, SQL_TPCH_Q18_LARGE_ORDERS),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
