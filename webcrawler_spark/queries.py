@@ -2036,6 +2036,128 @@ def q_late_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+_SJ_BASE = "2026-02-01 00:00:00"
+_SJ_DELAYS = (5, 25, 90)  # minutes; join bound is 30 -> k%3==2 never matches
+_SJ_BOUND_MIN = 30
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (impression->click attribution)
+    driven end-to-end through Structured Streaming: events split into an
+    impression stream (even event_id, micro-batch 1) and a click stream
+    (odd event_id, micro-batches 2-3), joined on key with the time-range
+    condition click.ts in [imp.ts, imp.ts + 30 min]. Click delays are
+    engineered at 5/25/90 min by key%3, so exactly the k%3 != 2 pairs
+    match — and impressions must be HELD AS STATE across micro-batch
+    boundaries to meet their clicks (the cross-batch state the operator
+    exists for). Watermarks (3h both sides) bound that state; the 90-min
+    misses age out of it. The oracle replays the join in closed form —
+    inner stream-stream joins emit on match, so the result set equals the
+    batch join under the same predicate."""
+    import tempfile
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.expr("event_id div 2").alias("k"),
+        (F.col("event_id") % 2).alias("side"),
+    )
+    base = F.unix_timestamp(F.lit(_SJ_BASE).cast("timestamp"))
+    imp = (
+        ev.filter(F.col("side") == 0)
+        .select(
+            "k",
+            (base + (F.col("k") % 97) * 420).cast("timestamp").alias("imp_ts"),
+            F.lit(0).alias("_b"),
+        )
+    )
+    delay = (
+        F.when(F.col("k") % 3 == 0, _SJ_DELAYS[0])
+        .when(F.col("k") % 3 == 1, _SJ_DELAYS[1])
+        .otherwise(_SJ_DELAYS[2])
+    )
+    clk = (
+        ev.filter(F.col("side") == 1)
+        .select(
+            "k",
+            (base + (F.col("k") % 97) * 420 + delay * 60)
+            .cast("timestamp")
+            .alias("click_ts"),
+            (F.lit(1) + (F.col("k") % 2)).alias("_b"),
+        )
+    )
+
+    workdir = tempfile.mkdtemp(prefix="sjstream_")
+    imp.repartition(1).write.partitionBy("_b").parquet(f"{workdir}/imp")
+    clk.repartition(1).write.partitionBy("_b").parquet(f"{workdir}/clk")
+
+    s_imp = (
+        spark.readStream.schema("k long, imp_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{workdir}/imp/_b=*")
+        .withWatermark("imp_ts", "3 hours")
+    )
+    s_clk = (
+        spark.readStream.schema("k long, click_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{workdir}/clk/_b=*")
+        .withWatermark("click_ts", "3 hours")
+    )
+    joined = s_imp.join(
+        s_clk,
+        (s_imp.k == s_clk.k)
+        & (s_clk.click_ts >= s_imp.imp_ts)
+        & (
+            s_clk.click_ts
+            <= s_imp.imp_ts + F.expr(f"interval {_SJ_BOUND_MIN} minutes")
+        ),
+        "inner",
+    ).select(
+        s_imp.k.alias("k"),
+        F.date_format("imp_ts", "yyyy-MM-dd HH:mm:ss").alias("imp_at"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+        (
+            (F.unix_timestamp("click_ts") - F.unix_timestamp("imp_ts")) / 60
+        ).cast("int").alias("delay_min"),
+    )
+    qname = "stream_join_" + workdir.rsplit("_", 1)[-1]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+SQL_STREAM_JOIN = f"""
+WITH ev AS (
+  SELECT event_id // 2 AS k, event_id % 2 AS side FROM events
+),
+imp AS (
+  SELECT k, TIMESTAMP '{_SJ_BASE}' + to_seconds((k % 97) * 420) AS imp_ts
+  FROM ev WHERE side = 0
+),
+clk AS (
+  SELECT k, TIMESTAMP '{_SJ_BASE}' + to_seconds(
+           (k % 97) * 420
+           + (CASE WHEN k % 3 = 0 THEN {_SJ_DELAYS[0]}
+                   WHEN k % 3 = 1 THEN {_SJ_DELAYS[1]}
+                   ELSE {_SJ_DELAYS[2]} END) * 60) AS click_ts
+  FROM ev WHERE side = 1
+)
+SELECT i.k AS k,
+       strftime(i.imp_ts, '%Y-%m-%d %H:%M:%S') AS imp_at,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+       CAST(date_diff('minute', i.imp_ts, c.click_ts) AS INT) AS delay_min
+FROM imp i JOIN clk c
+  ON i.k = c.k
+ AND c.click_ts >= i.imp_ts
+ AND c.click_ts <= i.imp_ts + INTERVAL {_SJ_BOUND_MIN} MINUTE
+"""
+
+
 def _lw_sql_off() -> str:
     cases = []
     for b, offs in _LW_OFF.items():
@@ -3392,6 +3514,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tune_vocabulary": (q_tune_vocabulary, None),
     "host_budget_stream": (q_host_budget_stream, SQL_HOST_BUDGET_STREAM),
     "late_window_stream": (q_late_window_stream, SQL_LATE_WINDOW_STREAM),
+    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "sampler_pivot": (q_sampler_pivot, None),
 }
 
