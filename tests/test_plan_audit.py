@@ -166,3 +166,30 @@ def test_hash_embed_single_shuffle(spark):
     p = plan_str(_q("hash_embed", spark))
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_paragraph_dedup_no_global_funnel(spark):
+    # first-occurrence ranking partitions by the chunk value — no
+    # single-partition exchange or cartesian anywhere; reassembly is a
+    # plain hash aggregation on doc_id
+    p = plan_str(_q("paragraph_dedup", spark))
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_dsir_weights_broadcasts_logratio(spark):
+    # the 64-row log-ratio table must broadcast into the per-doc scoring
+    # join; the corpus side never shuffles for that join
+    p = plan_str(_q("dsir_weights", spark))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_salted_topk_is_two_phase_no_global_sort(spark):
+    # two aggregation phases (term,salt) then (term) — at least 4
+    # HashAggregate nodes (partial+final each) — and the top-k ships as
+    # TakeOrderedAndProject, never a global sort of the merged counts
+    p = plan_str(_q("salted_topk_terms", spark))
+    assert p.count("HashAggregate") >= 4
+    assert "TakeOrderedAndProject" in p

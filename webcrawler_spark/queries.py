@@ -3439,6 +3439,203 @@ FROM scored CROSS JOIN bounds
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus-hygiene operators, continued: paragraph-level dedup
+# (Gopher/MassiveText-style), DSIR importance weights, skew-safe salted
+# heavy-hitter counting
+# ---------------------------------------------------------------------------
+
+_PD_W = 3  # words per chunk — a stand-in "paragraph" for the synthetic corpus
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly (the
+    MassiveText/Gopher line-dedup stage): segment each document into
+    fixed-width word chunks, keep only the globally-first occurrence of
+    each distinct chunk (first = lowest (doc_id, position)), and stitch
+    the survivors back into a deduplicated text per document.
+
+    Scale shape: one shuffle partitioned by the chunk string (its
+    fingerprint at real scale) for the first-occurrence window — skew is
+    bounded by the duplicate count of the hottest paragraph, which the
+    boilerplate-heavy web tail makes large, so a production run would cap
+    per-chunk rank fan-in (any rank > 1 is equivalent); then one shuffle
+    back on doc_id for reassembly. No per-row Python anywhere.
+    Reference analogue: within-page link dedup (D3, WebCrawler.scala) at
+    paragraph granularity across the whole corpus."""
+    toks = _tokens(_docs_parallel(spark, sf_dir)).filter(F.expr("size(toks) > 0"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks)/{_PD_W}.0) as int) - 1), "
+                f"i -> array_join(slice(toks, i*{_PD_W}+1, {_PD_W}), ' '))"
+            )
+        ).alias("idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    ranked = chunks.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum(F.when(F.col("rnk") == 1, 1).otherwise(0)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "case when rnk = 1 then struct(idx, chunk) end)), s -> s.chunk)"
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS idx,
+         array_to_string(w[i*{_PD_W}+1 : i*{_PD_W}+{_PD_W}], ' ') AS chunk
+  FROM (
+    SELECT doc_id, w,
+           unnest(range(0, CAST(ceil(len(w)/{_PD_W}.0) AS BIGINT))) AS i
+    FROM toks WHERE len(w) > 0
+  ) t
+),
+ranked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rnk
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_chunks,
+       CAST(count(*) FILTER (WHERE rnk = 1) AS INTEGER) AS n_kept,
+       coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rnk = 1), '')
+         AS dedup_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+_DSIR_B = 64  # hashed-feature buckets
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): hash unigrams into
+    {_DSIR_B} buckets, estimate Laplace-smoothed bucket distributions for
+    the target slice (lang='en') and the raw corpus, and score every
+    document by its token-sum of log(p_target/p_raw) — the importance
+    weight used to resample raw web text toward a target domain.
+
+    Scale shape: the two distribution aggregates are map-side-combined
+    shuffles over at most {_DSIR_B} keys; the per-bucket log-ratio table
+    ({_DSIR_B} rows) broadcasts into the per-doc scoring join, so the
+    corpus-sized side never shuffles for the join. The bucket hash uses
+    the md5-prefix trick so DuckDB reproduces it bit-for-bit."""
+    toks = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", F.explode("toks").alias("term"))
+        .withColumn(
+            "b",
+            F.expr("cast(conv(substring(md5(term), 1, 4), 16, 10) as bigint)")
+            % _DSIR_B,
+        )
+    )
+    per_bucket = toks.groupBy("b").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+    )
+    totals = per_bucket.agg(
+        F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
+    )
+    lr = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("tc") + 1).cast("double") / (F.col("tt") + _DSIR_B).cast("double"))
+                / ((F.col("rc") + 1).cast("double") / (F.col("rt") + _DSIR_B).cast("double"))
+            ),
+            6,
+        ).alias("lr"),
+    )
+    doc_bucket = toks.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("cnt"))
+    return (
+        doc_bucket.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_toks"),
+            # 6 dp, not coarser: the sum is a near-multiple of 1e-6 (counts x
+            # 6dp log-ratios), so any coarser rounding sits exactly on
+            # half-boundaries where HALF_UP vs binary representation flips
+            F.round(F.sum(F.col("cnt") * F.col("lr")), 6).alias("weight"),
+        )
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(term), 1, 4))::BIGINT % {_DSIR_B} AS b
+  FROM (SELECT doc_id, lang, unnest({_SQL_TOKS}) AS term FROM documents) t
+),
+per_bucket AS (
+  SELECT b, count(*) AS rc,
+         count(*) FILTER (WHERE lang = 'en') AS tc
+  FROM toks GROUP BY b
+),
+totals AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM per_bucket),
+lr AS (
+  SELECT b,
+         round(ln(((tc + 1)::DOUBLE / (tt + {_DSIR_B})::DOUBLE)
+                  / ((rc + 1)::DOUBLE / (rt + {_DSIR_B})::DOUBLE)), 6) AS lr
+  FROM per_bucket CROSS JOIN totals
+),
+doc_bucket AS (
+  SELECT doc_id, lang, b, count(*) AS cnt FROM toks GROUP BY doc_id, lang, b
+)
+SELECT d.doc_id, d.lang,
+       CAST(sum(d.cnt) AS INTEGER) AS n_toks,
+       round(sum(d.cnt * l.lr), 6) AS weight
+FROM doc_bucket d JOIN lr l ON d.b = l.b
+GROUP BY d.doc_id, d.lang
+"""
+
+
+_SALT_N = 16
+
+
+def q_salted_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe heavy-hitter counting: top-20 corpus terms via an explicit
+    two-phase salted aggregation — phase 1 counts (term, salt) so the
+    hottest term ('the'-class stopwords at web scale) spreads over
+    {_SALT_N} reducers, phase 2 merges the per-salt partials, and the
+    top-k ships as TakeOrderedAndProject (no global sort).
+
+    At 100 TB a plain groupBy(term) puts the entire count of the hottest
+    token through one reducer task; salting bounds any task at
+    hottest/{_SALT_N}. The extra shuffle is over the (term, salt)
+    partials — tiny, because phase 1's map-side combine already collapsed
+    the raw stream. Same pattern as the crawler's salted politeness
+    window (F5, crawler.py)."""
+    toks = _tokens(_docs_parallel(spark, sf_dir)).select(
+        "doc_id", F.explode("toks").alias("term")
+    )
+    partial = (
+        toks.withColumn("salt", (F.col("doc_id") % _SALT_N).cast("int"))
+        .groupBy("term", "salt")
+        .agg(F.count("*").alias("c"))
+    )
+    merged = partial.groupBy("term").agg(F.sum("c").alias("cnt"))
+    return merged.orderBy(F.desc("cnt"), F.asc("term")).limit(20)
+
+
+SQL_SALTED_TOPK_TERMS = f"""
+SELECT term, count(*) AS cnt
+FROM (SELECT unnest({_SQL_TOKS}) AS term FROM documents) t
+GROUP BY term
+ORDER BY cnt DESC, term ASC
+LIMIT 20
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -3455,6 +3652,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "exact_substring_dup": (q_exact_substring_dup, SQL_EXACT_SUBSTRING_DUP),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "salted_topk_terms": (q_salted_topk_terms, SQL_SALTED_TOPK_TERMS),
     "pipeline_keep_set": (q_pipeline_keep_set, SQL_PIPELINE_KEEP_SET),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "simhash": (q_simhash, SQL_SIMHASH),
