@@ -193,3 +193,19 @@ def test_salted_topk_is_two_phase_no_global_sort(spark):
     p = plan_str(_q("salted_topk_terms", spark))
     assert p.count("HashAggregate") >= 4
     assert "TakeOrderedAndProject" in p
+
+
+def test_url_canonical_dedup_stays_jvm_side(spark):
+    # the whole canonicalization pipeline is built-in expressions — no
+    # python UDF node, no single-partition funnel for the keep-best
+    p = plan_str(_q("url_canonical_dedup", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_robots_admission_broadcasts_rules(spark):
+    # the per-host rule table (robots.txt scale) must broadcast into the
+    # URL stream; the longest-match pick must not sort globally
+    p = plan_str(_q("robots_admission", spark))
+    assert "BroadcastHashJoin" in p
+    assert "Exchange SinglePartition" not in p

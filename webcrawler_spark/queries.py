@@ -3636,6 +3636,236 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# URL hygiene: canonicalization-keyed dedup and robots longest-match
+# admission (the RefinedWeb/CC URL-dedup + RFC 9309 stages)
+# ---------------------------------------------------------------------------
+
+# deterministic messy URL synthesized from doc_id — mixed-case scheme/host,
+# www prefix, default port, trailing slash, utm_* params, fragment
+_URL_EXPR_SPARK = (
+    "concat('HTTP', case when doc_id % 2 = 0 then 'S' else '' end, "
+    "'://WWW.Site', cast(doc_id % 7 as string), '.COM', "
+    "case when doc_id % 3 = 0 then ':443' else '' end, "
+    "'/Path/', cast(doc_id % 25 as string), "
+    "case when doc_id % 4 = 0 then '/' else '' end, "
+    "'?utm_source=feed&ref=', cast(doc_id % 5 as string), "
+    "case when doc_id % 6 = 0 then '&utm_campaign=x' else '' end, "
+    "case when doc_id % 5 = 0 then '#frag' else '' end)"
+)
+_URL_EXPR_SQL = (
+    "'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END || "
+    "'://WWW.Site' || (doc_id % 7)::VARCHAR || '.COM' || "
+    "CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END || "
+    "'/Path/' || (doc_id % 25)::VARCHAR || "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || "
+    "'?utm_source=feed&ref=' || (doc_id % 5)::VARCHAR || "
+    "CASE WHEN doc_id % 6 = 0 THEN '&utm_campaign=x' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization-keyed dedup (the RefinedWeb/Common-Crawl URL
+    dedup stage): canonicalize each document's URL — drop fragment,
+    lowercase scheme+host, strip www. and default ports, strip trailing
+    slash, drop utm_* tracking params — then keep the best document per
+    canonical URL (longest text, tie lowest doc_id).
+
+    All string surgery is built-in regexp/array expressions (JVM-side,
+    whole-stage codegen — the crawler's Python kernel normalize
+    (kernels/urls.py:40-63, U1) is for the fetch path; bulk recrawl dedup
+    stays vectorized). One shuffle on the canonical key. Reference
+    analogue: SeedQueue dedup on normalized seeds (WebCrawler.scala
+    normalize + D1)."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_EXPR_SPARK)
+    )
+    base = F.regexp_replace(F.col("url"), "#.*$", "")
+    c = (
+        docs.withColumn("base", base)
+        .withColumn("scheme", F.lower(F.regexp_extract("base", "^([A-Za-z]+)://", 1)))
+        .withColumn(
+            "host",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.regexp_extract("base", "^[A-Za-z]+://([^/?]+)", 1)),
+                    ":(80|443)$",
+                    "",
+                ),
+                "^www\\.",
+                "",
+            ),
+        )
+        .withColumn(
+            "path",
+            F.regexp_replace(
+                F.regexp_extract("base", "^[A-Za-z]+://[^/?]+([^?]*)", 1), "/+$", ""
+            ),
+        )
+        .withColumn(
+            "params",
+            F.expr(
+                "filter(split(regexp_extract(base, '\\\\?(.*)$', 1), '&'), "
+                "p -> p <> '' and substring(p, 1, 4) <> 'utm_')"
+            ),
+        )
+        .withColumn(
+            "canon_url",
+            F.concat(
+                F.col("scheme"),
+                F.lit("://"),
+                F.col("host"),
+                F.when(F.col("path") == "", "/").otherwise(F.col("path")),
+                F.when(
+                    F.size("params") > 0,
+                    F.concat(F.lit("?"), F.array_join("params", "&")),
+                ).otherwise(F.lit("")),
+            ),
+        )
+    )
+    w = Window.partitionBy("canon_url").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .groupBy("canon_url")
+        .agg(
+            F.min(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+            F.count("*").cast("int").alias("n_dups"),
+        )
+    )
+
+
+SQL_URL_CANONICAL_DEDUP = f"""
+WITH u AS (
+  SELECT doc_id, n_chars, {_URL_EXPR_SQL} AS url FROM documents
+),
+c AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_extract(base, '^([A-Za-z]+)://', 1)) || '://' ||
+         regexp_replace(regexp_replace(
+             lower(regexp_extract(base, '^[A-Za-z]+://([^/?]+)', 1)),
+             ':(80|443)$', ''), '^www\\.', '') ||
+         CASE WHEN p = '' THEN '/' ELSE p END ||
+         CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+              ELSE '' END AS canon_url
+  FROM (
+    SELECT doc_id, n_chars, base,
+           regexp_replace(regexp_extract(base, '^[A-Za-z]+://[^?/]+([^?]*)', 1),
+                          '/+$', '') AS p,
+           list_filter(string_split(regexp_extract(base, '\\?(.*)$', 1), '&'),
+                       x -> x <> '' AND substr(x, 1, 4) <> 'utm_') AS params
+    FROM (SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS base FROM u) b
+  ) s
+),
+ranked AS (
+  SELECT canon_url, doc_id,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM c
+)
+SELECT canon_url,
+       min(CASE WHEN rnk = 1 THEN doc_id END) AS kept_doc_id,
+       CAST(count(*) AS INTEGER) AS n_dups
+FROM ranked GROUP BY canon_url
+"""
+
+
+def q_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-match robots admission as a set operation: for
+    each URL, the most specific matching rule (longest path prefix) wins;
+    on a length tie Allow wins; no matching rule means allowed. Rules and
+    URL paths are synthesized deterministically per host so both engines
+    see the identical rule set.
+
+    Scale shape: the rule table is tiny (robots.txt per host) and
+    broadcasts into the URL stream; per-URL the best rule is picked by a
+    window keyed on the URL — no global funnel. The streaming fetch path
+    uses the real RFC 9309 parser (kernels/robots.py) on fetched
+    robots.txt bytes; this operator is the bulk admission filter over an
+    already-materialized rule table (F5/robots caps: crawler.py:399-431).
+    Reference: politeness/robots gate in WebGet.scala."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")).alias("host"),
+        F.concat(
+            F.lit("/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, "/ok").otherwise(""),
+            F.lit("/page"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    hosts = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.col("id") % 5).cast("string").alias("blocked"),
+    )
+    rules = hosts.select(
+        "host", F.concat(F.lit("/p/"), F.col("blocked")).alias("prefix"),
+        F.lit(False).alias("allow"),
+    ).union(
+        hosts.select(
+            "host",
+            F.concat(F.lit("/p/"), F.col("blocked"), F.lit("/ok")).alias("prefix"),
+            F.lit(True).alias("allow"),
+        )
+    )
+    matches = docs.join(F.broadcast(rules), "host").filter(
+        F.expr("startswith(path, prefix)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.length("prefix")), F.desc("allow")
+    )
+    best = (
+        matches.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.length("prefix").alias("rule_len"), "allow")
+    )
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        "path",
+        F.coalesce(F.col("rule_len"), F.lit(0)).cast("int").alias("rule_len"),
+        F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+    )
+
+
+SQL_ROBOTS_ADMISSION = """
+WITH docs AS (
+  SELECT doc_id,
+         'h' || (doc_id % 10)::VARCHAR AS host,
+         '/p/' || (doc_id % 7)::VARCHAR ||
+         CASE WHEN doc_id % 3 = 0 THEN '/ok' ELSE '' END ||
+         '/page' || doc_id::VARCHAR AS path
+  FROM documents
+),
+hosts AS (
+  SELECT 'h' || i::VARCHAR AS host, (i % 5)::VARCHAR AS blocked
+  FROM (SELECT unnest(range(0, 10)) AS i) t
+),
+rules AS (
+  SELECT host, '/p/' || blocked AS prefix, FALSE AS allow FROM hosts
+  UNION ALL
+  SELECT host, '/p/' || blocked || '/ok' AS prefix, TRUE AS allow FROM hosts
+),
+best AS (
+  SELECT doc_id, len(prefix) AS rule_len, allow
+  FROM (
+    SELECT d.doc_id, r.prefix, r.allow,
+           row_number() OVER (PARTITION BY d.doc_id
+                              ORDER BY len(r.prefix) DESC, r.allow DESC) AS rnk
+    FROM docs d JOIN rules r
+      ON d.host = r.host AND starts_with(d.path, r.prefix)
+  ) m WHERE rnk = 1
+)
+SELECT d.doc_id, d.host, d.path,
+       CAST(coalesce(b.rule_len, 0) AS INTEGER) AS rule_len,
+       coalesce(b.allow, TRUE) AS allowed
+FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -3655,6 +3885,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "salted_topk_terms": (q_salted_topk_terms, SQL_SALTED_TOPK_TERMS),
+    "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
+    "robots_admission": (q_robots_admission, SQL_ROBOTS_ADMISSION),
     "pipeline_keep_set": (q_pipeline_keep_set, SQL_PIPELINE_KEEP_SET),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "simhash": (q_simhash, SQL_SIMHASH),
