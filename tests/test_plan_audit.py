@@ -209,3 +209,13 @@ def test_robots_admission_broadcasts_rules(spark):
     p = plan_str(_q("robots_admission", spark))
     assert "BroadcastHashJoin" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_hits_mass_normalized(spark):
+    # L1 normalization invariant: auth and hub each sum to 1 after the
+    # final iteration (the verify handle for the iterative op)
+    rows = _q("hits_scores", spark).collect()
+    sa = sum(r.auth for r in rows)
+    sh = sum(r.hub for r in rows)
+    assert abs(sa - 1.0) < 1e-4 and abs(sh - 1.0) < 1e-4
+    assert all(r.auth >= 0 and r.hub >= 0 for r in rows)

@@ -3636,6 +3636,103 @@ LIMIT 20
 """
 
 
+_HITS_ITERS = 2
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the derived host graph (Kleinberg 1999),
+    {_HITS_ITERS} iterations with L1 normalization — the hub/authority
+    split complements PageRank's single score for crawl steering (a good
+    hub page is a frontier goldmine even when its own authority is low;
+    the reference's priority propagation NetworkEstimator.scala:101-124
+    is the same mutual-reinforcement shape).
+
+    Per iteration: two shuffle joins (edges x hub on src, edges x auth on
+    dst) + two groupBy sums + two 1-row normalization aggregates that
+    come back broadcast. Ranks localCheckpoint()ed per step to keep every
+    plan flat — the same lineage discipline as q_pagerank."""
+    edges = _pagerank_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("node", F.lit(1.0).alias("hub"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        raw_a = (
+            edges.join(h, edges.src == h.node)
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("ra"))
+        )
+        ar = nodes.join(raw_a, nodes.node == raw_a.dst, "left").select(
+            "node", F.coalesce("ra", F.lit(0.0)).alias("ra")
+        )
+        a = (
+            ar.crossJoin(F.broadcast(ar.agg(F.sum("ra").alias("ta"))))
+            .select("node", (F.col("ra") / F.col("ta")).alias("auth"))
+            .localCheckpoint()
+        )
+        raw_h = (
+            edges.join(a, edges.dst == a.node)
+            .groupBy("src")
+            .agg(F.sum("auth").alias("rh"))
+        )
+        hr = nodes.join(raw_h, nodes.node == raw_h.src, "left").select(
+            "node", F.coalesce("rh", F.lit(0.0)).alias("rh")
+        )
+        h = (
+            hr.crossJoin(F.broadcast(hr.agg(F.sum("rh").alias("th"))))
+            .select("node", (F.col("rh") / F.col("th")).alias("hub"))
+            .localCheckpoint()
+        )
+    return a.join(h, "node").select(
+        "node", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def _sql_hits_iter(hub_prev: str, a_cur: str, h_cur: str) -> str:
+    return f"""
+{a_cur}raw AS (
+  SELECT n.node, coalesce(s.ra, 0.0) AS ra
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.hub) AS ra
+    FROM edges e JOIN {hub_prev} h ON e.src = h.node GROUP BY e.dst
+  ) s ON n.node = s.node
+),
+{a_cur} AS (
+  SELECT node, ra / (SELECT sum(ra) FROM {a_cur}raw) AS auth FROM {a_cur}raw
+),
+{h_cur}raw AS (
+  SELECT n.node, coalesce(s.rh, 0.0) AS rh
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.auth) AS rh
+    FROM edges e JOIN {a_cur} a ON e.dst = a.node GROUP BY e.src
+  ) s ON n.node = s.node
+),
+{h_cur} AS (
+  SELECT node, rh / (SELECT sum(rh) FROM {h_cur}raw) AS hub FROM {h_cur}raw
+)"""
+
+
+SQL_HITS_SCORES = f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM nodes),
+{_sql_hits_iter('h0', 'a1', 'h1')},
+{_sql_hits_iter('h1', 'a2', 'h2')}
+SELECT a2.node, round(a2.auth, 6) AS auth, round(h2.hub, 6) AS hub
+FROM a2 JOIN h2 ON a2.node = h2.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # URL hygiene: canonicalization-keyed dedup and robots longest-match
 # admission (the RefinedWeb/CC URL-dedup + RFC 9309 stages)
@@ -3902,6 +3999,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "hits_scores": (q_hits_scores, SQL_HITS_SCORES),
     "range_join_bins": (q_range_join_bins, SQL_RANGE_JOIN_BINS),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "hash_embed": (q_hash_embed, SQL_HASH_EMBED),
