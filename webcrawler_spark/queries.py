@@ -3636,6 +3636,63 @@ LIMIT 20
 """
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling: per URL (user_id as the URL
+    key, events as its fetch log), estimate a Poisson change rate from
+    observed changes ('click' events as change-detected fetches) over the
+    observation span, then score recrawl priority as the probability the
+    page changed since its last fetch: 1 - exp(-lambda * age). This is
+    the classic incremental-crawl freshness policy (Cho & Garcia-Molina)
+    that would feed the reference's priority queue (F1) when re-fetching
+    (S2 re-fetch overwrite path, crawler.py:624-655).
+
+    One shuffle (groupBy url) + a 1-row broadcast of the corpus clock;
+    all time math on integer epoch-microseconds so both engines agree
+    bit-for-bit before the final exp()."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        _us("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("chg"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count("*").cast("int").alias("n_fetches"),
+        F.sum("chg").cast("int").alias("n_changes"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )
+    now = per.agg(F.max("last_us").alias("now_us"))
+    span_h = (F.col("last_us") - F.col("first_us")) / F.lit(3.6e9)
+    age_h = (F.col("now_us") - F.col("last_us")) / F.lit(3.6e9)
+    lam = F.col("n_changes").cast("double") / F.greatest(span_h, F.lit(1.0))
+    return per.crossJoin(F.broadcast(now)).select(
+        "user_id",
+        "n_fetches",
+        "n_changes",
+        F.round(age_h, 6).alias("age_hours"),
+        F.round(F.lit(1.0) - F.exp(-lam * age_h), 6).alias("priority"),
+    )
+
+
+SQL_RECRAWL_PRIORITY = """
+WITH per AS (
+  SELECT user_id,
+         CAST(count(*) AS INTEGER) AS n_fetches,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS INTEGER)
+           AS n_changes,
+         min(epoch_us(ts)) AS first_us,
+         max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id
+),
+now_t AS (SELECT max(last_us) AS now_us FROM per)
+SELECT user_id, n_fetches, n_changes,
+       round((now_us - last_us) / 3600000000.0, 6) AS age_hours,
+       round(1.0 - exp(-(n_changes::DOUBLE
+                         / greatest((last_us - first_us) / 3600000000.0, 1.0))
+                       * ((now_us - last_us) / 3600000000.0)), 6) AS priority
+FROM per CROSS JOIN now_t
+"""
+
+
 _HITS_ITERS = 2
 
 
@@ -3968,6 +4025,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
     "breadth_fifo": (q_breadth_fifo, SQL_BREADTH_FIFO),
     "politeness_window": (q_politeness_window, SQL_POLITENESS_WINDOW),
+    "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
     "first_seen_ids": (q_first_seen_ids, SQL_FIRST_SEEN_IDS),
     # dedup / membership (§2.4 + training-data surface)
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
