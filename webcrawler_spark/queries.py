@@ -3636,6 +3636,87 @@ LIMIT 20
 """
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sitemaps.org XML): build one urlset document per
+    host in-engine, then extract (loc, lastmod, priority) with Spark's
+    JVM-side xpath functions and explode back to one row per URL — the
+    seed-discovery source a production crawler reads alongside WARC
+    (q_warc_roundtrip) and robots (q_robots_admission). The oracle is the
+    closed form: re-derive the injected fields without XML, so the test
+    pins parse(build(x)) == x exactly like the WARC round trip.
+
+    Scale shape: XML assembly is a groupBy(host) string fold; extraction
+    is per-row xpath (whole-stage codegen, no Python); the explode is
+    map-side. Real sitemaps arrive as one blob per host — exactly this
+    dataflow."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")).alias("host"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example.com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("loc"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+        F.concat(F.lit("0."), (F.col("doc_id") % 10).cast("string")).alias("prio"),
+    )
+    entries = docs.select(
+        "host",
+        "doc_id",
+        F.concat(
+            F.lit("<url><loc>"),
+            F.col("loc"),
+            F.lit("</loc><lastmod>"),
+            F.col("lastmod"),
+            F.lit("</lastmod><priority>"),
+            F.col("prio"),
+            F.lit("</priority></url>"),
+        ).alias("entry"),
+    )
+    xml = entries.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(doc_id, entry))), "
+                    "s -> s.entry)"
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    parsed = xml.select(
+        "host",
+        F.expr("xpath(xml, '/urlset/url/loc/text()')").alias("locs"),
+        F.expr("xpath(xml, '/urlset/url/lastmod/text()')").alias("mods"),
+        F.expr("xpath(xml, '/urlset/url/priority/text()')").alias("prios"),
+    )
+    z = parsed.select(
+        "host", F.explode(F.arrays_zip("locs", "mods", "prios")).alias("z")
+    )
+    return z.select(
+        "host",
+        F.col("z.locs").alias("loc"),
+        F.col("z.mods").alias("lastmod"),
+        F.col("z.prios").cast("double").alias("priority"),
+    )
+
+
+SQL_SITEMAP_EXTRACT = """
+SELECT 'h' || (doc_id % 10)::VARCHAR AS host,
+       'https://h' || (doc_id % 10)::VARCHAR || '.example.com/p'
+         || doc_id::VARCHAR AS loc,
+       '2024-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS lastmod,
+       ('0.' || (doc_id % 10)::VARCHAR)::DOUBLE AS priority
+FROM documents
+"""
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness-driven recrawl scheduling: per URL (user_id as the URL
     key, events as its fetch log), estimate a Poisson change rate from
@@ -4066,6 +4147,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "mix_temperature": (q_mix_temperature, SQL_MIX_TEMPERATURE),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     # text analysis
