@@ -64,6 +64,14 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q5_region",
     "tpch_q3_topk",
+    "paragraph_dedup",
+    "dsir_weights",
+    "salted_topk_terms",
+    "url_canonical_dedup",
+    "robots_admission",
+    "hits_scores",
+    "recrawl_priority",
+    "sitemap_extract",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

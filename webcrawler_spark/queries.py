@@ -3464,7 +3464,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: within-page link dedup (D3, WebCrawler.scala) at
     paragraph granularity across the whole corpus."""
     toks = _tokens(_docs_parallel(spark, sf_dir)).filter(F.expr("size(toks) > 0"))
-    chunks = toks.select(
+    chunks_lazy = toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -3473,6 +3473,17 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("idx", "chunk"),
     )
+    # same one-shot cost control as q_minhash_lsh_candidates: the chunking
+    # HOF evaluates interpreted anyway, but whole-stage codegen would
+    # Janino-compile the enclosing method (measured ~18 s compile for ~1 s
+    # of compute at sf0.1); materialize it codegen-off, keep codegen for
+    # the window + reassembly below
+    wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        chunks = chunks_lazy.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", wsc)
     w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
     ranked = chunks.withColumn("rnk", F.row_number().over(w))
     return ranked.groupBy("doc_id").agg(
