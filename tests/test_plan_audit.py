@@ -219,3 +219,13 @@ def test_hits_mass_normalized(spark):
     sh = sum(r.hub for r in rows)
     assert abs(sa - 1.0) < 1e-4 and abs(sh - 1.0) < 1e-4
     assert all(r.auth >= 0 and r.hub >= 0 for r in rows)
+
+
+def test_bm25_broadcasts_small_sides(spark):
+    # df table + corpus scalars broadcast; the (doc,term) side never
+    # shuffles for those joins
+    p = plan_str(_q("bm25_topk", spark))
+    assert p.count("BroadcastExchange") >= 2 or (
+        p.count("BroadcastExchange") >= 1 and "BroadcastNestedLoopJoin" in p
+    )
+    assert "SortMergeJoin" not in p

@@ -3647,6 +3647,237 @@ LIMIT 20
 """
 
 
+_SD_BASE = "2026-03-01 00:00:00"
+_SD_URLS = 211  # url-key space; events map onto it with heavy cross-batch overlap
+
+
+def q_stream_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-seen dedup — the crawler's D1 seen-filter as
+    Structured Streaming state: a URL stream arrives in 3 micro-batches
+    (maxFilesPerTrigger=1) and `dropDuplicates` on the URL key keeps only
+    each key's FIRST occurrence, holding the seen set as keyed state
+    across micro-batch boundaries (the same first-wins contract as the
+    engine's anti-join seen update, crawler.py:752-786, and the
+    bloom/cuckoo prefilters). A 12h watermark bounds state at real scale;
+    the event-time grid here never advances past it, so no key is evicted
+    before its duplicates arrive and the kept set is exact.
+
+    The oracle replays the contract in closed form: per URL key, the
+    surviving row is the one from its minimal micro-batch (src_b carries
+    the proof that the batch-1/2 duplicates were dropped by state, not by
+    chance)."""
+    import tempfile
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("event_id") % _SD_URLS).alias("url_id"),
+        (F.col("event_id") % 3).cast("int").alias("_b"),
+    )
+    base = F.unix_timestamp(F.lit(_SD_BASE).cast("timestamp"))
+    rows = ev.select(
+        "url_id",
+        F.col("_b").alias("src_b"),
+        (base + F.col("url_id") * 60 + F.col("_b")).cast("timestamp").alias("ts"),
+        "_b",
+    )
+    workdir = tempfile.mkdtemp(prefix="sdstream_")
+    rows.repartition(1).write.partitionBy("_b").parquet(f"{workdir}/in")
+
+    stream_in = (
+        spark.readStream.schema("url_id long, src_b int, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{workdir}/in/_b=*")
+    )
+    dedup = (
+        stream_in.withWatermark("ts", "12 hours")
+        .dropDuplicates(["url_id"])
+        .select(
+            "url_id",
+            "src_b",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+    qname = "seen_dedup_" + workdir.rsplit("_", 1)[-1]
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+SQL_STREAM_SEEN_DEDUP = f"""
+WITH occ AS (
+  SELECT event_id % {_SD_URLS} AS url_id,
+         CAST(min(event_id % 3) AS INTEGER) AS src_b
+  FROM events GROUP BY event_id % {_SD_URLS}
+)
+SELECT url_id, src_b,
+       strftime(TIMESTAMP '{_SD_BASE}'
+                + to_seconds(url_id * 60 + src_b),
+                '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM occ
+"""
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-3 terms per document (Robertson/Sparck-Jones idf,
+    k1={_BM25_K1} b={_BM25_B}) — the ranking-grade sibling of
+    q_tfidf_topk and the relevance score a focused crawler would use to
+    steer toward topic-matching pages (the reference's TargetVector
+    priority A3 is the same tf-weighting idea).
+
+    Plan shape matches tfidf_topk: one (doc,term) aggregation, a tiny df
+    table and two corpus scalars that broadcast, a per-doc window for the
+    top-k. All BM25 inputs are integers, so the double formula evaluates
+    bit-identically on both engines; ranking is on the ROUNDED score so
+    ln() ulp can't flip the order."""
+    tf = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_cnt = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scalars = tf.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_cnt), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom, 6).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "bm25")
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (
+    SELECT doc_id, len({_SQL_TOKS}) AS dl, unnest({_SQL_TOKS}) AS term
+    FROM documents
+  ) t
+  GROUP BY doc_id, dl, term
+),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id, min(dl) AS dl FROM tf GROUP BY doc_id) d
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         round(ln(1.0 + (sc.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / sc.avgdl)), 6)
+           AS bm25
+  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN sc
+)
+SELECT doc_id, term, tf, df, bm25
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY bm25 DESC, term ASC) AS rnk
+  FROM scored
+) r WHERE rnk <= 3
+"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between corpus
+    slices (lang='en' vs the rest, over document length) — the
+    distribution-shift monitor a continuously-crawling training-data
+    pipeline runs between yesterday's corpus and today's before mixing.
+
+    KS = max over values of |F_a(v) - F_b(v)| with empirical CDFs;
+    computed as grouped counts + a running-sum window over the value
+    order. The ordered window runs single-partition BY DESIGN: it
+    operates on the distinct-value histogram (|values| rows, already
+    aggregated map-side), never on the corpus — at 100 TB the histogram
+    of any bounded metric is still tiny. Counts are integers, so the CDF
+    ratios and their max are bit-identical across engines before
+    rounding."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").alias("is_a")
+    )
+    per_v = docs.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cb"),
+    )
+    tot = per_v.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_v.select(
+        "n_chars",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("na")
+                    - F.col("cum_b").cast("double") / F.col("nb")
+                )
+            ).alias("d"),
+            "na",
+            "nb",
+        )
+        .agg(
+            F.round(F.max("d"), 6).alias("ks_stat"),
+            F.max("na").cast("int").alias("n_a"),
+            F.max("nb").cast("int").alias("n_b"),
+        )
+    )
+
+
+SQL_KS_DRIFT = """
+WITH per_v AS (
+  SELECT n_chars,
+         count(*) FILTER (WHERE lang = 'en') AS ca,
+         count(*) FILTER (WHERE lang <> 'en') AS cb
+  FROM documents GROUP BY n_chars
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per_v),
+cdf AS (
+  SELECT n_chars,
+         sum(ca) OVER (ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(cb) OVER (ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM per_v
+)
+SELECT round(max(abs(cum_a::DOUBLE / na - cum_b::DOUBLE / nb)), 6) AS ks_stat,
+       CAST(max(na) AS INTEGER) AS n_a,
+       CAST(max(nb) AS INTEGER) AS n_b
+FROM cdf CROSS JOIN tot
+"""
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (sitemaps.org XML): build one urlset document per
     host in-engine, then extract (loc, lastmod, priority) with Spark's
@@ -4164,6 +4395,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "unigram_lm_score": (q_unigram_lm_score, SQL_UNIGRAM_LM_SCORE),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
@@ -4196,6 +4429,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "host_budget_stream": (q_host_budget_stream, SQL_HOST_BUDGET_STREAM),
     "late_window_stream": (q_late_window_stream, SQL_LATE_WINDOW_STREAM),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    "stream_seen_dedup": (q_stream_seen_dedup, SQL_STREAM_SEEN_DEDUP),
     "sampler_pivot": (q_sampler_pivot, None),
 }
 
