@@ -54,3 +54,16 @@ def test_ann_hamming_recall_and_pruning(spark):
     ham = (bits != qb).sum(1)
     frac = ((ham <= ANN_HAM_RADIUS) & (ids != 0)).mean()
     assert frac <= 0.35, f"Hamming prefilter passes too much: {frac:.3f}"
+
+
+def test_ann_pq_recall_vs_bruteforce(spark):
+    """PQ+ADC with exact rerank of the top-100 must retrieve most of the
+    brute-force top-20 — 8x16 codebooks quantize hard, but the rerank
+    restores precision for everything ADC lets through."""
+    from webcrawler_spark.queries import q_ann_pq
+
+    truth = {r.vec_id for r in q_ann_cosine_topk(spark, SF_DIR).collect()}
+    got = {r.vec_id for r in q_ann_pq(spark, SF_DIR).collect()}
+    assert len(truth) == 20 and len(got) == 20
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"PQ recall@20 too low: {recall}"
