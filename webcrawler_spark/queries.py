@@ -3960,6 +3960,134 @@ FROM cdf CROSS JOIN tot
 """
 
 
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus term distribution: OLS slope of
+    ln(freq) on ln(rank) — the single-number sanity check that crawled
+    text is natural language (alpha approx -1) rather than boilerplate or
+    spam floods (much flatter/steeper). Used as a corpus-health gate in
+    web-text pipelines.
+
+    Closed-form distributed regression: term counts (one shuffle), ranks
+    by a count-ordered window over the term HISTOGRAM (vocabulary-sized,
+    not corpus-sized), then slope = covar_pop/var_pop in one aggregate —
+    no iterative fitting, no driver collect."""
+    counts = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    lg = counts.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("lr"),
+        F.log(F.col("freq").cast("double")).alias("lf"),
+    )
+    return lg.agg(
+        F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 6).alias("alpha"),
+        F.count("*").cast("int").alias("n_terms"),
+    )
+
+
+SQL_ZIPF_ALPHA = f"""
+WITH counts AS (
+  SELECT term, count(*) AS freq
+  FROM (SELECT unnest({_SQL_TOKS}) AS term FROM documents) t
+  GROUP BY term
+),
+lg AS (
+  SELECT ln((row_number() OVER (ORDER BY freq DESC, term ASC))::DOUBLE) AS lr,
+         ln(freq::DOUBLE) AS lf
+  FROM counts
+)
+SELECT round(covar_pop(lr, lf) / var_pop(lr), 6) AS alpha,
+       CAST(count(*) AS INTEGER) AS n_terms
+FROM lg
+"""
+
+
+_SC_N = 3  # shingle width
+_SC_THRESH = 0.8
+
+
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided shingle containment (Broder 1997):
+    |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|) — containment of the smaller
+    document in the larger. Catches partial duplication (quotes, wrapped
+    articles, boilerplate inclusion) that symmetric Jaccard misses when
+    the containing document is much larger. Pairs are generated by the same shingle-bucket join
+    as q_ngram_jaccard_pairs (never all-pairs), then scored by exact
+    intersection over the smaller side's shingle count; reported pairs
+    have containment >= {_SC_THRESH}.
+
+    Scale notes: candidate generation is the bucket join (hot-shingle cap
+    handled as in ngram_jaccard_capped); the intersection count rides the
+    same join, no second pass over the corpus."""
+    docs = _tokens(_docs_parallel(spark, sf_dir)).filter(
+        F.expr(f"size(toks) >= {_SC_N}")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(toks) - {_SC_N - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {_SC_N}))))"
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= _SC_THRESH)
+    )
+
+
+SQL_SHINGLE_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           array_to_string(w[i : i + {_SC_N - 1}], ' ') AS shingle
+    FROM (
+      SELECT doc_id, w, unnest(range(1, len(w) - {_SC_N - 2})) AS i
+      FROM (SELECT doc_id, {_SQL_TOKS} AS w FROM documents) t0
+      WHERE len(w) >= {_SC_N}
+    ) t1
+  ) t2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.inter::DOUBLE / least(sa.n_sh, sb.n_sh), 6) AS containment
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.inter::DOUBLE / least(sa.n_sh, sb.n_sh) >= {_SC_THRESH}
+"""
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (sitemaps.org XML): build one urlset document per
     host in-engine, then extract (loc, lastmod, priority) with Spark's
@@ -4441,6 +4569,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "exact_substring_dup": (q_exact_substring_dup, SQL_EXACT_SUBSTRING_DUP),
+    "shingle_containment": (q_shingle_containment, SQL_SHINGLE_CONTAINMENT),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
@@ -4479,6 +4608,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
+    "zipf_alpha": (q_zipf_alpha, SQL_ZIPF_ALPHA),
     "unigram_lm_score": (q_unigram_lm_score, SQL_UNIGRAM_LM_SCORE),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
