@@ -72,6 +72,7 @@ HEADLINE = [
     "hits_scores",
     "recrawl_priority",
     "sitemap_extract",
+    "semdedup_prune",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -1584,6 +1584,110 @@ WHERE round({_sql_dot('a.embedding', 'b.embedding')} /
 """
 
 
+_SEMDEDUP_TAU = 0.35
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, find within-cluster
+    pairs with cosine similarity above tau, and from each pair prune the
+    member CLOSEST to its cluster centroid — keeping the outliers
+    preserves diversity while dropping templated near-copies that exact
+    and MinHash dedup both miss.
+
+    Clusters here are the deterministic ``label`` partition (the
+    sample-trained k-means assignment of ``ann_ivf`` is the drop-in at
+    scale — same broadcast-centroid argmax); centroids are the
+    ``label_centroids`` result rounded 6 dp so both engines score
+    against identical inputs. Plan shape: one posexplode aggregation
+    for centroids (tiny, broadcast), one map stage adding
+    centroid-cosine per vector, then the label-bucketed self-join —
+    candidate generation is bounded by cluster size, never O(n^2)
+    global, which is exactly what makes SemDeDup viable at 100 TB.
+    Pair losers resolve by higher centroid-cosine, ties by higher
+    vec_id; output is the distinct pruned set with its pair count."""
+    e = _read(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("c")
+    )
+    cent = (
+        comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, p -> p.c)").alias("centroid"))
+    )
+    cdot = F.expr(_dot_expr("embedding", "centroid"))
+    cnv = F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
+    cnc = F.sqrt(F.expr(_dot_expr("centroid", "centroid")))
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", "embedding",
+        F.round(cdot / (cnv * cnc), 6).alias("csim"),
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    pdot = F.expr(_dot_expr("a.embedding", "b.embedding"))
+    pna = F.sqrt(F.expr(_dot_expr("a.embedding", "a.embedding")))
+    pnb = F.sqrt(F.expr(_dot_expr("b.embedding", "b.embedding")))
+    loser_id = F.when(
+        F.col("a.csim") > F.col("b.csim"), F.col("a.vec_id")
+    ).when(
+        F.col("b.csim") > F.col("a.csim"), F.col("b.vec_id")
+    ).otherwise(F.greatest("a.vec_id", "b.vec_id"))
+    loser_csim = F.when(
+        F.col("a.csim") > F.col("b.csim"), F.col("a.csim")
+    ).otherwise(F.col("b.csim"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", F.round(pdot / (pna * pnb), 4))
+        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+        .select(
+            "label",
+            loser_id.alias("pruned_id"),
+            loser_csim.alias("csim"),
+        )
+    )
+    return pairs.groupBy("label", "pruned_id", "csim").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+SQL_SEMDEDUP_PRUNE = f"""
+WITH comp AS (
+  SELECT label, pos - 1 AS pos, round(avg(x::DOUBLE), 6) AS c
+  FROM (
+    SELECT label, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  ) t
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id, e.embedding,
+         round({_sql_dot('e.embedding', 'cent.centroid')} /
+               (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+                sqrt({_sql_dot('cent.centroid', 'cent.centroid')})), 6) AS csim
+  FROM embeddings e JOIN cent USING (label)
+),
+pairs AS (
+  SELECT a.label,
+         CASE WHEN a.csim > b.csim THEN a.vec_id
+              WHEN b.csim > a.csim THEN b.vec_id
+              ELSE greatest(a.vec_id, b.vec_id) END AS pruned_id,
+         CASE WHEN a.csim > b.csim THEN a.csim ELSE b.csim END AS csim
+  FROM scored a JOIN scored b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_sql_dot('a.embedding', 'b.embedding')} /
+              (sqrt({_sql_dot('a.embedding', 'a.embedding')}) *
+               sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4) >= {_SEMDEDUP_TAU}
+)
+SELECT label, pruned_id, csim, count(*) AS n_pairs
+FROM pairs GROUP BY label, pruned_id, csim
+"""
+
+
 # ---------------------------------------------------------------------------
 # 6. relational coverage (SURVEY §2.10 checklist)
 # ---------------------------------------------------------------------------
@@ -4623,6 +4727,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_hamming": (q_ann_hamming, SQL_ANN_HAMMING),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP_PRUNE),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "nearest_centroid": (q_nearest_centroid, SQL_NEAREST_CENTROID),
     # relational coverage
