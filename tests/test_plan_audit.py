@@ -229,3 +229,49 @@ def test_bm25_broadcasts_small_sides(spark):
         p.count("BroadcastExchange") >= 1 and "BroadcastNestedLoopJoin" in p
     )
     assert "SortMergeJoin" not in p
+
+
+def test_inverted_index_two_phase_agg_no_global_sort(spark):
+    # index build = tf agg + term agg; postings sort is per-row
+    # sort_array, never a global Sort/Exchange-SinglePartition funnel
+    p = plan_str(_q("inverted_index", spark))
+    assert p.count("HashAggregate") + p.count("ObjectHashAggregate") >= 2
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_crawl_delta_single_key_join_no_text_shuffle(spark):
+    # snapshot diff shuffles 32-byte fingerprints on the key; page text
+    # must be pruned before the exchange (only md5(text) survives the
+    # map side) and the join must be a hash join on doc_id
+    p = plan_str(_q("crawl_delta", spark))
+    assert "SortMergeJoin FullOuter" in p or "ShuffledHashJoin FullOuter" in p
+    assert "CartesianProduct" not in p
+    # no exchange row wider than (doc_id, fp): text never shuffles
+    for seg in p.split("Exchange")[1:]:
+        head = seg.splitlines()[0]
+        assert "text" not in head
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    # 5 query vectors broadcast into the corpus scan — the corpus side
+    # must not shuffle for the scoring join
+    p = plan_str(_q("hard_negatives", spark))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_knn_graph_bucket_join_not_cartesian(spark):
+    p = plan_str(_q("knn_graph", spark))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_domain_quality_single_scan(spark):
+    # one pass over documents: all five signals fold into one groupBy
+    # (formatted mode prints every node twice: tree + detail section)
+    import re
+
+    p = plan_str(_q("domain_quality", spark))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1

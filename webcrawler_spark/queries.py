@@ -4657,6 +4657,278 @@ FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 7b. round-3 tail: index build, snapshot diff, contrastive mining,
+#     domain rollup, kNN graph
+# ---------------------------------------------------------------------------
+
+_INVIDX_MIN_DF, _INVIDX_MAX_FRAC = 2, 0.9
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> sorted posting list of doc_ids with
+    document frequency and total term frequency — the search-index
+    construction shuffle (one groupBy(term) after the per-doc tf stage).
+
+    Bounds for web scale: hapax terms (df < min_df) bloat the index with
+    single-element postings, and terms present in > max_frac of the
+    corpus produce postings the size of the corpus (real builds
+    block-compress or elide those). Both are post-aggregate HAVING
+    predicates against a broadcast corpus count — the cap costs
+    nothing extra and keeps per-term reduce state bounded."""
+    tf = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = _read(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= _INVIDX_MIN_DF)
+            & (F.col("df") <= _INVIDX_MAX_FRAC * F.col("n_docs"))
+        )
+        .select("term", "df", "total_tf", "postings")
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents) t
+  GROUP BY doc_id, term
+),
+nd AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, count(*) AS df, sum(tf) AS total_tf,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM tf CROSS JOIN nd GROUP BY term, nd.n_docs
+HAVING count(*) >= {_INVIDX_MIN_DF} AND count(*) <= {_INVIDX_MAX_FRAC} * nd.n_docs
+"""
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-recrawl snapshot diff: classify every URL as added /
+    removed / changed / same between two corpus snapshots by content
+    fingerprint (the Common-Crawl-style monthly-delta job).
+
+    Snapshots are derived deterministically from `documents` so both
+    engines see identical inputs: OLD = doc_id % 5 != 4, NEW =
+    doc_id % 5 != 0 with every doc_id % 3 == 0 page's text mutated
+    (a re-fetch that changed). Plan: two fingerprint map stages + ONE
+    full-outer hash join on the key — no global sort, no window; at
+    100 TB this is the canonical shuffle-on-primary-key pattern and the
+    fingerprint comparison never moves page bodies, only 32-byte md5s."""
+    docs = _read(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    old = docs.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id", fp.alias("old_fp")
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(
+                F.lower(
+                    F.when(
+                        F.col("doc_id") % 3 == 0,
+                        F.concat(F.col("text"), F.lit(" upd")),
+                    ).otherwise(F.col("text"))
+                ),
+                r"\s+",
+                " ",
+            )
+        ).alias("new_fp"),
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return joined.select("doc_id", status.alias("status"))
+
+
+SQL_CRAWL_DELTA = r"""
+WITH old AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS old_fp
+  FROM documents WHERE doc_id % 5 <> 4
+),
+new AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(
+           CASE WHEN doc_id % 3 = 0 THEN text || ' upd' ELSE text END
+         ), '\s+', ' ', 'g')) AS new_fp
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old_fp <> new_fp THEN 'changed'
+            ELSE 'same' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector (vec_id <
+    5) the top-5 most-cosine-similar vectors with a DIFFERENT label —
+    the pairs an embedding model most needs to push apart (dense-retriever
+    / CLIP training recipe).
+
+    Query side is 5 rows — broadcast into the corpus scan, one pass, one
+    per-query top-k window over k*|corpus| scored rows. At 10^9 vectors
+    the same plan holds with ann_ivf/ann_hamming replacing the brute
+    scan; ranking uses the ROUNDED score so ulp noise cannot flip it."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    dot = F.expr(_dot_expr("embedding", "q_emb"))
+    na = F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
+    nq = F.sqrt(F.expr(_dot_expr("q_emb", "q_emb")))
+    scored = (
+        e.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            F.round(dot / (na * nq), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "neg_id", "cos", "rnk")
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neg_id,
+         round({_sql_dot('e.embedding', 'q.q_emb')} /
+               (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+                sqrt({_sql_dot('q.q_emb', 'q.q_emb')})), 4) AS cos
+  FROM embeddings e JOIN q ON e.label <> q.q_label
+)
+SELECT q_id, neg_id, cos, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neg_id ASC) AS rnk
+  FROM scored
+) r WHERE rnk <= 5
+"""
+
+
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus-health rollup: per source, document count,
+    average length, language spread, exact-dup fraction, average token
+    count — the signals a domain-admission policy thresholds on (spam
+    farms show high dup_frac + low length; parked domains show tiny
+    n_langs). One groupBy(source) over map-side-computed per-doc stats;
+    dup_frac reuses the doc fingerprint so no second text pass."""
+    docs = _tokens(_read(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.length("text").alias("n_chars_t"),
+        F.size("toks").alias("n_toks"),
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars_t"), 4).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("fp").cast("double") / F.count("*"),
+                6,
+            ).alias("dup_frac"),
+            F.round(F.avg("n_toks"), 4).alias("avg_toks"),
+        )
+        .select("source", "n_docs", "avg_chars", "n_langs", "dup_frac", "avg_toks")
+    )
+
+
+SQL_DOMAIN_QUALITY = f"""
+WITH per_doc AS (
+  SELECT source, lang, length(text) AS n_chars_t,
+         len({_SQL_TOKS}) AS n_toks,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(n_chars_t), 4) AS avg_chars,
+       count(DISTINCT lang) AS n_langs,
+       round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_frac,
+       round(avg(n_toks), 4) AS avg_toks
+FROM per_doc GROUP BY source
+"""
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the embedding space (k=3, cosine), bucketed by
+    label — the neighborhood graph that seeds embedding clustering /
+    graph-based ANN (HNSW layer-0) / semantic-dup sweeps.
+
+    Candidate generation is the label-bucketed self-join (same bound as
+    embedding_neardup: work = Σ bucket², never global n²); at 100 TB the
+    bucket key comes from the trained IVF assignment (ann_ivf) instead of
+    the stored label. One window per source vector on the rounded score."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.expr(_dot_expr("a.embedding", "b.embedding"))
+    na = F.sqrt(F.expr(_dot_expr("a.embedding", "a.embedding")))
+    nb = F.sqrt(F.expr(_dot_expr("b.embedding", "b.embedding")))
+    scored = (
+        a.join(b, "label")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.round(dot / (na * nb), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("src", "dst", "cos", "rnk")
+    )
+
+
+SQL_KNN_GRAPH = f"""
+WITH scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round({_sql_dot('a.embedding', 'b.embedding')} /
+               (sqrt({_sql_dot('a.embedding', 'a.embedding')}) *
+                sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT src, dst, cos, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+  FROM scored
+) r WHERE rnk <= 3
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -4705,11 +4977,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mix_temperature": (q_mix_temperature, SQL_MIX_TEMPERATURE),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
+    "crawl_delta": (q_crawl_delta, SQL_CRAWL_DELTA),
+    "domain_quality": (q_domain_quality, SQL_DOMAIN_QUALITY),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "zipf_alpha": (q_zipf_alpha, SQL_ZIPF_ALPHA),
@@ -4728,6 +5003,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_hamming": (q_ann_hamming, SQL_ANN_HAMMING),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP_PRUNE),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "nearest_centroid": (q_nearest_centroid, SQL_NEAREST_CENTROID),
     # relational coverage
