@@ -4929,6 +4929,196 @@ FROM (
 """
 
 
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality measurement for the MinHash LSH path: confusion
+    counts + precision/recall of `minhash_lsh_candidates` against the
+    EXACT Jaccard>=0.5 pair set (`ngram_jaccard_pairs` — complete ground
+    truth, since J>=0.5 pairs always share a shingle and therefore always
+    surface in the shingle-bucket join).
+
+    This is the "measure, don't guess" harness a production dedup run
+    re-executes on a sampled slice after every banding-parameter change:
+    b x r controls the S-curve, and this op turns it into observed
+    tp/fp/fn. One full-outer join of two already-bounded pair sets."""
+    truth = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(1).alias("t")
+    )
+    cand = q_minhash_lsh_candidates(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(1).alias("c")
+    )
+    j = truth.join(cand, ["a_id", "b_id"], "full_outer")
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(F.col("t").isNull() & F.col("c").isNotNull(), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNull(), 1).otherwise(0)
+        ).alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 4).alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 4).alias("recall"),
+    )
+
+
+SQL_LSH_EVAL = f"""
+WITH truth AS (
+  SELECT a_id, b_id FROM ({SQL_NGRAM_JACCARD_PAIRS}) t
+),
+cand AS ({SQL_MINHASH_LSH_CANDIDATES}),
+conf AS (
+  SELECT
+    sum(CASE WHEN truth.a_id IS NOT NULL AND cand.a_id IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN truth.a_id IS NULL AND cand.a_id IS NOT NULL THEN 1 ELSE 0 END) AS fp,
+    sum(CASE WHEN truth.a_id IS NOT NULL AND cand.a_id IS NULL THEN 1 ELSE 0 END) AS fn
+  FROM truth FULL OUTER JOIN cand
+    ON truth.a_id = cand.a_id AND truth.b_id = cand.b_id
+)
+SELECT tp, fp, fn,
+       round(tp / (tp + fp), 4) AS precision,
+       round(tp / (tp + fn), 4) AS recall
+FROM conf
+"""
+
+
+_CMS_D, _CMS_W = 4, 32
+
+
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build over the term-frequency stream (Cormode &
+    Muthukrishnan): d=4 salted hash rows x w=32 buckets; counter(r,b) =
+    sum of counts of terms hashing to that cell; point estimate of any
+    term = min over rows (upper-biased by collisions only).
+
+    Integer-exact on both engines (md5-derived buckets), so the sketch
+    table itself is oracled — not just its estimates. At 100 TB this is
+    the fixed-memory (d*w counters) alternative to the exact term
+    histogram: one explode + one groupBy whose reduce state is bounded
+    by d*w regardless of vocabulary size."""
+    tf = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    cells = tf.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r"),
+        "term",
+        "c",
+    ).withColumn(
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("term"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    return (
+        cells.groupBy("r", "b")
+        .agg(F.sum("c").alias("counter"))
+        .select("r", "b", "counter")
+    )
+
+
+SQL_COUNTMIN_SKETCH = f"""
+WITH tf AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest({_SQL_TOKS}) AS term FROM documents) t
+  GROUP BY term
+),
+cells AS (
+  SELECT r, term, c,
+         ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 8))::BIGINT % {_CMS_W} AS b
+  FROM tf, (SELECT unnest(range({_CMS_D})) AS r) rs
+)
+SELECT r, b, sum(c) AS counter FROM cells GROUP BY r, b
+"""
+
+
+_HLL_P = 8  # 256 registers; standard error 1.04/sqrt(256) = 6.5%
+
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register build per language over the corpus's distinct
+    3-gram shingles (Flajolet et al.): 60-bit md5-derived hash, top 8
+    bits pick the register, rho = leading-zero rank of the low 52 bits.
+    The registers — max rho per (lang, bucket) — are integer-exact on
+    both engines, so the sketch STATE is oracled; the cardinality
+    estimate derived from it is pinned by tests/test_sketches.py
+    against the exact distinct count.
+
+    The scale story is the merge property: registers from any partition
+    of the corpus combine with max(), which is exactly this groupBy —
+    the distributed approx-distinct plan (and what approx_count_distinct
+    does JVM-side; this op is the observable, engine-portable build)."""
+    docs = _tokens(_docs_parallel(spark, sf_dir)).filter(
+        F.expr("size(toks) >= 3")
+    )
+    sh = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(toks) - 2), i -> "
+                "concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    hashed = sh.withColumn(
+        "hv", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    )
+    lowbits = 60 - _HLL_P
+    reg = hashed.select(
+        "lang",
+        F.shiftright("hv", lowbits).alias("bucket"),
+        F.col("hv").bitwiseAND(F.lit((1 << lowbits) - 1)).alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(lowbits + 1)).otherwise(
+            F.lit(lowbits) - F.length(F.bin("w")) + 1
+        ),
+    )
+    return (
+        reg.groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select("lang", "bucket", "rho")
+    )
+
+
+SQL_HLL_REGISTERS = f"""
+WITH toksT AS (
+  SELECT lang, {_SQL_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT lang, unnest(list_transform(range(len(toks) - 2),
+    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+  FROM toksT WHERE len(toks) >= 3
+),
+hashed AS (
+  SELECT lang, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hv FROM sh
+),
+reg AS (
+  SELECT lang, hv >> {60 - _HLL_P} AS bucket,
+         hv & {(1 << (60 - _HLL_P)) - 1} AS w
+  FROM hashed
+)
+SELECT lang, bucket,
+       max(CASE WHEN w = 0 THEN {60 - _HLL_P + 1}
+                ELSE {60 - _HLL_P} - length(bin(w)::VARCHAR) + 1 END) AS rho
+FROM reg GROUP BY lang, bucket
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -4943,6 +5133,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
+    "lsh_eval": (q_lsh_eval, SQL_LSH_EVAL),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "exact_substring_dup": (q_exact_substring_dup, SQL_EXACT_SUBSTRING_DUP),
     "shingle_containment": (q_shingle_containment, SQL_SHINGLE_CONTAINMENT),
@@ -4988,6 +5179,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "zipf_alpha": (q_zipf_alpha, SQL_ZIPF_ALPHA),
+    "countmin_sketch": (q_countmin_sketch, SQL_COUNTMIN_SKETCH),
+    "hll_registers": (q_hll_registers, SQL_HLL_REGISTERS),
     "unigram_lm_score": (q_unigram_lm_score, SQL_UNIGRAM_LM_SCORE),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
