@@ -275,3 +275,32 @@ def test_domain_quality_single_scan(spark):
 
     p = plan_str(_q("domain_quality", spark))
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_surt_cdx_is_pure_map_stage(spark):
+    # CDX record build must not shuffle: one map over the captures
+    p = plan_str(_q("surt_cdx", spark))
+    assert "Exchange" not in p
+
+
+def test_anchor_text_agg_caps_per_target_state(spark):
+    rows = _q("anchor_text_agg", spark).collect()
+    per_dst = {}
+    for r in rows:
+        per_dst[r.dst] = per_dst.get(r.dst, 0) + 1
+    # skew control: no target accumulates more than k anchor terms
+    assert max(per_dst.values()) <= 5
+    assert all(r.rnk <= 5 for r in rows)
+
+
+def test_budget_allocation_exact_total_and_fairness(spark):
+    rows = _q("budget_allocation", spark).collect()
+    # largest-remainder invariant: budgets sum EXACTLY to the total
+    assert sum(r.budget for r in rows) == 1000
+    # each within 1 slot of its real-valued quota (apportionment bound)
+    import math
+
+    wsum = sum(round(math.sqrt(r.n_urls), 6) for r in rows)
+    for r in rows:
+        quota = 1000 * round(math.sqrt(r.n_urls), 6) / wsum
+        assert quota - 1 <= r.budget <= quota + 1, (r.host, quota, r.budget)

@@ -5119,6 +5119,193 @@ FROM reg GROUP BY lang, bucket
 """
 
 
+def q_surt_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index-record build with SURT keys — the Common-Crawl lookup
+    index over a crawl's captures (cdx-toolkit / pywb convention: host
+    reversed and comma-joined so one URL-range scan covers a domain
+    subtree). URLs are synthesized deterministically per doc so both
+    engines index identical captures; digest is the content fingerprint.
+
+    All JVM-side string/array builtins (split, reverse, array_join) —
+    one map stage, no shuffle; the downstream sort-by-surt is the
+    write-time ordering of the real index (sortWithinPartitions on a
+    range-partitioned write), not part of the build."""
+    docs = _read(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("www.h"), (F.col("doc_id") % 10).cast("string"), F.lit(".example.com")
+    )
+    path = F.concat(F.lit("/p/"), F.col("doc_id").cast("string"))
+    bare = F.regexp_replace(host, r"^www\.", "")
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(bare, r"\.")), ","),
+        F.lit(")"),
+        path,
+    )
+    return docs.select(
+        "doc_id",
+        surt.alias("surt"),
+        F.concat(F.lit("http://"), host, path).alias("url"),
+        (F.lit(20260101000000) + F.col("doc_id")).alias("ts"),
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("digest"),
+    )
+
+
+SQL_SURT_CDX = r"""
+WITH u AS (
+  SELECT doc_id,
+         'www.h' || (doc_id % 10)::VARCHAR || '.example.com' AS host,
+         '/p/' || doc_id::VARCHAR AS path,
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_reverse(string_split(regexp_replace(host, '^www\.', ''), '.')), ',')
+         || ')' || path AS surt,
+       'http://' || host || path AS url,
+       20260101000000 + doc_id AS ts,
+       digest
+FROM u
+"""
+
+
+_ANCHOR_TOP_K = 5
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inlink anchor-text aggregation — the classic web-search relevance
+    signal (and this reference's link-priority input, LinkContext):
+    collect the anchor terms pointing AT each page, keep the top-k terms
+    per target by count.
+
+    The link graph is synthesized deterministically (two outlinks per
+    doc, one colliding map) so both engines aggregate identical edges;
+    anchors = the source doc's first 3 tokens. The top-k window is the
+    skew control: popular targets (10^6 inlinks on the real web) would
+    otherwise build unbounded collect_list state — here per-target state
+    is capped at k terms after a count-agg whose reduce state is
+    (target, term) paired counts."""
+    docs = _tokens(_read(spark, sf_dir, "documents"))
+    n = docs.count()
+    src = docs.select(
+        F.col("doc_id").alias("src"),
+        F.slice("toks", 1, 3).alias("anchor_toks"),
+    )
+    edges = src.select(
+        "src", "anchor_toks", ((F.col("src") * 7 + 3) % n).alias("dst")
+    ).union(
+        src.select(
+            "src", "anchor_toks", (F.floor(F.col("src") / 3) % n).alias("dst")
+        )
+    )
+    counts = (
+        edges.select("dst", F.explode("anchor_toks").alias("term"))
+        .groupBy("dst", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ANCHOR_TOP_K)
+        .select("dst", "term", "c", "rnk")
+    )
+
+
+SQL_ANCHOR_TEXT_AGG = f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+src AS (
+  SELECT doc_id AS src, ({_SQL_TOKS})[1:3] AS anchor_toks FROM documents
+),
+edges AS (
+  SELECT src, anchor_toks, (src * 7 + 3) % nd.n AS dst FROM src, nd
+  UNION ALL
+  SELECT src, anchor_toks, (src // 3) % nd.n AS dst FROM src, nd
+),
+counts AS (
+  SELECT dst, term, count(*) AS c
+  FROM (SELECT dst, unnest(anchor_toks) AS term FROM edges) t
+  GROUP BY dst, term
+)
+SELECT dst, term, c, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY dst ORDER BY c DESC, term ASC) AS rnk
+  FROM counts
+) r WHERE rnk <= {_ANCHOR_TOP_K}
+"""
+
+
+_BUDGET_TOTAL = 1000
+
+
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional-fair per-host crawl-budget allocation by the
+    largest-remainder method: host weight = sqrt(frontier size) (the
+    sublinear politeness-friendly allocation — a host with 100x the
+    frontier gets 10x the budget), quotas floor()ed, and the leftover
+    slots handed out by largest fractional part with deterministic ties.
+
+    Hosts are the events.user_id stream (varied sizes). The global stage
+    runs over ONE ROW PER HOST — after the groupBy the data is 10^5-ish
+    rows at web scale, so the two windows here (remainder rank) are
+    cheap; nothing host-level ever sorts the frontier itself. sqrt is
+    rounded before ranking so engine ulp differences cannot flip ranks."""
+    ev = _read(spark, sf_dir, "events")
+    hosts = ev.groupBy(F.col("user_id").alias("host")).agg(
+        F.count("*").alias("n_urls")
+    )
+    wsum = hosts.agg(
+        F.sum(F.round(F.sqrt("n_urls"), 6)).alias("wsum")
+    )
+    quota = hosts.crossJoin(F.broadcast(wsum)).select(
+        "host",
+        "n_urls",
+        F.round(
+            F.lit(_BUDGET_TOTAL) * F.round(F.sqrt("n_urls"), 6) / F.col("wsum"), 6
+        ).alias("quota"),
+    )
+    base = quota.withColumn("base", F.floor("quota")).withColumn(
+        "frac", F.round(F.col("quota") - F.col("base"), 6)
+    )
+    leftover = F.lit(_BUDGET_TOTAL) - F.sum("base").over(
+        Window.partitionBy(F.lit(1))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("frac"), F.asc("host"))
+    return (
+        base.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "budget",
+            (F.col("base") + F.when(F.col("rnk") <= leftover, 1).otherwise(0)).cast(
+                "long"
+            ),
+        )
+        .select("host", "n_urls", "budget")
+    )
+
+
+SQL_BUDGET_ALLOCATION = f"""
+WITH hosts AS (
+  SELECT user_id AS host, count(*) AS n_urls FROM events GROUP BY user_id
+),
+quota AS (
+  SELECT host, n_urls,
+         round({_BUDGET_TOTAL} * round(sqrt(n_urls), 6) /
+               (SELECT sum(round(sqrt(n_urls), 6)) FROM hosts), 6) AS quota
+  FROM hosts
+),
+base AS (
+  SELECT host, n_urls, floor(quota) AS base, round(quota - floor(quota), 6) AS frac
+  FROM quota
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY frac DESC, host ASC) AS rnk,
+         (SELECT {_BUDGET_TOTAL} - sum(base) FROM base) AS leftover
+  FROM base
+)
+SELECT host, n_urls,
+       CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM ranked
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -5169,6 +5356,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
     "crawl_delta": (q_crawl_delta, SQL_CRAWL_DELTA),
+    "surt_cdx": (q_surt_cdx, SQL_SURT_CDX),
+    "anchor_text_agg": (q_anchor_text_agg, SQL_ANCHOR_TEXT_AGG),
+    "budget_allocation": (q_budget_allocation, SQL_BUDGET_ALLOCATION),
     "domain_quality": (q_domain_quality, SQL_DOMAIN_QUALITY),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
