@@ -73,6 +73,16 @@ HEADLINE = [
     "recrawl_priority",
     "sitemap_extract",
     "semdedup_prune",
+    "inverted_index",
+    "crawl_delta",
+    "hard_negatives",
+    "domain_quality",
+    "knn_graph",
+    "countmin_sketch",
+    "hll_registers",
+    "surt_cdx",
+    "anchor_text_agg",
+    "budget_allocation",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)
