@@ -26,3 +26,37 @@ def test_components_star_and_cycle(spark):
     )
     got = {r.doc_id: r.rep for r in connected_components(edges).collect()}
     assert got == {7: 7, 8: 7, 9: 7, 100: 7, 20: 20, 21: 20, 22: 20}
+
+
+def _star(spark, pairs, max_rounds=25):
+    from webcrawler_spark.queries import connected_components_star
+
+    df = spark.createDataFrame(pairs, ["a_id", "b_id"])
+    rounds = []
+    out = connected_components_star(df, max_rounds=max_rounds, rounds_out=rounds)
+    return {r.doc_id: r.rep for r in out.collect()}, rounds[0]
+
+
+def test_star_matches_propagation_on_mixed_graph(spark):
+    # chain + star + cycle + singleton pair, shuffled ids
+    pairs = [
+        (10, 20), (20, 30), (30, 40),          # chain -> rep 10
+        (100, 101), (100, 102), (100, 103),    # star  -> rep 100
+        (7, 8), (8, 9), (9, 7),                # cycle -> rep 7
+        (500, 600),                            # pair  -> rep 500
+    ]
+    labels, _ = _star(spark, pairs)
+    df = spark.createDataFrame(pairs, ["a_id", "b_id"])
+    want = {r.doc_id: r.rep for r in connected_components(df).collect()}
+    assert labels == want
+
+
+def test_star_converges_logarithmically_on_deep_chain(spark):
+    # a 256-node path: diameter 255. Min-label propagation needs ~255
+    # rounds (its max_iters=32 would NOT finish); star contraction is
+    # O(log^2 n) — this is exactly why it is the scale path.
+    n = 256
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    labels, rounds = _star(spark, pairs, max_rounds=25)
+    assert labels == {i: 0 for i in range(n)}
+    assert rounds <= 12, rounds

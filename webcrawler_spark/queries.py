@@ -5306,6 +5306,112 @@ FROM ranked
 """
 
 
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 25, rounds_out: list | None = None
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014): converges in O(log^2 n) rounds on ANY graph —
+    the deep-chain scale path where min-label propagation
+    (`connected_components`) needs O(diameter) rounds and a 10^6-link
+    comment chain would never finish.
+
+    large-star hangs every bigger-id neighbor of u onto min(N(u) ∪ u);
+    small-star re-points every smaller-id neighbor (and u) at the local
+    min. Fixpoint = a star forest: each node holds one edge to its
+    component minimum. Each round is two groupBy shuffles + two hash
+    joins over the CURRENT edge set (which only shrinks); convergence is
+    detected by an (count, xxhash64-sum) edge-set checksum, and
+    localCheckpoint truncates lineage per round so the plan never grows.
+    Same contract as `connected_components`: input (a_id, b_id) pairs,
+    output (doc_id, rep) over nodes appearing in edges."""
+    e = (
+        edges.select(
+            F.greatest(F.col("a_id"), F.col("b_id")).cast("long").alias("u"),
+            F.least(F.col("a_id"), F.col("b_id")).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            # pmod keeps each addend in [0, 2^31) so the 64-bit sum can't
+            # overflow under ANSI until ~4e9 edges
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**31 - 1))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev = checksum(e)
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: every neighbor v > u re-points at min(N(u) ∪ {u})
+        s = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mstar = s.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        e = (
+            s.join(mstar, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges are now directed u > v; every smaller
+        # neighbor (and u itself) re-points at the local min
+        mn2 = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(mn2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mn2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # star forest -> labels: members point at their root; roots (only
+    # ever on the v side) label themselves. Defensive min() in case the
+    # caller handed max_rounds too small for full convergence.
+    members = e.groupBy("u").agg(F.min("v").alias("rep")).select(
+        F.col("u").alias("doc_id"), "rep"
+    )
+    roots = (
+        e.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .join(e.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("rep"))
+    )
+    return members.union(roots)
+
+
+def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component resolution via large-star/small-star — identical
+    semantics to `dedup_components` (same ngram pair input, same
+    recursive-CTE oracle) but the O(log^2 n)-round contraction instead of
+    O(diameter) label propagation: the algorithm you run when components
+    can be chains (forum quote-trains, template lineages), not just
+    near-clique dup clusters."""
+    pairs = ngram_jaccard(_docs_parallel(spark, sf_dir)).select("a_id", "b_id")
+    comps = connected_components_star(pairs)
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(comps, "doc_id", "left").select(
+        "doc_id", F.coalesce("rep", F.col("doc_id")).alias("rep")
+    )
+
+
+SQL_CC_STAR = SQL_DEDUP_COMPONENTS
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -5322,6 +5428,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
     "lsh_eval": (q_lsh_eval, SQL_LSH_EVAL),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "cc_star": (q_cc_star, SQL_CC_STAR),
     "exact_substring_dup": (q_exact_substring_dup, SQL_EXACT_SUBSTRING_DUP),
     "shingle_containment": (q_shingle_containment, SQL_SHINGLE_CONTAINMENT),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
