@@ -185,3 +185,43 @@ def test_decontaminate_broadcasts_eval_side(spark):
     p = plan_str(q_decontaminate(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+# ------------------------------------------------------------ chunking
+
+
+def test_doc_chunk_overlap_boundaries(spark):
+    """Every consecutive chunk pair of a doc shares exactly the overlap
+    window; chunk 0 starts at token 1; the last chunk covers the tail."""
+    from webcrawler_spark.queries import (
+        _CHUNK_OVERLAP,
+        _CHUNK_SIZE,
+        _CHUNK_STEP,
+        q_doc_chunk_overlap,
+        _read,
+        _tokens,
+    )
+    import math
+
+    toks = {
+        r.doc_id: r.toks
+        for r in _tokens(_read(spark, SF, "documents")).select("doc_id", "toks").collect()
+    }
+    rows = q_doc_chunk_overlap(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    import hashlib
+
+    for doc_id, chunks in by_doc.items():
+        t = toks[doc_id]
+        n = len(t)
+        want_chunks = max(1, math.ceil((n - _CHUNK_OVERLAP) / _CHUNK_STEP))
+        assert set(chunks) == set(range(want_chunks)), doc_id
+        covered = 0
+        for k, r in sorted(chunks.items()):
+            want = t[k * _CHUNK_STEP : k * _CHUNK_STEP + _CHUNK_SIZE]
+            assert r.n_toks == len(want)
+            assert r.chunk_fp == hashlib.md5(" ".join(want).encode()).hexdigest()
+            covered = max(covered, k * _CHUNK_STEP + len(want))
+        assert covered == n  # no token lost at the tail

@@ -5412,6 +5412,64 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CC_STAR = SQL_DEDUP_COMPONENTS
 
 
+_CHUNK_SIZE, _CHUNK_OVERLAP = 64, 16
+_CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap — the
+    context-window prep step for long documents (RAG indexing / training
+    on >ctx docs): 64-token chunks, 16-token overlap, so no boundary
+    sentence is ever lost to a hard split. Complements `sequence_pack`
+    (which packs SHORT docs together; this splits LONG ones).
+
+    Chunk count is the closed form ceil((n - overlap)/step) (min 1), so
+    the whole op is one explode(sequence) + map-side array slice —
+    embarrassingly parallel, zero shuffle; chunk text ships as its
+    fingerprint so the wide column never leaves the map stage."""
+    docs = _tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("n") - F.lit(_CHUNK_OVERLAP)) / F.lit(_CHUNK_STEP)),
+    )
+    chunks = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
+    ).select(
+        "doc_id",
+        "k",
+        F.slice(
+            "toks", F.col("k") * _CHUNK_STEP + 1, _CHUNK_SIZE
+        ).alias("chunk_toks"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        F.size("chunk_toks").alias("n_toks"),
+        F.md5(F.array_join("chunk_toks", " ")).alias("chunk_fp"),
+    )
+
+
+SQL_DOC_CHUNK_OVERLAP = f"""
+WITH toksT AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks, len({_SQL_TOKS}) AS n FROM documents
+),
+chunks AS (
+  SELECT doc_id, unnest(range(greatest(1,
+           CAST(ceil((n - {_CHUNK_OVERLAP}) / {_CHUNK_STEP}.0) AS BIGINT)))) AS k,
+         toks
+  FROM toksT
+)
+SELECT doc_id, k AS chunk_id,
+       len(toks[k * {_CHUNK_STEP} + 1 : k * {_CHUNK_STEP} + {_CHUNK_SIZE}]) AS n_toks,
+       md5(array_to_string(toks[k * {_CHUNK_STEP} + 1 : k * {_CHUNK_STEP} + {_CHUNK_SIZE}], ' ')) AS chunk_fp
+FROM chunks
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -5482,6 +5540,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "doc_chunk_overlap": (q_doc_chunk_overlap, SQL_DOC_CHUNK_OVERLAP),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
