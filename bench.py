@@ -83,6 +83,7 @@ HEADLINE = [
     "surt_cdx",
     "anchor_text_agg",
     "budget_allocation",
+    "doc_chunk_overlap",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)
