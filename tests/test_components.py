@@ -60,3 +60,38 @@ def test_star_converges_logarithmically_on_deep_chain(spark):
     labels, rounds = _star(spark, pairs, max_rounds=25)
     assert labels == {i: 0 for i in range(n)}
     assert rounds <= 12, rounds
+
+
+def test_star_matches_union_find_on_random_graphs(spark):
+    """Seeded random graphs vs a driver-side union-find oracle — catches
+    star-contraction edge cases (multi-min merges, isolated pairs,
+    dense blobs) that hand-built graphs miss."""
+    import random
+
+    rng = random.Random(20260818)
+    for trial in range(4):
+        n = rng.randint(10, 60)
+        m = rng.randint(5, 2 * n)
+        pairs = []
+        for _ in range(m):
+            a, b = rng.randint(0, n - 1), rng.randint(0, n - 1)
+            if a != b:
+                pairs.append((a, b))
+        if not pairs:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for p in pairs for x in p}
+        want = {x: find(x) for x in nodes}
+        got, _ = _star(spark, pairs)
+        assert got == want, (trial, n, m)
