@@ -304,3 +304,23 @@ def test_budget_allocation_exact_total_and_fairness(spark):
     for r in rows:
         quota = 1000 * round(math.sqrt(r.n_urls), 6) / wsum
         assert quota - 1 <= r.budget <= quota + 1, (r.host, quota, r.budget)
+
+
+def test_url_features_pure_map_stage(spark):
+    p = plan_str(_q("url_features", spark))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_write_shard_plan_balances_rows(spark):
+    rows = _q("write_shard_plan", spark).collect()
+    per_shard = {}
+    for r in rows:
+        per_shard[r.shard] = per_shard.get(r.shard, 0) + r.n_rows
+    total = sum(per_shard.values())
+    mean = total / 8
+    biggest_host = max(r.n_rows for r in rows)
+    # snake-order bound: every shard within one largest-host of the mean
+    for s, v in per_shard.items():
+        assert abs(v - mean) <= biggest_host, (s, v, mean)
+    assert set(per_shard) == set(range(8))

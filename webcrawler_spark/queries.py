@@ -5470,6 +5470,212 @@ FROM chunks
 """
 
 
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier URL feature extraction — the spam/quality heuristics a
+    crawl scheduler scores before ever fetching (path depth, digit ratio
+    in the host, query-param count, URL length, trap-pattern flag for
+    calendar/session-id paths). URLs are synthesized deterministically
+    per doc (same generator family as surt_cdx, plus adversarial
+    segments on a doc_id stride) so both engines featurize identical
+    strings. Pure map stage, zero shuffle, all JVM-side regex/string
+    builtins — at 10^10 URLs this runs at scan speed."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("x"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example.com/"),
+        # deeper paths on a stride; calendar-trap segment on another
+        F.when(F.col("doc_id") % 4 == 0, F.lit("a/b/c/d/")).otherwise(F.lit("p/")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("calendar/2026/01/")
+        ).otherwise(F.lit("")),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?sid=" ), F.md5(F.col("doc_id").cast("string"))),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("&utm_source=x")).otherwise(
+            F.lit("")
+        ),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    host = F.regexp_extract("url", r"^http://([^/]+)/", 1)
+    path = F.regexp_extract("url", r"^http://[^/]+(/[^?]*)", 1)
+    query = F.regexp_extract("url", r"\?(.*)$", 1)
+    return u.select(
+        "doc_id",
+        "url",
+        F.length("url").alias("url_len"),
+        (F.size(F.split(path, "/")) - 2).alias("path_depth"),
+        F.round(
+            F.length(F.regexp_replace(host, r"[^0-9]", ""))
+            / F.length(host),
+            4,
+        ).alias("host_digit_ratio"),
+        F.when(query == "", 0)
+        .otherwise(F.size(F.split(query, "&")))
+        .alias("n_params"),
+        path.rlike(r"/(calendar|sessionid|sid)/|/\d{4}/\d{2}/").alias(
+            "trap_flag"
+        ),
+    )
+
+
+SQL_URL_FEATURES = r"""
+WITH u AS (
+  SELECT doc_id,
+         'http://h' || (doc_id % 97)::VARCHAR || 'x' || (doc_id % 10)::VARCHAR
+         || '.example.com/'
+         || CASE WHEN doc_id % 4 = 0 THEN 'a/b/c/d/' ELSE 'p/' END
+         || CASE WHEN doc_id % 5 = 0 THEN 'calendar/2026/01/' ELSE '' END
+         || doc_id::VARCHAR
+         || CASE WHEN doc_id % 3 = 0 THEN '?sid=' || md5(doc_id::VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN '&utm_source=x' ELSE '' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^http://([^/]+)/', 1) AS host,
+         regexp_extract(url, '^http://[^/]+(/[^?]*)', 1) AS path,
+         regexp_extract(url, '\?(.*)$', 1) AS query
+  FROM u
+)
+SELECT doc_id, url,
+       length(url) AS url_len,
+       len(string_split(path, '/')) - 2 AS path_depth,
+       round(length(regexp_replace(host, '[^0-9]', '', 'g'))::DOUBLE / length(host), 4)
+         AS host_digit_ratio,
+       CASE WHEN query = '' THEN 0 ELSE len(string_split(query, '&')) END AS n_params,
+       regexp_matches(path, '/(calendar|sessionid|sid)/|/\d{4}/\d{2}/') AS trap_flag
+FROM parts
+"""
+
+
+def q_link_farm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm / spam-graph signals per host-graph node: out-degree,
+    in-degree, reciprocity (fraction of out-edges whose reverse edge
+    exists — farms interlink both ways), and the outdeg/indeg imbalance.
+    Same deterministic synthesized edge set as anchor_text_agg, so both
+    engines score an identical graph. Reciprocity is a self-join of the
+    edge set on the swapped key — one hash join on (src,dst), never
+    adjacency materialization; degrees are two partial-agg shuffles."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = docs.select(F.col("doc_id").alias("src"))
+    edges = (
+        base.select("src", ((F.col("src") * 7 + 3) % n).alias("dst"))
+        .union(base.select("src", (F.floor(F.col("src") / 3) % n).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("has_rev")
+    )
+    recip = (
+        edges.join(rev, ["src", "dst"], "left")
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("outdeg"),
+            F.sum(F.coalesce("has_rev", F.lit(0))).alias("n_recip"),
+        )
+    )
+    indeg = edges.groupBy(F.col("dst").alias("src")).agg(
+        F.count("*").alias("indeg")
+    )
+    return (
+        recip.join(indeg, "src", "full_outer")
+        .select(
+            F.col("src").alias("node"),
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+            F.round(
+                F.coalesce("n_recip", F.lit(0))
+                / F.greatest(F.coalesce("outdeg", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("reciprocity"),
+            F.round(
+                F.coalesce("outdeg", F.lit(0))
+                / F.greatest(F.coalesce("indeg", F.lit(0)), F.lit(1)).cast("double"),
+                4,
+            ).alias("out_in_ratio"),
+        )
+    )
+
+
+SQL_LINK_FARM_SCORE = """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % nd.n AS dst FROM documents, nd
+    UNION ALL
+    SELECT doc_id AS src, (doc_id // 3) % nd.n AS dst FROM documents, nd
+  ) e WHERE src <> dst
+),
+recip AS (
+  SELECT e.src, count(*) AS outdeg,
+         sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS n_recip
+  FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+  GROUP BY e.src
+),
+indeg AS (SELECT dst AS src, count(*) AS indeg FROM edges GROUP BY dst)
+SELECT coalesce(recip.src, indeg.src) AS node,
+       coalesce(outdeg, 0) AS outdeg,
+       coalesce(indeg, 0) AS indeg,
+       round(coalesce(n_recip, 0) / greatest(coalesce(outdeg, 0), 1), 4) AS reciprocity,
+       round(coalesce(outdeg, 0) / greatest(coalesce(indeg, 0), 1)::DOUBLE, 4) AS out_in_ratio
+FROM recip FULL OUTER JOIN indeg ON recip.src = indeg.src
+"""
+
+
+_SHARD_K = 8
+
+
+def q_write_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced write-shard planning: assign each host's output to one of
+    k shards by snake-order on size rank (1..k, k..1, ...) — the greedy
+    bin-packing that keeps every output file within ~1 largest-host of
+    the mean, instead of hash partitioning's birthday-skew. This is the
+    planning step behind repartitionByRange/bucketed writes when sizes
+    are known (file compaction, CDX shard layout).
+
+    The global stage ranks ONE ROW PER HOST (10^5-ish at web scale);
+    the data itself would then move in a single shuffle keyed by the
+    broadcast host->shard map. Rank ties break on host id so the plan
+    is deterministic on both engines."""
+    ev = _read(spark, sf_dir, "events")
+    hosts = ev.groupBy(F.col("user_id").alias("host")).agg(
+        F.count("*").alias("n_rows")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("n_rows"), F.asc("host"))
+    ranked = hosts.withColumn("rnk", F.row_number().over(w) - 1)
+    cycle = F.col("rnk") % (2 * _SHARD_K)
+    shard = F.when(cycle < _SHARD_K, cycle).otherwise(
+        F.lit(2 * _SHARD_K - 1) - cycle
+    )
+    return ranked.select(
+        "host", "n_rows", shard.cast("int").alias("shard")
+    )
+
+
+SQL_WRITE_SHARD_PLAN = f"""
+WITH hosts AS (
+  SELECT user_id AS host, count(*) AS n_rows FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT host, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, host ASC) - 1 AS rnk
+  FROM hosts
+)
+SELECT host, n_rows,
+       CAST(CASE WHEN rnk % {2 * _SHARD_K} < {_SHARD_K}
+                 THEN rnk % {2 * _SHARD_K}
+                 ELSE {2 * _SHARD_K - 1} - rnk % {2 * _SHARD_K} END AS INTEGER) AS shard
+FROM ranked
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -5524,6 +5730,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "surt_cdx": (q_surt_cdx, SQL_SURT_CDX),
     "anchor_text_agg": (q_anchor_text_agg, SQL_ANCHOR_TEXT_AGG),
     "budget_allocation": (q_budget_allocation, SQL_BUDGET_ALLOCATION),
+    "url_features": (q_url_features, SQL_URL_FEATURES),
+    "link_farm_score": (q_link_farm_score, SQL_LINK_FARM_SCORE),
+    "write_shard_plan": (q_write_shard_plan, SQL_WRITE_SHARD_PLAN),
     "domain_quality": (q_domain_quality, SQL_DOMAIN_QUALITY),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
