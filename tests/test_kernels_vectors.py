@@ -36,11 +36,14 @@ def test_normal():
     assert SparseVector({}).normal.d == {}
 
 
-vec = st.dictionaries(
-    st.integers(0, 50),
-    st.floats(-100, 100).filter(lambda x: abs(x) >= 0.001),
-    max_size=10,
-).map(SparseVector)
+# build above-threshold magnitudes directly instead of filtering
+# floats(-100,100): hypothesis biases toward 0/subnormals, so the filter
+# rejects enough examples to trip the filter_too_much health check on
+# unlucky seeds
+_signed = st.builds(
+    lambda m, neg: -m if neg else m, st.floats(0.001, 100.0), st.booleans()
+)
+vec = st.dictionaries(st.integers(0, 50), _signed, max_size=10).map(SparseVector)
 
 
 @given(vec, vec)
