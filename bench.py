@@ -64,6 +64,9 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q5_region",
     "tpch_q3_topk",
+    "tpch_q6_forecast",
+    "tpch_q13_order_dist",
+    "tpch_q17_small_qty",
     "paragraph_dedup",
     "dsir_weights",
     "salted_topk_terms",
