@@ -2185,6 +2185,280 @@ GROUP BY n_name
 """
 
 
+# -- Gopher document-level admission rules (Rae et al. 2021, Appendix A) ----
+#
+# The synthetic documents carry no symbols or numerals, so the two rules
+# that need them get deterministic in-engine injections (same precedent as
+# the PII scrub): doc_id % 5 == 0 appends eight '#' symbol tokens
+# (symbol-to-word ratio rule), doc_id % 6 == 0 appends twenty numeric
+# tokens (alpha-word fraction rule). Short docs fail the word-count floor
+# naturally; the stop-word rule uses the module stop list.
+
+_GOPHER_SYMS = " ".join(["#"] * 8)
+_GOPHER_NUMS = " ".join(str(100 + 7 * i) for i in range(20))
+_GOPHER_AUG_SPARK = (
+    f"concat(text, case when doc_id % 5 = 0 then ' {_GOPHER_SYMS}' else '' end, "
+    f"case when doc_id % 6 = 0 then ' {_GOPHER_NUMS}' else '' end)"
+)
+_GOPHER_AUG_SQL = (
+    f"text || (CASE WHEN doc_id % 5 = 0 THEN ' {_GOPHER_SYMS}' ELSE '' END) "
+    f"|| (CASE WHEN doc_id % 6 = 0 THEN ' {_GOPHER_NUMS}' ELSE '' END)"
+)
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule set (MassiveText admission, Rae et al.
+    2021): word-count bounds, mean-word-length band, symbol-to-word ratio,
+    alphabetic-word fraction, and minimum distinct stop words — the
+    standard web-text document admission gate, one rule flag per column
+    plus the conjunctive keep bit.
+
+    Scale shape: pure map stage over the corpus — every signal is a
+    per-row expression on the token array (no explode, no shuffle, no
+    Python); at 100 TB this is a single scan-project pass that pushes
+    only (doc_id, text) through the reader."""
+    docs = _read(spark, sf_dir, "documents")
+    aug_toks = _TOKS.replace(
+        "lower(text)", f"lower({_GOPHER_AUG_SPARK})"
+    )
+    d = docs.select(
+        "doc_id",
+        F.expr(f"cast(size({aug_toks}) as bigint)").alias("n_words"),
+        F.expr(
+            f"round(aggregate({aug_toks}, 0L, (acc, t) -> acc + length(t)) "
+            f"/ cast(size({aug_toks}) as double), 4)"
+        ).alias("mean_word_len"),
+        F.expr(
+            f"round(size(filter({aug_toks}, t -> t = '#' or t = '...')) "
+            f"/ cast(size({aug_toks}) as double), 4)"
+        ).alias("symbol_ratio"),
+        F.expr(
+            f"round(size(filter({aug_toks}, t -> t rlike '[a-z]')) "
+            f"/ cast(size({aug_toks}) as double), 4)"
+        ).alias("alpha_frac"),
+        F.expr(
+            f"cast(size(array_intersect({aug_toks}, {_SPARK_STOPLIST})) as bigint)"
+        ).alias("n_stop"),
+    )
+    return d.select(
+        "*",
+        F.expr("cast(n_words >= 50 and n_words <= 100000 as int)").alias("ok_count"),
+        F.expr(
+            "cast(mean_word_len >= 3.0 and mean_word_len <= 10.0 as int)"
+        ).alias("ok_length"),
+        F.expr("cast(symbol_ratio <= 0.1 as int)").alias("ok_symbols"),
+        F.expr("cast(alpha_frac >= 0.8 as int)").alias("ok_alpha"),
+        F.expr("cast(n_stop >= 2 as int)").alias("ok_stop"),
+    ).withColumn(
+        "keep",
+        F.expr(
+            "cast(ok_count = 1 and ok_length = 1 and ok_symbols = 1 "
+            "and ok_alpha = 1 and ok_stop = 1 as int)"
+        ),
+    )
+
+
+SQL_GOPHER_RULES = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower({_GOPHER_AUG_SQL}), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         round(list_sum(list_transform(toks, t -> length(t)))
+               / len(toks)::DOUBLE, 4) AS mean_word_len,
+         round(len(list_filter(toks, t -> t = '#' OR t = '...'))
+               / len(toks)::DOUBLE, 4) AS symbol_ratio,
+         round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               / len(toks)::DOUBLE, 4) AS alpha_frac,
+         len(list_distinct(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t))))
+            AS n_stop
+  FROM t
+)
+SELECT *,
+       (ok_count = 1 AND ok_length = 1 AND ok_symbols = 1
+        AND ok_alpha = 1 AND ok_stop = 1)::INT AS keep
+FROM (
+  SELECT *,
+         (n_words BETWEEN 50 AND 100000)::INT AS ok_count,
+         (mean_word_len BETWEEN 3.0 AND 10.0)::INT AS ok_length,
+         (symbol_ratio <= 0.1)::INT AS ok_symbols,
+         (alpha_frac >= 0.8)::INT AS ok_alpha,
+         (n_stop >= 2)::INT AS ok_stop
+  FROM sig
+) r
+"""
+
+
+# -- C4 line-level cleaning (Raffel et al. 2020 §2.2) -----------------------
+#
+# The corpus has no line structure, so lines are built deterministically
+# in-engine: 12-word windows, with (doc_id + idx) % 3 != 0 lines given a
+# terminal '.', every (doc_id * 7 + idx) % 11 == 0 line poisoned with a
+# 'javascript' token, doc_id % 17 == 0 docs given a '{' and doc_id % 19
+# == 0 docs a 'lorem ipsum' marker — so every C4 rule fires on known rows.
+
+_C4_W = 12
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020): keep only lines that end in
+    terminal punctuation, have >= 5 words, and don't mention javascript;
+    drop whole documents containing '{' or 'lorem ipsum' or with < 3
+    surviving lines; reassemble the survivors in order.
+
+    Scale shape: explode to lines -> per-line map flags -> one
+    groupBy(doc_id) for the doc-level verdict + ordered reassembly. One
+    shuffle keyed by doc_id (pre-aggregated map-side), no Python."""
+    toks = _tokens(_docs_parallel(spark, sf_dir)).filter(F.expr("size(toks) > 0"))
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks)/{_C4_W}.0) as int) - 1), "
+                f"i -> array_join(slice(toks, i*{_C4_W}+1, {_C4_W}), ' '))"
+            )
+        ).alias("idx", "line0"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.expr(
+            "concat(case when (doc_id * 7 + idx) % 11 = 0 then 'javascript ' else '' end, "
+            "case when doc_id % 19 = 0 and idx = 0 then 'lorem ipsum ' else '' end, "
+            "line0, "
+            "case when doc_id % 17 = 0 and idx = 0 then ' {' else '' end, "
+            "case when (doc_id + idx) % 3 != 0 then '.' else '' end)"
+        ).alias("line"),
+    )
+    flagged = lines.select(
+        "doc_id",
+        "idx",
+        "line",
+        F.expr(
+            "cast(line like '%.' and size(split(line, ' ')) >= 5 "
+            "and not line like '%javascript%' as int)"
+        ).alias("line_ok"),
+        F.expr(
+            "cast(line like '%{%' or line like '%lorem ipsum%' as int)"
+        ).alias("line_poison"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum("line_ok").cast("int").alias("n_kept"),
+        F.expr(
+            "cast(max(line_poison) = 0 and sum(line_ok) >= 3 as int)"
+        ).alias("doc_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "case when line_ok = 1 then struct(idx, line) end)), s -> s.line)"
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+SQL_C4_CLEAN = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), base AS (
+  SELECT doc_id, unnest(range(CAST(ceil(len(toks)/{_C4_W}.0) AS INT))) AS idx, toks
+  FROM t WHERE len(toks) > 0
+), lines AS (
+  SELECT doc_id, idx,
+         (CASE WHEN (doc_id * 7 + idx) % 11 = 0 THEN 'javascript ' ELSE '' END)
+         || (CASE WHEN doc_id % 19 = 0 AND idx = 0 THEN 'lorem ipsum ' ELSE '' END)
+         || array_to_string(toks[idx*{_C4_W}+1 : idx*{_C4_W}+{_C4_W}], ' ')
+         || (CASE WHEN doc_id % 17 = 0 AND idx = 0 THEN ' {{' ELSE '' END)
+         || (CASE WHEN (doc_id + idx) % 3 != 0 THEN '.' ELSE '' END) AS line
+  FROM base
+), flagged AS (
+  SELECT doc_id, idx, line,
+         (line LIKE '%.' AND len(string_split(line, ' ')) >= 5
+          AND line NOT LIKE '%javascript%')::INT AS line_ok,
+         (line LIKE '%{{%' OR line LIKE '%lorem ipsum%')::INT AS line_poison
+  FROM lines
+)
+SELECT doc_id,
+       count(*)::INT AS n_lines,
+       sum(line_ok)::INT AS n_kept,
+       (max(line_poison) = 0 AND sum(line_ok) >= 3)::INT AS doc_kept,
+       coalesce(string_agg(CASE WHEN line_ok = 1 THEN line END, ' ' ORDER BY idx),
+                '') AS cleaned_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair detection over SimHash signatures by Hamming
+    distance (Manku, Jain & Das Sarma, WWW'07): split each 32-bit
+    signature into 4 x 8-bit bands — any pair within Hamming distance 3
+    must agree exactly on at least one band — equi-join on (band index,
+    band value), then verify with bit_count(xor) <= 3.
+
+    Scale shape: the band join is the classic sorted-fingerprint-table
+    trick as a hash join — candidates are generated by exact band match
+    (work = sum over bands of bucket^2, never corpus^2) and the xor
+    verification is a per-row integer op. At 10^10 pages the band tables
+    shuffle 12 bytes/row; hot bands (common templates) are the skew edge
+    and AQE's skew split handles the join side."""
+    sims = q_simhash(spark, sf_dir)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_i"),
+    ).withColumn("band_v", F.expr("shiftright(simhash, band_i * 8) % 256"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_i") == F.col("b.band_i"))
+            & (F.col("a.band_v") == F.col("b.band_v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+SQL_SIMHASH_HAMMING_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS c,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+  FROM toks GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (hv >> i) & 1 = 1 THEN c ELSE -c END) AS s
+  FROM tf, (SELECT unnest(range(32)) AS i) ii
+  GROUP BY doc_id, i
+), sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, simhash, i AS band_i, (simhash >> (i * 8)) % 256 AS band_v
+  FROM sims, (SELECT unnest(range(4)) AS i) bb
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM bands a JOIN bands b
+  ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # 7. Spark-only entries (no SQL oracle -> driver's rows-only check)
 # ---------------------------------------------------------------------------
@@ -6075,6 +6349,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, SQL_TPCH_Q15_TOP_SUPPLIER),
     "tpch_q17_small_qty": (q_tpch_q17_small_qty, SQL_TPCH_Q17_SMALL_QTY),
     "tpch_q22_idle_custs": (q_tpch_q22_idle_custs, SQL_TPCH_Q22_IDLE_CUSTS),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
+    "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
