@@ -1,0 +1,123 @@
+"""Ground-truth checks for the webtext admission / tokenizer-training ops:
+the DuckDB oracle pins engine-vs-engine equality; these pin the MEANING —
+bpe_merges reproduces a pure-Python reference BPE trainer, the Hamming
+band join is exhaustive for distance <= 3 (Manku's guarantee), and the
+C4/Gopher flags are internally consistent with their signal columns."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from webcrawler_spark.queries import (
+    q_bpe_merges,
+    q_c4_clean,
+    q_gopher_rules,
+    q_simhash,
+    q_simhash_hamming_pairs,
+    _read,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference_bpe(word_freqs: dict[str, int], steps: int):
+    """Sennrich et al. BPE: most-frequent adjacent pair, ties broken by
+    the joined 'left|right' string ascending, merged left-to-right
+    non-overlapping."""
+    seqs = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(1, steps + 1):
+        counts: Counter = Counter()
+        for syms, f in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]}|{kv[0][1]}"))
+        (a, b), c = best
+        merges.append((step, f"{a}|{b}", a + b, c))
+        new_seqs: dict[tuple, int] = {}
+        for syms, f in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_seqs[key] = new_seqs.get(key, 0) + f
+        seqs = new_seqs
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    texts = [
+        r.text for r in _read(spark, SF, "documents").select("text").collect()
+    ]
+    freqs: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                freqs[w] += 1
+    expected = _reference_bpe(freqs, 8)
+    got = [
+        (r.step, r.pair, r.merged, r.cnt)
+        for r in q_bpe_merges(spark, SF).orderBy("step").collect()
+    ]
+    assert got == expected
+
+
+def test_simhash_hamming_pairs_exhaustive(spark):
+    sims = {r.doc_id: r.simhash for r in q_simhash(spark, SF).collect()}
+    ids = sorted(sims)
+    brute = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in q_simhash_hamming_pairs(spark, SF).collect()
+    }
+    # 4 bands over 32 bits: any pair at distance <= 3 shares a band, so
+    # the band join is EXHAUSTIVE, not approximate, at this threshold
+    assert got == brute
+    assert len(got) > 0
+
+
+def test_c4_clean_flags_consistent(spark):
+    rows = q_c4_clean(spark, SF).collect()
+    assert rows
+    poisoned = dropped_short = 0
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_lines
+        # every surviving line ends with the terminal '.', never javascript
+        if r.cleaned_text:
+            assert "javascript" not in r.cleaned_text
+            assert r.cleaned_text.endswith(".")
+        if r.doc_id % 17 == 0 or r.doc_id % 19 == 0:
+            assert r.doc_kept == 0  # '{' / lorem-ipsum poison drops the doc
+            poisoned += 1
+        if r.doc_kept == 0 and r.n_kept < 3:
+            dropped_short += 1
+    assert poisoned > 0
+    # both drop rules fire somewhere in the corpus
+    assert any(r.doc_kept == 1 for r in rows)
+
+
+def test_gopher_rules_conjunction(spark):
+    rows = q_gopher_rules(spark, SF).collect()
+    assert rows
+    for r in rows:
+        flags = (r.ok_count, r.ok_length, r.ok_symbols, r.ok_alpha, r.ok_stop)
+        assert r.keep == int(all(f == 1 for f in flags))
+        if r.doc_id % 5 == 0:
+            assert r.symbol_ratio > 0.0  # injection reached the signal
+        if r.doc_id % 6 == 0:
+            assert r.alpha_frac < 1.0
+    # the rule set must actually discriminate on this corpus
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)

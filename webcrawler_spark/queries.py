@@ -2459,6 +2459,114 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# -- BPE merge training (Sennrich et al. 2016) ------------------------------
+
+_BPE_STEPS = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich, Haddow & Birch 2016): learn the
+    first 8 merge rules over the corpus word-frequency table. Words are
+    symbol sequences with '|' separators and a trailing '|'; each step
+    counts adjacent symbol pairs weighted by word frequency, takes the
+    most frequent pair (ties broken lexicographically), and rewrites
+    every occurrence left-to-right non-overlapping — exactly what
+    replace('a|b|','ab|') on the trailing-separator encoding gives.
+
+    Scale shape: training runs on the AGGREGATED word-frequency table
+    (vocabulary-sized, ~10^7 rows for web corpora — never the corpus),
+    one groupBy(pair) shuffle per step plus a 1-row argmax to the driver;
+    the sequence table is localCheckpoint()ed per step so step k never
+    recomputes steps 1..k-1. This is the standard subword-tokenizer
+    training loop re-expressed as vocabulary-table relational passes."""
+    docs = _tokens(_docs_parallel(spark, sf_dir))
+    words = (
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr("regexp_replace(tok, '(.)', '$1|')").alias("seq"), "freq"
+        )
+    )
+    seqs = words.localCheckpoint(eager=True)
+    out = []
+    for step in range(1, _BPE_STEPS + 1):
+        pairs = (
+            seqs.withColumn(
+                "syms", F.expr("filter(split(seq, '\\\\|'), x -> x <> '')")
+            )
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms)-1), "
+                        "slice(syms, 2, size(syms)-1), "
+                        "(x, y) -> concat(x, '|', y))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pr"))
+            .limit(1)
+        )
+        best = pairs.selectExpr(
+            "pr", "replace(pr, '|', '') AS merged", "c"
+        ).first()
+        out.append((step, best["pr"], best["merged"], int(best["c"])))
+        seqs = seqs.select(
+            F.expr(
+                f"replace(seq, '{best['pr']}|', '{best['merged']}|')"
+            ).alias("seq"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "step int, pair string, merged string, cnt bigint"
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled-CTE oracle: the same 8 argmax+rewrite steps as scalar
+    subqueries (the PageRank/HITS fixed-iteration oracle idiom)."""
+    parts = [
+        f"""WITH w AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents) t
+  GROUP BY tok
+), s0 AS (
+  SELECT regexp_replace(tok, '(.)', '\\1|', 'g') AS seq, freq FROM w
+)"""
+    ]
+    for k in range(1, _BPE_STEPS + 1):
+        parts.append(
+            f""", p{k} AS (
+  SELECT pr, sum(freq) AS c FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(syms)),
+                                 i -> syms[i] || '|' || syms[i + 1])) AS pr
+    FROM (SELECT freq,
+                 list_filter(string_split(seq, '|'), x -> x <> '') AS syms
+          FROM s{k - 1}) q
+  ) e GROUP BY pr
+), b{k} AS (
+  SELECT pr, replace(pr, '|', '') AS merged, c
+  FROM p{k} ORDER BY c DESC, pr ASC LIMIT 1
+), s{k} AS (
+  SELECT replace(seq, (SELECT pr FROM b{k}) || '|',
+                 (SELECT merged FROM b{k}) || '|') AS seq, freq
+  FROM s{k - 1}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, pr AS pair, merged, c AS cnt FROM b{k}"
+        for k in range(1, _BPE_STEPS + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+SQL_BPE_MERGES = _bpe_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # 7. Spark-only entries (no SQL oracle -> driver's rows-only check)
 # ---------------------------------------------------------------------------
@@ -6352,6 +6460,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
