@@ -11,9 +11,12 @@ from collections import Counter
 from pyspark.sql import functions as F
 
 from webcrawler_spark.queries import (
+    q_bpe_apply,
     q_bpe_merges,
     q_c4_clean,
     q_gopher_rules,
+    q_kmeans_embed,
+    q_redirect_resolve,
     q_simhash,
     q_simhash_hamming_pairs,
     _read,
@@ -106,6 +109,53 @@ def test_c4_clean_flags_consistent(spark):
     assert poisoned > 0
     # both drop rules fire somewhere in the corpus
     assert any(r.doc_kept == 1 for r in rows)
+
+
+def test_bpe_apply_counts(spark):
+    """Segmenting with 8 merges can only shorten the all-character
+    segmentation, never below one subword per word."""
+    docs = {
+        r.doc_id: [w for w in r.text.lower().split() if w]
+        for r in _read(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    rows = {r.doc_id: r for r in q_bpe_apply(spark, SF).collect()}
+    assert set(rows) == {d for d, ws in docs.items() if ws}
+    for doc_id, r in rows.items():
+        ws = docs[doc_id]
+        n_chars = sum(len(w) for w in ws)
+        assert r.n_words == len(ws)
+        assert len(ws) <= r.n_subwords <= n_chars
+    # the merges must actually compress somewhere
+    assert any(
+        r.n_subwords < sum(len(w) for w in docs[d]) for d, r in rows.items()
+    )
+
+
+def test_redirect_resolve_walks_to_terminal(spark):
+    rows = {r.src: (r.final_dst, r.hops) for r in q_redirect_resolve(spark, SF).collect()}
+    n_docs = _read(spark, SF, "documents").count()
+    redirects = {
+        d: d // 2 for d in range(1, n_docs) if d % 3 != 0
+    }
+    assert set(rows) == set(redirects)
+    for src, (final, hops) in rows.items():
+        # walk the chain in pure Python
+        cur, n = src, 0
+        while cur in redirects:
+            cur = redirects[cur]
+            n += 1
+        assert (final, hops) == (cur, n), src
+    assert max(h for _, h in rows.values()) >= 3  # real chains, not 1 hop
+
+
+def test_kmeans_covers_all_vectors(spark):
+    n_vecs = _read(spark, SF, "embeddings").count()
+    rows = q_kmeans_embed(spark, SF).collect()
+    assert 1 <= len(rows) <= 8
+    assert sum(r.n_vectors for r in rows) == n_vecs
+    for r in rows:
+        assert r.inertia >= 0.0
+        assert len(r.centroid) > 0
 
 
 def test_gopher_rules_conjunction(spark):

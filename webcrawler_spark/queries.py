@@ -2464,21 +2464,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 _BPE_STEPS = 8
 
 
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training (Sennrich, Haddow & Birch 2016): learn the
-    first 8 merge rules over the corpus word-frequency table. Words are
-    symbol sequences with '|' separators and a trailing '|'; each step
-    counts adjacent symbol pairs weighted by word frequency, takes the
-    most frequent pair (ties broken lexicographically), and rewrites
-    every occurrence left-to-right non-overlapping — exactly what
-    replace('a|b|','ab|') on the trailing-separator encoding gives.
-
-    Scale shape: training runs on the AGGREGATED word-frequency table
-    (vocabulary-sized, ~10^7 rows for web corpora — never the corpus),
-    one groupBy(pair) shuffle per step plus a 1-row argmax to the driver;
-    the sequence table is localCheckpoint()ed per step so step k never
-    recomputes steps 1..k-1. This is the standard subword-tokenizer
-    training loop re-expressed as vocabulary-table relational passes."""
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared BPE trainer: returns (merge records, final segmented
+    vocabulary frame with columns seq, freq)."""
     docs = _tokens(_docs_parallel(spark, sf_dir))
     words = (
         docs.select(F.explode("toks").alias("tok"))
@@ -2520,26 +2510,79 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
             "freq",
         ).localCheckpoint(eager=True)
+    return out, seqs
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich, Haddow & Birch 2016): learn the
+    first 8 merge rules over the corpus word-frequency table. Words are
+    symbol sequences with '|' separators and a trailing '|'; each step
+    counts adjacent symbol pairs weighted by word frequency, takes the
+    most frequent pair (ties broken lexicographically), and rewrites
+    every occurrence left-to-right non-overlapping — exactly what
+    replace('a|b|','ab|') on the trailing-separator encoding gives.
+
+    Scale shape: training runs on the AGGREGATED word-frequency table
+    (vocabulary-sized, ~10^7 rows for web corpora — never the corpus),
+    one groupBy(pair) shuffle per step plus a 1-row argmax to the driver;
+    the sequence table is localCheckpoint()ed per step so step k never
+    recomputes steps 1..k-1. This is the standard subword-tokenizer
+    training loop re-expressed as vocabulary-table relational passes."""
+    out, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         out, "step int, pair string, merged string, cnt bigint"
     )
 
 
-def _bpe_oracle_sql() -> str:
-    """Unrolled-CTE oracle: the same 8 argmax+rewrite steps as scalar
-    subqueries (the PageRank/HITS fixed-iteration oracle idiom)."""
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: segment every document with the 8
+    learned merge rules and report subword statistics per doc — the
+    train-then-tokenize composition (the corpus-prep step right before
+    sequence packing).
+
+    Scale shape: segmentation is computed once per DISTINCT word (the
+    trainer's final vocabulary frame already holds it) and joined back to
+    the exploded corpus — per-token work is a broadcast-hash-join probe,
+    never a per-token re-segmentation; one groupBy(doc_id) to finish."""
+    _, seqs = _bpe_train(spark, sf_dir)
+    word_sub = seqs.select(
+        F.expr("replace(seq, '|', '')").alias("term"),
+        F.expr(
+            "cast(size(filter(split(seq, '\\\\|'), x -> x <> '')) as bigint)"
+        ).alias("n_sub"),
+    )
+    toks = _tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("toks").alias("term")
+    )
+    return (
+        toks.join(F.broadcast(word_sub), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.round(
+                F.sum("n_sub") / F.count("*").cast("double"), 4
+            ).alias("subwords_per_word"),
+        )
+    )
+
+
+def _bpe_cte_prefix() -> str:
+    """Unrolled-CTE oracle prefix: the same 8 argmax+rewrite steps as
+    scalar subqueries (the PageRank/HITS fixed-iteration oracle idiom) —
+    shared by the bpe_merges and bpe_apply oracles."""
     parts = [
         f"""WITH w AS (
   SELECT tok, count(*) AS freq
   FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents) t
   GROUP BY tok
-), s0 AS (
+), s0 AS MATERIALIZED (
   SELECT regexp_replace(tok, '(.)', '\\1|', 'g') AS seq, freq FROM w
 )"""
     ]
     for k in range(1, _BPE_STEPS + 1):
         parts.append(
-            f""", p{k} AS (
+            f""", p{k} AS MATERIALIZED (
   SELECT pr, sum(freq) AS c FROM (
     SELECT freq,
            unnest(list_transform(range(1, len(syms)),
@@ -2548,23 +2591,292 @@ def _bpe_oracle_sql() -> str:
                  list_filter(string_split(seq, '|'), x -> x <> '') AS syms
           FROM s{k - 1}) q
   ) e GROUP BY pr
-), b{k} AS (
+), b{k} AS MATERIALIZED (
   SELECT pr, replace(pr, '|', '') AS merged, c
   FROM p{k} ORDER BY c DESC, pr ASC LIMIT 1
-), s{k} AS (
+), s{k} AS MATERIALIZED (
   SELECT replace(seq, (SELECT pr FROM b{k}) || '|',
                  (SELECT merged FROM b{k}) || '|') AS seq, freq
   FROM s{k - 1}
 )"""
         )
-    union = "\nUNION ALL\n".join(
+    return "".join(parts)
+
+
+SQL_BPE_MERGES = (
+    _bpe_cte_prefix()
+    + "\n"
+    + "\nUNION ALL\n".join(
         f"SELECT {k} AS step, pr AS pair, merged, c AS cnt FROM b{k}"
         for k in range(1, _BPE_STEPS + 1)
     )
-    return "".join(parts) + "\n" + union
+)
+
+SQL_BPE_APPLY = (
+    _bpe_cte_prefix()
+    + f""", word_sub AS (
+  SELECT replace(seq, '|', '') AS term,
+         len(list_filter(string_split(seq, '|'), x -> x <> ''))::BIGINT AS n_sub
+  FROM s{_BPE_STEPS}
+), tk AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT doc_id, count(*) AS n_words, sum(n_sub)::BIGINT AS n_subwords,
+       round(sum(n_sub) / count(*)::DOUBLE, 4) AS subwords_per_word
+FROM tk JOIN word_sub USING (term) GROUP BY doc_id
+"""
+)
 
 
-SQL_BPE_MERGES = _bpe_oracle_sql()
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score with add-one smoothing: train
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V) on the corpus itself, score
+    each document by its mean bigram negative log-likelihood — the
+    next step up from the unigram CCNet signal (repetitive or shuffled
+    word salad scores badly even when its unigrams are common).
+
+    Scale shape: bigram and unigram count tables are vocabulary-sized
+    aggregations (map-side partial), the scoring pass is one broadcast
+    join of the LM against the corpus bigram stream, one groupBy(doc_id)
+    to finish — the same plan the unigram scorer runs, one join wider."""
+    toks = _tokens(_read(spark, sf_dir, "documents"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks)-1), "
+                "slice(toks, 2, size(toks)-1), "
+                "(x, y) -> struct(x as w1, y as w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = big.agg(F.countDistinct("w2").alias("vsize"))
+    lm = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("vsize")).cast("double")
+                )
+            ).alias("nll_b"),
+        )
+    )
+    return (
+        big.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("nll_b"), 5).alias("mean_nll"),
+        )
+    )
+
+
+SQL_BIGRAM_LM_SCORE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+  FROM t
+), b2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+c2 AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS vsize FROM b2),
+lm AS (
+  SELECT w1, w2, -ln((c12 + 1)::DOUBLE / (c1 + vsize)::DOUBLE) AS nll_b
+  FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(nll_b), 5) AS mean_nll
+FROM b2 JOIN lm USING (w1, w2) GROUP BY doc_id
+"""
+
+
+# -- k-means over embeddings (3 unrolled Lloyd iterations) -------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd) over the embeddings table: k=8 seeds
+    taken deterministically from the first vectors by vec_id, 3
+    assign/update iterations, squared-L2 with ties to the lower cluster
+    id. Centroid components are rounded to 6 dp after every update so
+    both engines iterate on IDENTICAL state (summation-order differences
+    cannot compound across iterations).
+
+    Scale shape: each iteration is the canonical broadcast-assignment
+    plan — k x dim centroids broadcast, one argmin window per vector,
+    centroid update via posexplode + map-side partial avg on (cluster,
+    pos). The driver holds only the k-row centroid table between
+    iterations (localCheckpoint'd); the vectors never leave the
+    executors. ann_ivf trains its codebook with exactly this loop on a
+    bounded sample; this is the full-corpus variant."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = (
+        e.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.expr(
+                "transform(embedding, x -> round(cast(x as double), 6))"
+            ).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for _ in range(_KM_ITERS):
+        d2 = F.expr(_sqdist_expr("embedding", "centroid"))
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        assigned = (
+            e.join(F.broadcast(cent))
+            .select("vec_id", "embedding", "cid", d2.alias("d2"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cid", F.expr("transform(pc, p -> p.c)").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.sum("d2"), 3).alias("inertia"),
+        )
+        .join(cent, "cid")
+        .select("cid", "n_vectors", "inertia", "centroid")
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    parts = [
+        f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> round(x::DOUBLE, 6)) AS centroid
+  FROM e WHERE vec_id < {_KM_K}
+)"""
+    ]
+    for k in range(1, _KM_ITERS + 1):
+        parts.append(
+            f""", sc{k} AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_sql_sqdist('e.embedding', 'c.centroid')} AS d2
+  FROM e CROSS JOIN cent{k - 1} c
+), a{k} AS (
+  SELECT vec_id, embedding, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2 ASC, cid ASC) AS rnk
+    FROM sc{k}
+  ) r WHERE rnk = 1
+), cent{k} AS (
+  SELECT cid, list(c ORDER BY pos) AS centroid FROM (
+    SELECT cid, pos, round(avg(x::DOUBLE), 6) AS c FROM (
+      SELECT cid, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM a{k}
+    ) q GROUP BY cid, pos
+  ) p GROUP BY cid
+)"""
+        )
+    last = _KM_ITERS
+    parts.append(
+        f"""
+SELECT a.cid AS cid, count(*)::BIGINT AS n_vectors,
+       round(sum(a.d2), 3) AS inertia, any_value(c.centroid) AS centroid
+FROM a{last} a JOIN cent{last} c ON a.cid = c.cid
+GROUP BY a.cid"""
+    )
+    return "".join(parts)
+
+
+SQL_KMEANS_EMBED = _kmeans_oracle_sql()
+
+
+# -- redirect-chain resolution (pointer jumping) -----------------------------
+#
+# The corpus has no redirect table, so one is synthesized deterministically
+# in-engine (the PII-injection precedent): doc_id > 0 with doc_id % 3 != 0
+# redirects to doc_id // 2 — strictly decreasing, so every chain terminates
+# at a doc with no outgoing redirect, with depth up to log2(n).
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP redirect-chain resolution (301/308 chains): map every
+    redirecting URL to its final landing URL and hop count — the crawl
+    frontier wants the terminal URL before dedup/politeness, never the
+    intermediate hops.
+
+    Scale shape: pointer jumping (path doubling) — each round substitutes
+    f(x) <- f(f(x)) via a self-join on the current mapping, so a chain of
+    depth d resolves in O(log d) rounds, not d sequential joins (the same
+    reason cc_star beats label propagation on deep chains). Rounds run
+    until a driver-checked fixpoint on total hops; each round
+    localCheckpoints the O(|redirects|) mapping. At 10^10 URLs every
+    round is one hash self-join on the compact (src, dst, hops) table."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    cur = (
+        docs.filter("doc_id > 0 and doc_id % 3 != 0")
+        .select(
+            F.col("doc_id").alias("src"),
+            F.expr("cast(doc_id / 2 as bigint)").alias("dst"),
+            F.lit(1).cast("bigint").alias("hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    total = cur.agg(F.sum("hops")).first()[0]
+    while True:
+        nxt = (
+            cur.alias("a")
+            .join(
+                cur.select(
+                    F.col("src").alias("b_src"),
+                    F.col("dst").alias("b_dst"),
+                    F.col("hops").alias("b_hops"),
+                ),
+                F.col("a.dst") == F.col("b_src"),
+                "left",
+            )
+            .select(
+                F.col("a.src").alias("src"),
+                F.coalesce("b_dst", "a.dst").alias("dst"),
+                (F.col("a.hops") + F.coalesce("b_hops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_total = nxt.agg(F.sum("hops")).first()[0]
+        cur = nxt
+        if new_total == total:
+            break
+        total = new_total
+    return cur.select("src", F.col("dst").alias("final_dst"), "hops")
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH RECURSIVE redirects AS (
+  SELECT doc_id AS src, CAST(doc_id // 2 AS BIGINT) AS dst
+  FROM documents WHERE doc_id > 0 AND doc_id % 3 != 0
+), walk AS (
+  SELECT src, dst, 1::BIGINT AS hops FROM redirects
+  UNION ALL
+  SELECT w.src, r.dst, w.hops + 1
+  FROM walk w JOIN redirects r ON w.dst = r.src
+)
+SELECT src, dst AS final_dst, hops
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rnk
+  FROM walk
+) t WHERE rnk = 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -6461,6 +6773,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_apply": (q_bpe_apply, SQL_BPE_APPLY),
+    "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
+    "kmeans_embed": (q_kmeans_embed, SQL_KMEANS_EMBED),
+    "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
