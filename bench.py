@@ -87,6 +87,13 @@ HEADLINE = [
     "anchor_text_agg",
     "budget_allocation",
     "doc_chunk_overlap",
+    "gopher_rules",
+    "c4_clean",
+    "simhash_hamming_pairs",
+    "bpe_apply",
+    "bigram_lm_score",
+    "kmeans_embed",
+    "redirect_resolve",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -11,7 +11,10 @@ from collections import Counter
 from pyspark.sql import functions as F
 
 from webcrawler_spark.queries import (
+    _QC_B,
     q_bpe_apply,
+    q_pack_bins,
+    q_quality_classifier,
     q_bpe_merges,
     q_c4_clean,
     q_gopher_rules,
@@ -156,6 +159,47 @@ def test_kmeans_covers_all_vectors(spark):
     for r in rows:
         assert r.inertia >= 0.0
         assert len(r.centroid) > 0
+
+
+def test_pack_bins_is_contiguous_stream(spark):
+    """The two-phase distributed cumsum must produce the exact
+    concat-then-split layout: doc start offsets tile the token stream
+    with no gaps or overlaps, in hash order."""
+    rows = q_pack_bins(spark, SF).collect()
+    total = sum(r.n_toks for r in rows)
+    by_start = sorted(rows, key=lambda r: r.start_offset)
+    expect = 0
+    for r in by_start:
+        assert r.start_offset == expect
+        assert r.bin == r.start_offset // 2048
+        assert r.offset_in_bin == r.start_offset % 2048
+        expect += r.n_toks
+    assert expect == total
+
+
+def test_quality_classifier_separates(spark):
+    """The integer-exact trained weights must classify the corpus well
+    above the 'spark'-label base rate."""
+    w = {r.b: r.w_micro for r in q_quality_classifier(spark, SF).collect()}
+    docs = _read(spark, SF, "documents").select("doc_id", "text").collect()
+    import hashlib
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % _QC_B
+
+    n = correct = pos = 0
+    for r in docs:
+        toks = [t for t in r.text.lower().split() if t]
+        if not toks:
+            continue
+        y = 1 if "spark" in toks else 0
+        s = sum(w.get(b, 0) for b in {bucket(t) for t in toks})
+        pred = 1 if s >= 0 else 0
+        n += 1
+        pos += y
+        correct += int(pred == y)
+    base = max(pos, n - pos) / n
+    assert correct / n > max(0.95, base + 0.01), (correct / n, base)
 
 
 def test_gopher_rules_conjunction(spark):

@@ -2879,6 +2879,220 @@ FROM (
 """
 
 
+# -- cross-document token packing (concat-then-split pretraining batches) ----
+
+_PACK_BIN = 2048
+_PACK_BUCKETS = 16
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + cross-document token packing: order
+    the corpus by a content-stable hash (the reproducible pretraining
+    shuffle), concatenate token counts in that order, and split the
+    stream into fixed {_PACK_BIN}-token bins — each doc gets its stream
+    start offset, bin id, and offset within the bin (docs may straddle
+    bins, exactly like concat-then-split batch packing does).
+
+    Scale shape: the running total is a TWO-PHASE distributed cumsum, not
+    a single-task global-sort window — the hash key's value range is
+    known ([0, 2^32)), so range buckets need no sampling pass: a
+    per-bucket window cumsum runs wide, per-bucket totals (an O(buckets)
+    driver collect) become broadcast prefix offsets (the
+    dense_first_seen_ids pattern from the crawl engine). At 10^10 docs
+    every stage is parallel and the driver holds only bucket totals."""
+    docs = _tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.expr("cast(size(toks) as bigint)").alias("n_toks"),
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+        ).alias("hkey"),
+    )
+    bkt = F.least(
+        F.lit(_PACK_BUCKETS - 1),
+        ((F.col("hkey") * _PACK_BUCKETS) / F.lit(1 << 32)).cast("int"),
+    )
+    part = (
+        docs.withColumn("_bkt", bkt)
+        .repartition(_PACK_BUCKETS, "_bkt")
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("local_end", F.sum("n_toks").over(w))
+    totals = {
+        r["_bkt"]: r["t"]
+        for r in part.groupBy("_bkt").agg(F.sum("n_toks").alias("t")).collect()
+    }
+    offs, acc = [], 0
+    for b in range(_PACK_BUCKETS):
+        offs.append((b, acc))
+        acc += totals.get(b, 0)
+    off_df = spark.createDataFrame(offs, "_bkt int, prefix bigint")
+    return (
+        local.join(F.broadcast(off_df), "_bkt")
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.col("prefix") + F.col("local_end") - F.col("n_toks")).alias(
+                "start_offset"
+            ),
+        )
+        .withColumn("bin", F.expr(f"cast(floor(start_offset / {_PACK_BIN}) as bigint)"))
+        .withColumn("offset_in_bin", F.expr(f"start_offset % {_PACK_BIN}"))
+    )
+
+
+SQL_PACK_BINS = f"""
+WITH d AS (
+  SELECT doc_id, len({_SQL_TOKS})::BIGINT AS n_toks,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hkey
+  FROM documents
+)
+SELECT doc_id, n_toks,
+       (sum(n_toks) OVER (ORDER BY hkey, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - n_toks)::BIGINT AS start_offset,
+       CAST(floor(((sum(n_toks) OVER (ORDER BY hkey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   - n_toks) / {_PACK_BIN}) AS BIGINT) AS bin,
+       ((sum(n_toks) OVER (ORDER BY hkey, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        - n_toks) % {_PACK_BIN} AS offset_in_bin
+FROM d
+"""
+
+
+# -- quality-classifier training (hashed features, integer-exact SGD) --------
+
+_QC_B = 64
+_QC_EPOCHS = 8
+_QC_LR_K = 4  # divisor = n_docs * K: scale-invariant integer step
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear quality classifier on hashed bag-of-words features
+    (the fastText/CCNet-style quality-gate model): label = doc contains
+    the token 'spark', features = md5-hashed unigram counts in {_QC_B}
+    buckets (binary presence), 8 full-batch epochs with a hard-sigmoid
+    link. EVERYTHING is integer arithmetic in micro-units — score =
+    sum(x_b x weight_micro), p = clamp(500000 + score, 0, 10^6), gradient
+    = sum(y_micro - p), update = w + floor(gradient / (4N)) — both engines compute
+    bit-identical state with NO transcendentals and NO float-summation
+    order sensitivity (the lesson of the kmeans/dsir rounding idioms,
+    taken to its exact-integer conclusion).
+
+    Scale shape: per-epoch cost is one broadcast join of the {_QC_B}-row
+    weight table against the doc-bucket count table, one groupBy(doc)
+    partial-agg, one groupBy(bucket) gradient agg — the distributed
+    full-batch GD plan; the weight state between epochs is {_QC_B} rows."""
+    toks = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .filter(F.expr("size(toks) > 0"))
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(array_contains(toks, 'spark') as bigint) * 1000000"
+            ).alias("y_micro"),
+            F.explode("toks").alias("term"),
+        )
+    )
+    doc_bucket = (
+        toks.withColumn(
+            "b",
+            F.expr("cast(conv(substring(md5(term), 1, 4), 16, 10) as bigint)")
+            % _QC_B,
+        )
+        .groupBy("doc_id", "y_micro", "b")
+        .agg(F.lit(1).cast("bigint").alias("c"))  # binary presence feature
+        .localCheckpoint(eager=True)
+    )
+    n_docs = doc_bucket.select("doc_id").distinct().count()
+    divisor = float(n_docs * _QC_LR_K)
+    w_df = (
+        doc_bucket.select("b")
+        .distinct()
+        .withColumn("w_micro", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_QC_EPOCHS):
+        scored = (
+            doc_bucket.join(F.broadcast(w_df), "b")
+            .groupBy("doc_id", "y_micro")
+            .agg(F.sum(F.col("c") * F.col("w_micro")).alias("s"))
+            .withColumn(
+                "p", F.expr("greatest(0L, least(1000000L, 500000 + s))")
+            )
+            .select("doc_id", (F.col("y_micro") - F.col("p")).alias("e"))
+        )
+        grad = (
+            doc_bucket.join(scored, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("e") * F.col("c")).alias("g"))
+        )
+        w_df = (
+            w_df.join(grad, "b", "left")
+            .select(
+                "b",
+                (
+                    F.col("w_micro")
+                    + F.expr(
+                        f"cast(floor(coalesce(g, 0L) / {divisor}) as bigint)"
+                    )
+                ).alias("w_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w_df.select("b", "w_micro")
+
+
+def _qc_oracle_sql() -> str:
+    parts = [
+        f"""WITH tk AS MATERIALIZED (
+  SELECT doc_id,
+         (list_contains(toks, 'spark'))::BIGINT * 1000000 AS y_micro,
+         unnest(toks) AS term
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) q
+  WHERE len(toks) > 0
+), db AS MATERIALIZED (
+  SELECT doc_id, y_micro,
+         ('0x' || substr(md5(term), 1, 4))::BIGINT % {_QC_B} AS b,
+         1::BIGINT AS c
+  FROM tk GROUP BY doc_id, y_micro, b
+), w0 AS MATERIALIZED (
+  SELECT DISTINCT b, 0::BIGINT AS w_micro FROM db
+), nn AS MATERIALIZED (
+  SELECT count(DISTINCT doc_id)::DOUBLE * {_QC_LR_K} AS divisor FROM db
+)"""
+    ]
+    for k in range(1, _QC_EPOCHS + 1):
+        parts.append(
+            f""", sc{k} AS MATERIALIZED (
+  SELECT doc_id, y_micro - greatest(0, least(1000000, 500000 + s)) AS e
+  FROM (
+    SELECT db.doc_id, any_value(db.y_micro) AS y_micro,
+           sum(db.c * w.w_micro) AS s
+    FROM db JOIN w{k - 1} w USING (b) GROUP BY db.doc_id
+  ) q
+), w{k} AS MATERIALIZED (
+  SELECT w.b,
+         (w.w_micro + CAST(floor(coalesce(g.g, 0) / (SELECT divisor FROM nn))
+                           AS BIGINT)) AS w_micro
+  FROM w{k - 1} w LEFT JOIN (
+    SELECT db.b, sum(sc{k}.e * db.c) AS g
+    FROM db JOIN sc{k} USING (doc_id) GROUP BY db.b
+  ) g USING (b)
+)"""
+        )
+    parts.append(f"\nSELECT b, w_micro FROM w{_QC_EPOCHS}")
+    return "".join(parts)
+
+
+SQL_QUALITY_CLASSIFIER = _qc_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # 7. Spark-only entries (no SQL oracle -> driver's rows-only check)
 # ---------------------------------------------------------------------------
@@ -6777,6 +6991,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
     "kmeans_embed": (q_kmeans_embed, SQL_KMEANS_EMBED),
     "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
+    "pack_bins": (q_pack_bins, SQL_PACK_BINS),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
