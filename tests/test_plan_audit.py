@@ -324,3 +324,30 @@ def test_write_shard_plan_balances_rows(spark):
     for s, v in per_shard.items():
         assert abs(v - mean) <= biggest_host, (s, v, mean)
     assert set(per_shard) == set(range(8))
+
+
+def test_pack_bins_no_global_sort_window(spark):
+    # the running-offset cumsum must be the two-phase bucket plan: the
+    # window partitions by _bkt (wide), the bucket prefix offsets arrive
+    # via a broadcast join — never one Window over a SinglePartition sort
+    p = plan_str(_q("pack_bins", spark))
+    assert "Exchange SinglePartition" not in p
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_quality_classifier_broadcasts_weights(spark):
+    # the per-epoch scoring join carries the 64-row weight table as the
+    # broadcast side; the corpus-sized doc_bucket frame must never
+    # funnel through a single partition
+    p = plan_str(_q("quality_classifier", spark))
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bpe_apply_broadcasts_vocabulary(spark):
+    # per-distinct-word segmentation joins back to the exploded corpus
+    # as a broadcast hash join (the vocabulary frame is the small side)
+    p = plan_str(_q("bpe_apply", spark))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
