@@ -2185,6 +2185,150 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q4_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join with a non-equi component —
+    orders in one quarter having at least one line item shipped after
+    the order date, counted by priority. Catalyst plans the EXISTS as a
+    left-semi hash join on l_orderkey with the date comparison as the
+    join-side residual filter (the trimmed schema has no commitdate /
+    receiptdate, so shipdate > orderdate is the 'late' predicate)."""
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+SQL_TPCH_Q4_LATE_SHIP = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way classification aggregate —
+    one year of lineitem joins orders and each line status accumulates
+    high- vs low-priority order counts in a single CASE-WHEN pass
+    (l_linestatus stands in for the trimmed-away l_shipmode)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _read(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12_PRIORITY_CLASS = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count per attribute pair with an
+    anti-join supplier exclusion — how many distinct suppliers ship each
+    (brand, size) of non-PROMO small parts, excluding a blacklisted
+    supplier set (s_name ending in '5' stands in for the complaints
+    pattern; lineitem stands in for the trimmed-away partsupp)."""
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_size") <= 25)
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    bad = _read(spark, sf_dir, "supplier").filter(
+        F.col("s_name").endswith("5")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16_SUPPLIER_CNT = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%5')
+GROUP BY p_brand, p_size
+"""
+
+
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate — three (brand, size
+    band, quantity band) disjuncts over the part join. Catalyst pushes
+    the common l_quantity bounds below the join and keeps the
+    brand-correlated disjunction as the join residual; the classic test
+    that disjunctive pushdown doesn't degrade to a cartesian."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 21))
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    return j.filter(disj).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_TPCH_Q19_DISJUNCTIVE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 # -- Gopher document-level admission rules (Rae et al. 2021, Appendix A) ----
 #
 # The synthetic documents carry no symbols or numerals, so the two rules
@@ -6983,6 +7127,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, SQL_TPCH_Q15_TOP_SUPPLIER),
     "tpch_q17_small_qty": (q_tpch_q17_small_qty, SQL_TPCH_Q17_SMALL_QTY),
     "tpch_q22_idle_custs": (q_tpch_q22_idle_custs, SQL_TPCH_Q22_IDLE_CUSTS),
+    "tpch_q4_late_ship": (q_tpch_q4_late_ship, SQL_TPCH_Q4_LATE_SHIP),
+    "tpch_q12_priority_class": (
+        q_tpch_q12_priority_class,
+        SQL_TPCH_Q12_PRIORITY_CLASS,
+    ),
+    "tpch_q16_supplier_cnt": (q_tpch_q16_supplier_cnt, SQL_TPCH_Q16_SUPPLIER_CNT),
+    "tpch_q19_disjunctive": (q_tpch_q19_disjunctive, SQL_TPCH_Q19_DISJUNCTIVE),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
