@@ -1531,14 +1531,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs the query vector (vec_id=0) — the ANN
     baseline; sequential-fold dot products, rounded."""
     e = _read(spark, sf_dir, "embeddings")
-    ref = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("ref"))
+    # ref norm folded once inside the 1-row broadcast frame (identical
+    # value), so the corpus scan does 2 array folds per row, not 3
+    ref = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("ref"))
+        .withColumn("nr", F.sqrt(F.expr(_dot_expr("ref", "ref"))))
+    )
     dot = F.expr(_dot_expr("embedding", "ref"))
     na = F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
-    nr = F.sqrt(F.expr(_dot_expr("ref", "ref")))
     return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(ref))
-        .select("vec_id", F.round(dot / (na * nr), 4).alias("cos"))
+        .select("vec_id", F.round(dot / (na * F.col("nr")), 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(20)
     )
@@ -1557,18 +1562,24 @@ ORDER BY cos DESC, vec_id ASC LIMIT 20
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within the same label bucket
     (bucketed candidate generation, not O(n^2) global)."""
-    e = _read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        # norm once per row BELOW the self-join (bit-identical to the
+        # per-pair fold — same sequential aggregate, memoized); cuts the
+        # quadratic stage from 3 array folds per pair to 1
+        F.sqrt(F.expr(_dot_expr("embedding", "embedding"))).alias("nrm"),
+    )
     a, b = e.alias("a"), e.alias("b")
     dot = F.expr(_dot_expr("a.embedding", "b.embedding"))
-    na = F.sqrt(F.expr(_dot_expr("a.embedding", "a.embedding")))
-    nb = F.sqrt(F.expr(_dot_expr("b.embedding", "b.embedding")))
     return (
         a.join(b, "label")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),
-            F.round(dot / (na * nb), 4).alias("cos"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= 0.3)
     )
@@ -1620,14 +1631,17 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdot = F.expr(_dot_expr("embedding", "centroid"))
     cnv = F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
     cnc = F.sqrt(F.expr(_dot_expr("centroid", "centroid")))
+    # vector norm computed once per row below the self-join (identical
+    # fold => identical value); the pair stage then does 1 fold, not 3
     scored = e.join(F.broadcast(cent), "label").select(
         "label", "vec_id", "embedding",
+        cnv.alias("nrm"),
         F.round(cdot / (cnv * cnc), 6).alias("csim"),
     )
     a, b = scored.alias("a"), scored.alias("b")
     pdot = F.expr(_dot_expr("a.embedding", "b.embedding"))
-    pna = F.sqrt(F.expr(_dot_expr("a.embedding", "a.embedding")))
-    pnb = F.sqrt(F.expr(_dot_expr("b.embedding", "b.embedding")))
+    pna = F.col("a.nrm")
+    pnb = F.col("b.nrm")
     loser_id = F.when(
         F.col("a.csim") > F.col("b.csim"), F.col("a.vec_id")
     ).when(
@@ -3316,16 +3330,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd = -2.0 * refv @ cents.T + (cents * cents).sum(1)
     probe_cells = [int(c) for c in np.argsort(qd)[:NPROBE]]
 
-    ref = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("ref"))
+    ref = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("ref"))
+        .withColumn("nr", F.sqrt(F.expr(_dot_expr("ref", "ref"))))
+    )
     dot = F.expr(_dot_expr("embedding", "ref"))
     na = F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
-    nr = F.sqrt(F.expr(_dot_expr("ref", "ref")))
     return (
         e.withColumn("cell", cell_of("embedding"))
         .filter(F.col("cell").isin(probe_cells))
         .filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(ref))
-        .select("vec_id", "label", F.round(dot / (na * nr), 4).alias("cos"))
+        .select(
+            "vec_id", "label", F.round(dot / (na * F.col("nr")), 4).alias("cos")
+        )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(20)
     )
@@ -3955,15 +3974,18 @@ def q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits = (mat @ planes_b.value.T) >= 0
         return pd.Series((bits != qbits_b.value).sum(1))
 
-    ref = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("ref"))
+    ref = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("ref"))
+        .withColumn("nr", F.sqrt(F.expr(_dot_expr("ref", "ref"))))
+    )
     dot = F.expr(_dot_expr("embedding", "ref"))
     na = F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
-    nr = F.sqrt(F.expr(_dot_expr("ref", "ref")))
     return (
         e.filter(F.col("vec_id") != 0)
         .filter(hamming("embedding") <= ANN_HAM_RADIUS)
         .crossJoin(F.broadcast(ref))
-        .select("vec_id", F.round(dot / (na * nr), 4).alias("cos"))
+        .select("vec_id", F.round(dot / (na * F.col("nr")), 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(20)
     )
@@ -6137,21 +6159,23 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k window over k*|corpus| scored rows. At 10^9 vectors
     the same plan holds with ann_ivf/ann_hamming replacing the brute
     scan; ranking uses the ROUNDED score so ulp noise cannot flip it."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _read(spark, sf_dir, "embeddings").withColumn(
+        # corpus norm once per row, not once per (row, query) pair
+        "na", F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
+    )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
+        F.col("na").alias("nq"),
     )
     dot = F.expr(_dot_expr("embedding", "q_emb"))
-    na = F.sqrt(F.expr(_dot_expr("embedding", "embedding")))
-    nq = F.sqrt(F.expr(_dot_expr("q_emb", "q_emb")))
     scored = (
         e.join(F.broadcast(q), F.col("label") != F.col("q_label"))
         .select(
             "q_id",
             F.col("vec_id").alias("neg_id"),
-            F.round(dot / (na * nq), 4).alias("cos"),
+            F.round(dot / (F.col("na") * F.col("nq")), 4).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neg_id"))
@@ -6239,18 +6263,23 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_neardup: work = Σ bucket², never global n²); at 100 TB the
     bucket key comes from the trained IVF assignment (ann_ivf) instead of
     the stored label. One window per source vector on the rounded score."""
-    e = _read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        # norm once per row below the self-join (same fold, memoized) —
+        # the quadratic pair stage does 1 array fold instead of 3
+        F.sqrt(F.expr(_dot_expr("embedding", "embedding"))).alias("nrm"),
+    )
     a, b = e.alias("a"), e.alias("b")
     dot = F.expr(_dot_expr("a.embedding", "b.embedding"))
-    na = F.sqrt(F.expr(_dot_expr("a.embedding", "a.embedding")))
-    nb = F.sqrt(F.expr(_dot_expr("b.embedding", "b.embedding")))
     scored = (
         a.join(b, "label")
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("src"),
             F.col("b.vec_id").alias("dst"),
-            F.round(dot / (na * nb), 4).alias("cos"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cos"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
