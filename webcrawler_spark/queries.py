@@ -21,6 +21,7 @@ Operator-id cross references point into SURVEY.md §2 and the reference
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 import pandas as pd
@@ -2340,6 +2341,192 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 10 AND 30)
    OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
        AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — NATION_2's fraction of
+    ASIA-customer ECONOMY-part revenue per order year. The classic
+    8-relation snowflake with TWO roles for nation (customer side walks
+    to region for the market filter, supplier side provides the share
+    dimension) folded into a conditional-aggregate ratio. All dims
+    broadcast; the only shuffle is the lineitem⋈orders hash join and the
+    final tiny per-year aggregate."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    part = _read(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _read(spark, sf_dir, "supplier")
+    cust = _read(spark, sf_dir, "customer")
+    n1 = _read(spark, sf_dir, "nation").alias("n1")  # customer side
+    n2 = _read(spark, sf_dir, "nation").alias("n2")  # supplier side
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+    )
+    return (
+        j.select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            (F.col("n2.n_name") == "NATION_2").alias("is_target"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("is_target"), F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_TPCH_Q8_MARKET_SHARE = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_2'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_year
+"""
+
+
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and year.
+    The trimmed schema has no partsupp, so supply cost is proxied by
+    10% of p_retailprice per unit — same plan shape: big-fact joins to
+    two broadcast dims, profit expression evaluated map-side, grouped by
+    (nation, year)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").contains("ge"))
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    orders = _read(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+SQL_TPCH_Q9_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%ge%'
+GROUP BY n_name, o_year
+"""
+
+
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept waiting — the double
+    correlated-subquery classic (one EXISTS, one NOT EXISTS, both
+    correlated to the outer row AND anti-correlated on supplier). The
+    trimmed schema has no commit/receipt dates, so 'late' is
+    l_shipdate > o_orderdate + 60 days. A line is counted when its
+    supplier was late on a multi-supplier finished order and NO other
+    supplier on that order was late: one left-semi and one left-anti
+    join on l_orderkey with non-equi residuals — no correlated re-scan
+    per row, which is what keeps the shape viable on a 100 TB fact."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (
+                F.col("ship3")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_anti",
+        )
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    return (
+        waited.join(F.broadcast(supp), waited.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21_WAITING_SUPPLIER = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
 """
 
 
@@ -6307,6 +6494,338 @@ FROM (
 """
 
 
+_LPA_ITERS = 4
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al. 2007)
+    over the 50-node host graph — the cheap community detector a crawl
+    scheduler uses to group mutually-linking host clusters (link farms,
+    mirror families) before budget allocation; complements pagerank /
+    hits / triangles / cc_star on the same graph.
+
+    Deterministic variant: every node starts as its own label; each of
+    the 4 synchronized rounds re-labels a node with the most frequent
+    neighbor label, ties to the SMALLEST label — no randomness, so both
+    engines converge identically. Per round: one shuffle join
+    (edges ⋈ labels) + one count aggregate + one per-node argmax window
+    over the (node, label) histogram (bounded by degree, never by |V|).
+    At web scale each round is the same two-shuffle pipeline with the
+    label frame checkpointed — the identical wave shape to pagerank."""
+    edges = _pagerank_edges(spark, sf_dir)
+    und = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(_LPA_ITERS):
+        hist = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src", "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("lab"))
+        labels = (
+            hist.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(F.col("src").alias("node"), "lab")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lab").alias("community"))
+
+
+_SQL_LPA_EDGES = f"""
+edges AS MATERIALIZED (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+  ) t
+)"""
+
+
+def _sql_lpa_iter(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS MATERIALIZED (
+  SELECT src AS node, lab FROM (
+    SELECT h.src, h.lab,
+           row_number() OVER (PARTITION BY h.src
+                              ORDER BY h.c DESC, h.lab ASC) AS r
+    FROM (
+      SELECT u.src, p.lab, count(*) AS c
+      FROM und u JOIN {prev} p ON u.dst = p.node
+      GROUP BY u.src, p.lab
+    ) h
+  ) t WHERE r = 1
+)"""
+
+
+SQL_LABEL_PROPAGATION = f"""
+WITH {_SQL_LPA_EDGES},
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM und),
+{_sql_lpa_iter('l0', 'l1')},
+{_sql_lpa_iter('l1', 'l2')},
+{_sql_lpa_iter('l2', 'l3')},
+{_sql_lpa_iter('l3', 'l4')}
+SELECT node, lab AS community FROM l4
+"""
+
+
+_KCORE_K = 3
+_KCORE_PEELS = 8
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={_KCORE_K}, iterative peeling) of the
+    host graph — the dense-subgraph backbone a crawl-quality pipeline
+    uses to separate well-embedded hosts from peripheral spam leaves
+    (peripheral = peeled; core = structurally corroborated).
+
+    {_KCORE_PEELS} unrolled peels: drop nodes with surviving degree <
+    k, restrict the edge set to survivors, repeat — past the fixpoint
+    every peel is a no-op, so the fixed unroll is exact, and at sf the
+    50-node graph converges in 2-3 peels. Per peel: one degree
+    aggregate + two semi-joins, each O(|E_alive|); the edge frame is
+    checkpointed per peel to keep lineage flat — the same iterative
+    discipline as pagerank/label_propagation."""
+    edges = _pagerank_edges(spark, sf_dir)
+    alive = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(_KCORE_PEELS):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        alive = (
+            alive.join(keep, alive.src == keep.node, "left_semi")
+            .join(keep, alive.dst == keep.node, "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        alive.groupBy("src")
+        .agg(F.count("*").alias("core_deg"))
+        .select(F.col("src").alias("node"), "core_deg")
+    )
+
+
+def _sql_kcore_peel(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  WHERE e.src IN (SELECT src FROM {prev}
+                  GROUP BY src HAVING count(*) >= {_KCORE_K})
+    AND e.dst IN (SELECT src FROM {prev}
+                  GROUP BY src HAVING count(*) >= {_KCORE_K})
+)"""
+
+
+SQL_K_CORE = f"""
+WITH {_SQL_LPA_EDGES},
+e0 AS MATERIALIZED (SELECT src, dst FROM und),
+{_sql_kcore_peel('e0', 'e1')},
+{_sql_kcore_peel('e1', 'e2')},
+{_sql_kcore_peel('e2', 'e3')},
+{_sql_kcore_peel('e3', 'e4')},
+{_sql_kcore_peel('e4', 'e5')},
+{_sql_kcore_peel('e5', 'e6')},
+{_sql_kcore_peel('e6', 'e7')},
+{_sql_kcore_peel('e7', 'e8')}
+SELECT src AS node, count(*) AS core_deg FROM e8 GROUP BY src
+"""
+
+
+# DCG position weights 1/log2(rank+1) for ranks 1..10 and their prefix
+# sums (ideal-DCG), materialized as decimal literals so BOTH engines use
+# bit-identical constants — no runtime log2() whose libm rounding could
+# differ between the JVM and DuckDB.
+_DCG_W = [round(1.0 / math.log2(r + 1), 10) for r in range(1, 11)]
+_IDCG_PREFIX = [round(sum(_DCG_W[: m + 1]), 10) for m in range(10)]
+_RETRIEVAL_K = 10
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness: Precision@10, MRR@10 and
+    NDCG@10 of BM25 two-term conjunctive queries against exact
+    containment relevance — the measure-don't-guess loop a search /
+    RAG-indexing pipeline reruns after every ranking change (same
+    discipline as lsh_eval for dedup and the IVF recall test for ANN).
+
+    Five deterministic queries: document-frequency ranks 11-20 of the
+    corpus vocabulary, paired off (rank 11+12 -> qid 0, ...), skipping
+    the top-10 near-stopwords. A doc is RELEVANT to a query iff it
+    contains BOTH terms; ranking score is the summed per-term BM25 (so
+    single-term docs can outrank two-term docs — the metrics measure
+    exactly that gap). Plan: the tf/df aggregates of bm25_topk, one
+    broadcast join of 10 query terms into the posting lists, a per-qid
+    top-10 window, then 5-row metric aggregates. DCG weights are
+    injected literal constants (see _DCG_W) so no transcendental is
+    evaluated per row in either engine."""
+    tf = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_cnt = tf.groupBy("term").agg(F.count("*").alias("df"))
+    wq = Window.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        df_cnt.withColumn("rnk", F.row_number().over(wq))
+        .filter((F.col("rnk") >= 11) & (F.col("rnk") <= 20))
+        .select(
+            F.floor((F.col("rnk") - 11) / 2).cast("int").alias("qid"),
+            "term",
+            "df",
+        )
+    )
+    scalars = tf.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    hits = (
+        tf.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 6
+            ).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    rel = hits.filter(F.col("n_terms") >= 2).select(
+        "qid", "doc_id", F.lit(1).alias("rel")
+    )
+    nrel = rel.groupBy("qid").agg(F.count("*").alias("n_rel"))
+    wr = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    dcg_w = F.array(*[F.lit(v) for v in _DCG_W])
+    idcg_p = F.array(*[F.lit(v) for v in _IDCG_PREFIX])
+    top = (
+        hits.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _RETRIEVAL_K)
+        .join(rel, ["qid", "doc_id"], "left")
+        .select(
+            "qid",
+            "rank",
+            F.coalesce("rel", F.lit(0)).alias("rel"),
+        )
+    )
+    per_q = top.groupBy("qid").agg(
+        F.round(F.sum("rel") / float(_RETRIEVAL_K), 2).alias("prec_at_10"),
+        F.round(
+            F.max(F.col("rel") / F.col("rank").cast("double")), 6
+        ).alias("mrr"),
+        F.sum(
+            F.col("rel") * F.element_at(dcg_w, F.col("rank"))
+        ).alias("dcg"),
+    )
+    return (
+        per_q.join(nrel, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            "prec_at_10",
+            "mrr",
+            F.when(F.coalesce("n_rel", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("dcg")
+                    / F.element_at(
+                        idcg_p, F.least(F.col("n_rel"), F.lit(10)).cast("int")
+                    ),
+                    6,
+                )
+            )
+            .alias("ndcg"),
+        )
+    )
+
+
+_SQL_DCG_W = "[" + ", ".join(str(v) for v in _DCG_W) + "]"
+_SQL_IDCG_P = "[" + ", ".join(str(v) for v in _IDCG_PREFIX) + "]"
+
+SQL_RETRIEVAL_EVAL = f"""
+WITH tf AS MATERIALIZED (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (
+    SELECT doc_id, len({_SQL_TOKS}) AS dl, unnest({_SQL_TOKS}) AS term
+    FROM documents
+  ) t
+  GROUP BY doc_id, dl, term
+),
+dfc AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms AS (
+  SELECT ((rnk - 11) // 2)::INT AS qid, term, df
+  FROM (
+    SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rnk
+    FROM dfc
+  ) r WHERE rnk BETWEEN 11 AND 20
+),
+sc AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id, min(dl) AS dl FROM tf GROUP BY doc_id) d
+),
+hits AS MATERIALIZED (
+  SELECT q.qid, tf.doc_id,
+         round(sum(ln(1.0 + (sc.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / sc.avgdl))), 6)
+           AS score,
+         count(*) AS n_terms
+  FROM tf JOIN qterms q ON tf.term = q.term CROSS JOIN sc
+  GROUP BY q.qid, tf.doc_id
+),
+rel AS (SELECT qid, doc_id, 1 AS rel FROM hits WHERE n_terms >= 2),
+nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY qid),
+top AS (
+  SELECT h.qid, h.rank, coalesce(r.rel, 0) AS rel
+  FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM hits
+  ) h LEFT JOIN rel r ON h.qid = r.qid AND h.doc_id = r.doc_id
+  WHERE h.rank <= {_RETRIEVAL_K}
+),
+per_q AS (
+  SELECT qid,
+         round(sum(rel) / {float(_RETRIEVAL_K)}, 2) AS prec_at_10,
+         round(max(rel / rank::DOUBLE), 6) AS mrr,
+         sum(rel * ({_SQL_DCG_W})[rank]) AS dcg
+  FROM top GROUP BY qid
+)
+SELECT p.qid AS qid, coalesce(n.n_rel, 0) AS n_rel, p.prec_at_10, p.mrr,
+       CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0.0
+            ELSE round(p.dcg / ({_SQL_IDCG_P})[least(n.n_rel, 10)::INT], 6)
+       END AS ndcg
+FROM per_q p LEFT JOIN nrel n ON p.qid = n.qid
+"""
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-quality measurement for the MinHash LSH path: confusion
     counts + precision/recall of `minhash_lsh_candidates` against the
@@ -7163,6 +7682,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "tpch_q16_supplier_cnt": (q_tpch_q16_supplier_cnt, SQL_TPCH_Q16_SUPPLIER_CNT),
     "tpch_q19_disjunctive": (q_tpch_q19_disjunctive, SQL_TPCH_Q19_DISJUNCTIVE),
+    "tpch_q8_market_share": (q_tpch_q8_market_share, SQL_TPCH_Q8_MARKET_SHARE),
+    "tpch_q9_profit": (q_tpch_q9_profit, SQL_TPCH_Q9_PROFIT),
+    "tpch_q21_waiting_supplier": (
+        q_tpch_q21_waiting_supplier,
+        SQL_TPCH_Q21_WAITING_SUPPLIER,
+    ),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "k_core": (q_k_core, SQL_K_CORE),
+    "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
