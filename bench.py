@@ -94,6 +94,14 @@ HEADLINE = [
     "bigram_lm_score",
     "kmeans_embed",
     "redirect_resolve",
+    "pack_bins",
+    "quality_classifier",
+    "label_propagation",
+    "k_core",
+    "retrieval_eval",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q21_waiting_supplier",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -1,0 +1,87 @@
+"""Graph-suite additions: k-core peeling, deterministic label
+propagation, and the retrieval-eval harness. Ground-truth semantics on
+known graphs plus brute-force parity on the real derived graph;
+Spark<->DuckDB parity is pinned by the driver oracle."""
+
+from __future__ import annotations
+
+import itertools
+
+from webcrawler_spark.queries import (
+    _KCORE_K,
+    _pagerank_edges,
+    q_k_core,
+    q_label_propagation,
+    q_retrieval_eval,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fake_edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+
+
+def test_k_core_known_graph(spark, monkeypatch):
+    # K4 on {0,1,2,3} (3-core), a pendant chain 3-4-5 and an isolated
+    # edge 6-7: everything outside the K4 peels away at k=3.
+    pairs = list(itertools.combinations(range(4), 2)) + [(3, 4), (4, 5), (6, 7)]
+    monkeypatch.setattr(
+        "webcrawler_spark.queries._pagerank_edges",
+        lambda s, d: _fake_edges(spark, pairs),
+    )
+    got = {r.node: r.core_deg for r in q_k_core(spark, SF).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_brute_force_parity(spark):
+    und = {
+        tuple(sorted((r.src, r.dst)))
+        for r in _pagerank_edges(spark, SF).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        doomed = [n for n, ns in adj.items() if len(ns) < _KCORE_K]
+        changed = bool(doomed)
+        for n in doomed:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+    got = {r.node: r.core_deg for r in q_k_core(spark, SF).collect()}
+    assert got == {n: len(ns) for n, ns in adj.items()}
+
+
+def test_label_propagation_two_cliques(spark, monkeypatch):
+    # Two disjoint cliques: deterministic min-tie LPA converges each
+    # clique to its smallest member id within the 4 fixed rounds.
+    k1 = list(itertools.combinations([0, 1, 2, 3], 2))
+    k2 = list(itertools.combinations([10, 11, 12], 2))
+    monkeypatch.setattr(
+        "webcrawler_spark.queries._pagerank_edges",
+        lambda s, d: _fake_edges(spark, k1 + k2),
+    )
+    got = {r.node: r.community for r in q_label_propagation(spark, SF).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_deterministic(spark):
+    a = sorted(map(tuple, q_label_propagation(spark, SF).collect()))
+    b = sorted(map(tuple, q_label_propagation(spark, SF).collect()))
+    assert a == b and len(a) == 50
+
+
+def test_retrieval_eval_metric_bounds(spark):
+    rows = q_retrieval_eval(spark, SF).collect()
+    assert len(rows) == 5 and {r.qid for r in rows} == set(range(5))
+    for r in rows:
+        assert 0.0 <= r.prec_at_10 <= 1.0
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.ndcg <= 1.0
+        if r.n_rel == 0:
+            assert r.ndcg == 0.0 and r.prec_at_10 == 0.0 and r.mrr == 0.0
