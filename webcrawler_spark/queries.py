@@ -2530,6 +2530,152 @@ LIMIT 20
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view -> click -> purchase): a user
+    reaches step k only with a strictly later event of each successive
+    type — the sequence-matching analytics-engine classic, and the shape
+    a crawl pipeline reuses for URL lifecycle funnels (scheduled ->
+    fetched -> accepted).
+
+    Plan: one per-user min-aggregate per step, each conditioned on the
+    previous step's timestamp via an equi-join on user_id + a residual
+    range filter — three user-keyed hash aggregates and two user-keyed
+    joins, all partial-aggregatable; no window over the raw event
+    stream, so the plan holds at any event volume."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1, n2, n3 = v.count(), c.count(), p.count()
+    rows = [
+        (1, "view", n1, round(1.0, 4)),
+        (2, "click", n2, round(n2 / n1, 4) if n1 else 0.0),
+        (3, "purchase", n3, round(n3 / n2, 4) if n2 else 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "step int, step_name string, n_users bigint, rate_from_prev double"
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+n AS (
+  SELECT (SELECT count(*) FROM v) AS n1,
+         (SELECT count(*) FROM c) AS n2,
+         (SELECT count(*) FROM p) AS n3
+)
+SELECT 1 AS step, 'view' AS step_name, n1::BIGINT AS n_users,
+       round(1.0, 4) AS rate_from_prev FROM n
+UNION ALL
+SELECT 2, 'click', n2::BIGINT,
+       CASE WHEN n1 = 0 THEN 0.0 ELSE round(n2 / n1::DOUBLE, 4) END FROM n
+UNION ALL
+SELECT 3, 'purchase', n3::BIGINT,
+       CASE WHEN n2 = 0 THEN 0.0 ELSE round(n3 / n2::DOUBLE, 4) END FROM n
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of
+    their first event, retention = fraction of the cohort active in
+    each later week — the recurring-activity rollup every analytics
+    engine ships, and the shape of a recrawl-freshness matrix (hosts
+    cohorted by first-seen week vs weeks they yielded new pages).
+
+    Plan: per-user min aggregate (cohort), distinct (user, week)
+    activity, one join, then a (cohort, offset) count-distinct — all
+    user-keyed shuffles, partial-aggregatable, no windows."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = ev.distinct()
+    joined = active.join(first, "user_id").select(
+        "user_id",
+        F.col("cohort_wk").cast("date").alias("cohort_week"),
+        (
+            F.floor(
+                F.datediff(F.col("wk").cast("date"), F.col("cohort_wk").cast("date"))
+                / 7
+            )
+        ).cast("int").alias("week_offset"),
+    )
+    per_cell = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    base = per_cell.filter(F.col("week_offset") == 0).select(
+        F.col("cohort_week").alias("bw"), F.col("n_active").alias("cohort_size")
+    )
+    return (
+        per_cell.join(F.broadcast(base), per_cell.cohort_week == F.col("bw"))
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 4
+            ).alias("retention"),
+        )
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH ev AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, wk FROM ev),
+joined AS (
+  SELECT a.user_id, f.cohort_wk::DATE AS cohort_week,
+         (date_diff('day', f.cohort_wk::DATE, a.wk::DATE) // 7)::INT
+           AS week_offset
+  FROM active a JOIN first f ON a.user_id = f.user_id
+),
+per_cell AS (
+  SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+  FROM joined GROUP BY cohort_week, week_offset
+),
+base AS (
+  SELECT cohort_week AS bw, n_active AS cohort_size
+  FROM per_cell WHERE week_offset = 0
+)
+SELECT strftime(p.cohort_week, '%Y-%m-%d') AS cohort_week, p.week_offset,
+       p.n_active, b.cohort_size,
+       round(p.n_active / b.cohort_size::DOUBLE, 4) AS retention
+FROM per_cell p JOIN base b ON p.cohort_week = b.bw
+"""
+
+
 # -- Gopher document-level admission rules (Rae et al. 2021, Appendix A) ----
 #
 # The synthetic documents carry no symbols or numerals, so the two rules
@@ -7691,6 +7837,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "k_core": (q_k_core, SQL_K_CORE),
     "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
