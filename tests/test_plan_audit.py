@@ -351,3 +351,72 @@ def test_bpe_apply_broadcasts_vocabulary(spark):
     p = plan_str(_q("bpe_apply", spark))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_tpch_q4_semi_join_no_nested_loop(spark):
+    # the EXISTS plans as a left-semi hash join on l_orderkey with the
+    # shipdate comparison as the join residual — never a nested loop
+    p = plan_str(_q("tpch_q4_late_ship", spark))
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "o_orderdate" in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_tpch_q12_pushdown_and_partial_agg(spark):
+    p = plan_str(_q("tpch_q12_priority_class", spark))
+    assert "l_shipdate" in p.split("PushedFilters")[1].split("]")[0]
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_tpch_q16_anti_join_broadcasts_dims(spark):
+    p = plan_str(_q("tpch_q16_supplier_cnt", spark))
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q19_disjunction_stays_hash_join(spark):
+    # the OR-of-ANDs predicate must ride the partkey hash join as a
+    # residual — the classic check that a disjunctive join predicate
+    # doesn't degrade to a nested-loop/cartesian plan
+    p = plan_str(_q("tpch_q19_disjunctive", spark))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_tpch_q8_snowflake_broadcasts_all_dims(spark):
+    # 8-relation snowflake: every dimension (part, customer, nation x2,
+    # region, supplier) broadcasts; only lineitem⋈orders may shuffle
+    p = plan_str(_q("tpch_q8_market_share", spark))
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q9_profit_broadcasts_dims(spark):
+    p = plan_str(_q("tpch_q9_profit", spark))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q21_semi_and_anti_on_equi_key(spark):
+    # EXISTS/NOT EXISTS decorrelate to one semi + one anti join, both
+    # hash-keyed on l_orderkey with the supplier/date residuals inline
+    p = plan_str(_q("tpch_q21_waiting_supplier", spark))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_graph_iterations_stay_keyed(spark):
+    # LPA and k-core per-round joins are all equi-keyed — a cartesian
+    # anywhere in the unrolled lineage is a scale killer
+    for name in ("label_propagation", "k_core"):
+        p = plan_str(_q(name, spark))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_retrieval_eval_broadcasts_query_terms(spark):
+    # the 10-term query table must broadcast into the posting list scan
+    p = plan_str(_q("retrieval_eval", spark))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
