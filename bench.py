@@ -102,6 +102,9 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q9_profit",
     "tpch_q21_waiting_supplier",
+    "funnel_conversion",
+    "retention_cohorts",
+    "hac_reciprocal",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

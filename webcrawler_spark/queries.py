@@ -2530,6 +2530,164 @@ LIMIT 20
 """
 
 
+_HAC_ROUNDS = 3
+
+
+def q_hac_reciprocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed hierarchical agglomerative clustering: 3 rounds of
+    reciprocal-nearest-neighbor merging within label buckets — the
+    parallel HAC primitive (each round merges every pair that are
+    mutually nearest, the Boruvka-style step TeraHAC [SIGMOD 2023]
+    builds its (1+eps)-approximate trillion-edge dendrogram from). The
+    reference steers crawling with hierarchical agglomerative
+    clustering of page text (north-star surface; the sigma-criterion
+    TargetVectorCluster is its cluster-admission rule) — this is that
+    primitive over the embedding space at fan-out scale.
+
+    Determinism discipline (the kmeans_embed recipe): centroids are
+    size-weighted averages ROUNDED 6 dp after every merge and distances
+    round 6 dp before the argmin, so both engines iterate on identical
+    state; nearest-neighbor ties break to the lower cluster id, and a
+    merged pair keeps the lower id. Per round: one bucketed centroid
+    self-join (work = sum of bucket^2, never global n^2), one argmin
+    window bounded by bucket size, a self-join of the tiny NN table for
+    reciprocity, and a broadcast relabel of the membership — every
+    stage is the plan you'd run at 10^10 vectors with IVF cells as the
+    buckets."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    clusters = e.select(
+        "label",
+        F.col("vec_id").alias("cid"),
+        F.expr("transform(embedding, x -> round(cast(x as double), 6))").alias(
+            "centroid"
+        ),
+        F.lit(1).cast("bigint").alias("sz"),
+    ).localCheckpoint(eager=True)
+    members = e.select("vec_id", F.col("vec_id").alias("cid"))
+    for _ in range(_HAC_ROUNDS):
+        a = clusters.select(
+            "label",
+            F.col("cid").alias("acid"),
+            F.col("centroid").alias("ca"),
+            F.col("sz").alias("sa"),
+        )
+        b = clusters.select(
+            "label",
+            F.col("cid").alias("bcid"),
+            F.col("centroid").alias("cb"),
+            F.col("sz").alias("sb"),
+        )
+        pairs = a.join(b, "label").filter(F.col("acid") != F.col("bcid"))
+        d2 = F.round(F.expr(_sqdist_expr("ca", "cb")), 6)
+        wnn = Window.partitionBy("acid").orderBy(F.asc("d2"), F.asc("bcid"))
+        nn = (
+            pairs.select("label", "acid", "bcid", "ca", "sa", "cb", "sb", d2.alias("d2"))
+            .withColumn("r", F.row_number().over(wnn))
+            .filter(F.col("r") == 1)
+            .localCheckpoint(eager=True)
+        )
+        x, y = nn.alias("x"), nn.alias("y")
+        merges = (
+            x.join(
+                y,
+                (F.col("x.bcid") == F.col("y.acid"))
+                & (F.col("y.bcid") == F.col("x.acid"))
+                & (F.col("x.acid") < F.col("y.acid")),
+            )
+            .select(
+                F.col("x.label").alias("label"),
+                F.col("x.acid").alias("win"),
+                F.col("x.bcid").alias("lose"),
+                F.col("x.ca").alias("ca"),
+                F.col("x.sa").alias("sa"),
+                F.col("x.cb").alias("cb"),
+                F.col("x.sb").alias("sb"),
+            )
+        )
+        merged = merges.select(
+            "label",
+            F.col("win").alias("cid"),
+            F.expr(
+                "zip_with(ca, cb, (x, y) ->"
+                " round((sa * x + sb * y) / (sa + sb), 6))"
+            ).alias("centroid"),
+            (F.col("sa") + F.col("sb")).alias("sz"),
+        )
+        touched = merges.select(F.col("win").alias("tcid")).union(
+            merges.select(F.col("lose").alias("tcid"))
+        )
+        clusters = (
+            clusters.join(
+                F.broadcast(touched), clusters.cid == F.col("tcid"), "left_anti"
+            )
+            .unionByName(merged)
+            .localCheckpoint(eager=True)
+        )
+        relabel = merges.select("win", "lose")
+        members = (
+            members.join(F.broadcast(relabel), members.cid == F.col("lose"), "left")
+            .select(
+                "vec_id", F.coalesce("win", F.col("cid")).alias("cid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return members.select("vec_id", F.col("cid").alias("cluster_id"))
+
+
+def _hac_oracle_sql() -> str:
+    parts = [
+        """WITH c0 AS MATERIALIZED (
+  SELECT label, vec_id AS cid,
+         list_transform(embedding, x -> round(x::DOUBLE, 6)) AS centroid,
+         1::BIGINT AS sz
+  FROM embeddings
+),
+m0 AS MATERIALIZED (SELECT vec_id, vec_id AS cid FROM embeddings)"""
+    ]
+    for k in range(1, _HAC_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f""", nn{k} AS MATERIALIZED (
+  SELECT label, acid, bcid, ca, sa, cb, sb FROM (
+    SELECT a.label, a.cid AS acid, b.cid AS bcid,
+           a.centroid AS ca, a.sz AS sa, b.centroid AS cb, b.sz AS sb,
+           round({_sql_sqdist('a.centroid', 'b.centroid')}, 6) AS d2,
+           row_number() OVER (
+             PARTITION BY a.cid
+             ORDER BY round({_sql_sqdist('a.centroid', 'b.centroid')}, 6) ASC,
+                      b.cid ASC) AS r
+    FROM c{p} a JOIN c{p} b ON a.label = b.label AND a.cid <> b.cid
+  ) t WHERE r = 1
+), mg{k} AS MATERIALIZED (
+  SELECT x.label, x.acid AS win, x.bcid AS lose,
+         x.ca, x.sa, x.cb, x.sb
+  FROM nn{k} x JOIN nn{k} y
+    ON x.bcid = y.acid AND y.bcid = x.acid AND x.acid < y.acid
+), c{k} AS MATERIALIZED (
+  SELECT c.label, c.cid, c.centroid, c.sz FROM c{p} c
+  WHERE c.cid NOT IN (SELECT win FROM mg{k})
+    AND c.cid NOT IN (SELECT lose FROM mg{k})
+  UNION ALL
+  SELECT label, win AS cid,
+         list_transform(list_zip(ca, cb),
+           x -> round((sa * x[1] + sb * x[2]) / (sa + sb), 6)) AS centroid,
+         sa + sb AS sz
+  FROM mg{k}
+), m{k} AS MATERIALIZED (
+  SELECT m.vec_id, coalesce(g.win, m.cid) AS cid
+  FROM m{p} m LEFT JOIN mg{k} g ON m.cid = g.lose
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, cid AS cluster_id FROM m{_HAC_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+SQL_HAC_RECIPROCAL = _hac_oracle_sql()
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel conversion (view -> click -> purchase): a user
     reaches step k only with a strictly later event of each successive
@@ -7839,6 +7997,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "hac_reciprocal": (q_hac_reciprocal, SQL_HAC_RECIPROCAL),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
