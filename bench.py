@@ -105,6 +105,7 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "hac_reciprocal",
+    "rolling_stats",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

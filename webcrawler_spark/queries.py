@@ -2688,6 +2688,65 @@ SELECT vec_id, cid AS cluster_id FROM m{_HAC_ROUNDS}"""
 SQL_HAC_RECIPROCAL = _hac_oracle_sql()
 
 
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window time-series monitor: per event_type daily counts
+    with a 7-day trailing mean and an anomaly flag when a day runs over
+    2x its trailing mean — the freshness/volume monitor a continuously
+    crawling pipeline keeps per host and per content source (same shape:
+    date-keyed counts, interval frame, threshold flag).
+
+    Exercises RANGE-frame windows over an aggregated daily table (never
+    the raw stream — the window input is |types| x |days| rows no matter
+    the event volume). Day-over-trailing ratio and flag are derived from
+    integer counts, so both engines agree bit-for-bit; the trailing mean
+    divides two integers (sum/count) and rounds 4 dp."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    # trailing frame: the 6 calendar days before today plus today —
+    # RANGE over day-number so gaps count as missing days, not rows
+    dnum = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(dnum)
+        .rangeBetween(-6, 0)
+    )
+    out = daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.round(
+            F.sum("n").over(w) / F.count("n").over(w).cast("double"), 4
+        ).alias("trail7_mean"),
+        F.count("n").over(w).alias("trail7_days"),
+    )
+    return out.withColumn(
+        "anomaly",
+        F.col("n").cast("double") > 2.0 * F.col("trail7_mean"),
+    )
+
+
+SQL_ROLLING_STATS = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*) AS n
+  FROM events GROUP BY event_type, ts::DATE
+),
+win AS (
+  SELECT event_type, day, n,
+         round(sum(n) OVER w / count(n) OVER w::DOUBLE, 4) AS trail7_mean,
+         count(n) OVER w AS trail7_days
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY date_diff('day', DATE '2024-01-01', day)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, trail7_mean,
+       trail7_days, n::DOUBLE > 2.0 * trail7_mean AS anomaly
+FROM win
+"""
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel conversion (view -> click -> purchase): a user
     reaches step k only with a strictly later event of each successive
@@ -7998,6 +8057,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "hac_reciprocal": (q_hac_reciprocal, SQL_HAC_RECIPROCAL),
+    "rolling_stats": (q_rolling_stats, SQL_ROLLING_STATS),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
