@@ -106,6 +106,7 @@ HEADLINE = [
     "retention_cohorts",
     "hac_reciprocal",
     "rolling_stats",
+    "pps_sample",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

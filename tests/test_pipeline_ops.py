@@ -225,3 +225,17 @@ def test_doc_chunk_overlap_boundaries(spark):
             assert r.chunk_fp == hashlib.md5(" ".join(want).encode()).hexdigest()
             covered = max(covered, k * _CHUNK_STEP + len(want))
         assert covered == n  # no token lost at the tail
+
+
+def test_pps_sample_exact_k_per_lang(spark):
+    from webcrawler_spark.queries import _PPS_K, q_pps_sample
+
+    rows = q_pps_sample(spark, "/root/testdata/sf0.001").collect()
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.slot)
+    # one selection per slot stride; slots strictly increasing => unique
+    for lang, slots in per_lang.items():
+        assert len(slots) <= _PPS_K, lang
+        assert len(set(slots)) == len(slots), lang
+    assert sum(len(v) for v in per_lang.values()) >= 3 * _PPS_K

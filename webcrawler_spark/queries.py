@@ -2688,6 +2688,65 @@ SELECT vec_id, cid AS cluster_id FROM m{_HAC_ROUNDS}"""
 SQL_HAC_RECIPROCAL = _hac_oracle_sql()
 
 
+_PPS_K = 20
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sampling:
+    k=20 docs per language, inclusion probability proportional to
+    n_chars — the deterministic weighted sampler a corpus-mixing
+    pipeline uses to draw quality- or length-weighted subsets without
+    per-row randomness (Madow systematic sampling over the cumulative
+    weight line; doc_id order is the deterministic permutation).
+
+    A doc is selected when its cumulative-weight interval crosses a
+    multiple of total/k, computed in pure integer arithmetic
+    (floor(cum*k/total) increments) — bit-exact on any engine, no RNG,
+    no transcendentals. Plan: one per-lang window cumsum over the doc_id
+    order + a broadcast of per-lang totals; at 100 TB the cumsum swaps
+    to the two-phase bucket plan of pack_bins (same contract)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("w")
+    )
+    wcum = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = docs.groupBy("lang").agg(F.sum("w").alias("total"))
+    cum = docs.select("doc_id", "lang", "w", F.sum("w").over(wcum).alias("cum"))
+    j = cum.join(F.broadcast(tot), "lang")
+    # integer floor-division (`div`), never double `/`: bit-exact at any
+    # corpus size (cum*k can exceed double's 2^53 integer range at 100 TB)
+    bucket_hi = F.expr(f"(cum * {_PPS_K}) div total")
+    bucket_lo = F.expr(f"((cum - w) * {_PPS_K}) div total")
+    return (
+        j.filter(bucket_hi > bucket_lo)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("w").alias("n_chars"),
+            bucket_lo.cast("bigint").alias("slot"),
+        )
+    )
+
+
+SQL_PPS_SAMPLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang, n_chars::BIGINT AS w FROM documents
+),
+tot AS (SELECT lang, sum(w) AS total FROM docs GROUP BY lang),
+cum AS (
+  SELECT doc_id, lang, w,
+         sum(w) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM docs
+)
+SELECT c.lang, c.doc_id, c.w AS n_chars,
+       ((c.cum - c.w) * {_PPS_K} // t.total)::BIGINT AS slot
+FROM cum c JOIN tot t ON c.lang = t.lang
+WHERE (c.cum * {_PPS_K} // t.total) > ((c.cum - c.w) * {_PPS_K} // t.total)
+"""
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window time-series monitor: per event_type daily counts
     with a 7-day trailing mean and an anomaly flag when a day runs over
@@ -8058,6 +8117,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "hac_reciprocal": (q_hac_reciprocal, SQL_HAC_RECIPROCAL),
     "rolling_stats": (q_rolling_stats, SQL_ROLLING_STATS),
+    "pps_sample": (q_pps_sample, SQL_PPS_SAMPLE),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
