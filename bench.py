@@ -107,6 +107,9 @@ HEADLINE = [
     "hac_reciprocal",
     "rolling_stats",
     "pps_sample",
+    "tpch_q2_min_cost_supp",
+    "tpch_q11_important_stock",
+    "tpch_q20_potential_promo",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -2530,6 +2530,210 @@ LIMIT 20
 """
 
 
+def q_tpch_q2_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier — the correlated
+    scalar-min subquery classic. The trimmed schema has no partsupp, so
+    the supply cost is derived: per (part, supplier) pair,
+    round(min(l_extendedprice / l_quantity), 2) — min is
+    order-independent and the per-row division is IEEE-identical in
+    both engines, so the 2-dp rounded double compares exactly. The
+    correlated `cost = (SELECT min(cost) ... WHERE same part)` becomes
+    a single partition-window min over p_partkey — one shuffle of the
+    already-aggregated pair table, never a per-row re-scan. All four
+    dimensions (part, supplier, nation, region) broadcast; the only
+    wide exchanges are the pair groupBy and the window, both keyed on
+    partkey — the plan that holds when lineitem is the 100 TB fact.
+    Completes the 22-query TPC-H shape suite with Q11/Q20."""
+    li = _read(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.round(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2
+        ).alias("ps_supplycost")
+    )
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dims = (
+        _read(spark, sf_dir, "supplier")
+        .join(F.broadcast(_read(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = ps.join(
+        F.broadcast(part), ps.ps_partkey == part.p_partkey
+    ).join(F.broadcast(dims), ps.ps_suppkey == F.col("s_suppkey"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost"
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2_MIN_COST_SUPP = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         round(min(l_extendedprice / l_quantity), 2) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+), eligible AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, ps_supplycost
+  FROM ps
+  JOIN part ON ps_partkey = p_partkey
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+FROM eligible e
+WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM eligible e2
+                       WHERE e2.p_partkey = e.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock — groupBy + HAVING against a
+    global-scalar subquery. Values are integer cents
+    (round(extprice*(1-disc)*100) cast BIGINT) so every sum is exact in
+    any order — the float-sum nondeterminism that would otherwise make
+    the HAVING boundary flip between engines cannot occur. The scalar
+    total is a 1-row aggregate cross-joined in (broadcast of one row);
+    the nation-filtered supplier dimension broadcasts into the fact
+    scan, so the only wide exchange is the partkey groupBy. At 100 TB
+    the total is a second pass over the same shuffled partials (AQE
+    reuses the exchange), never a driver collect."""
+    nations = ("NATION_3", "NATION_7", "NATION_11")
+    supp = (
+        _read(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _read(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        _read(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    per_part = v.groupBy("p_partkey").agg(F.sum("cents").alias("value_cents"))
+    total = v.agg(F.sum("cents").alias("t"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_cents") > F.col("t") * 0.001)
+        .select("p_partkey", "value_cents")
+    )
+
+
+SQL_TPCH_Q11_IMPORTANT_STOCK = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+)
+SELECT p_partkey, CAST(sum(cents) AS BIGINT) AS value_cents
+FROM v GROUP BY 1
+HAVING sum(cents) > (SELECT sum(cents) * 0.001 FROM v)
+"""
+
+
+def q_tpch_q20_potential_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: potential part promotion — nested IN
+    subqueries flattened to semi-joins over two aggregates at different
+    granularity. No partsupp, so 'available' is the supplier's own
+    1997 shipped quantity of the part and the bar is a 50% share of the
+    part's 1997 total across suppliers (real Q20 compares ps_availqty
+    to half the year's shipments the same way). Quantities are integral
+    doubles, so BIGINT-cast sums are exact. Plan: the prefix-filtered
+    part list broadcasts as a semi-join into the year-sliced fact
+    (partition-pruned scan at scale), one (part, supp) groupBy, the
+    part-total re-aggregated FROM the pair partials (never a second
+    fact scan), then a broadcast semi-join into the nation-filtered
+    supplier dimension — the qualifying pair table is tiny by then."""
+    nations = ("NATION_2", "NATION_5", "NATION_12", "NATION_19")
+    smparts = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("sm"))
+        .select("p_partkey")
+    )
+    li97 = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1997)
+        .join(
+            F.broadcast(smparts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+    )
+    pair = li97.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("pair_qty")
+    )
+    part_tot = pair.groupBy("l_partkey").agg(
+        F.sum("pair_qty").alias("part_qty")
+    )
+    qual = pair.join(part_tot, "l_partkey").filter(
+        F.col("pair_qty") > 0.5 * F.col("part_qty")
+    )
+    supp = _read(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            _read(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        supp.join(
+            F.broadcast(qual),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20_POTENTIAL_PROMO = """
+WITH pair AS (
+  SELECT l_partkey AS p, l_suppkey AS s, CAST(sum(l_quantity) AS BIGINT) AS pair_qty
+  FROM lineitem
+  WHERE year(l_shipdate) = 1997
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'sm%')
+  GROUP BY 1, 2
+), year_part AS (
+  SELECT p, CAST(sum(pair_qty) AS BIGINT) AS part_qty FROM pair GROUP BY 1
+)
+SELECT s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_12', 'NATION_19')
+  AND s_suppkey IN (SELECT s FROM pair JOIN year_part USING (p)
+                    WHERE pair_qty > 0.5 * part_qty)
+ORDER BY s_name
+"""
+
+
 _HAC_ROUNDS = 3
 
 
@@ -8109,6 +8313,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q21_waiting_supplier": (
         q_tpch_q21_waiting_supplier,
         SQL_TPCH_Q21_WAITING_SUPPLIER,
+    ),
+    "tpch_q2_min_cost_supp": (q_tpch_q2_min_cost_supp, SQL_TPCH_Q2_MIN_COST_SUPP),
+    "tpch_q11_important_stock": (
+        q_tpch_q11_important_stock,
+        SQL_TPCH_Q11_IMPORTANT_STOCK,
+    ),
+    "tpch_q20_potential_promo": (
+        q_tpch_q20_potential_promo,
+        SQL_TPCH_Q20_POTENTIAL_PROMO,
     ),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "k_core": (q_k_core, SQL_K_CORE),
