@@ -420,3 +420,31 @@ def test_retrieval_eval_broadcasts_query_terms(spark):
     p = plan_str(_q("retrieval_eval", spark))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q2_window_min_not_rescans(spark):
+    # the correlated scalar-min decorrelates to ONE partition window
+    # over p_partkey on the derived pair table — never a per-row
+    # re-aggregation join of the fact, and no cartesian anywhere
+    p = plan_str(_q("tpch_q2_min_cost_supp", spark))
+    assert "Window" in p
+    assert p.count("BroadcastHashJoin") >= 2  # part + supplier-dim chain
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # top-100 ships TakeOrdered, not a global sort of the eligible set
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q11_scalar_total_broadcasts(spark):
+    # the HAVING threshold is a 1-row aggregate joined back by
+    # broadcast — the global total never funnels the per-part rows
+    # through a single task
+    p = plan_str(_q("tpch_q11_important_stock", spark))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final for both aggs
+
+
+def test_tpch_q20_semi_joins_and_year_pushdown(spark):
+    p = plan_str(_q("tpch_q20_potential_promo", spark))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
