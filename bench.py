@@ -107,6 +107,7 @@ HEADLINE = [
     "hac_reciprocal",
     "rolling_stats",
     "pps_sample",
+    "opic_importance",
     "tpch_q2_min_cost_supp",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promo",

@@ -85,3 +85,31 @@ def test_retrieval_eval_metric_bounds(spark):
         assert 0.0 <= r.ndcg <= 1.0
         if r.n_rel == 0:
             assert r.ndcg == 0.0 and r.prec_at_10 == 0.0 and r.mrr == 0.0
+
+
+def test_opic_mass_conservation(spark):
+    # OPIC's invariant (Abiteboul 2003): total cash stays 1.0 every
+    # round and total banked history equals the round count — the
+    # property that makes importance = (hist+cash)/(t+1) a distribution
+    from webcrawler_spark.queries import _OPIC_ITERS, q_opic_importance
+
+    rows = q_opic_importance(spark, SF).collect()
+    # outputs are rounded 6dp per row, so sums carry up to n*5e-7 slack
+    assert abs(sum(r.cash for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.hist for r in rows) - float(_OPIC_ITERS)) < 1e-4
+    assert abs(sum(r.importance for r in rows) - 1.0) < 1e-4
+    assert all(r.importance >= 0.0 for r in rows)
+
+
+def test_opic_star_graph(spark, monkeypatch):
+    # hub 0 -> {1,2,3}, back-edges to 0: the hub must accumulate the
+    # most importance (it receives every spoke's full cash each round)
+    pairs = [(0, 1), (0, 2), (0, 3)]
+    monkeypatch.setattr(
+        "webcrawler_spark.queries._pagerank_edges",
+        lambda s, d: _fake_edges(spark, pairs),
+    )
+    from webcrawler_spark.queries import q_opic_importance
+
+    got = {r.node: r.importance for r in q_opic_importance(spark, SF).collect()}
+    assert max(got, key=got.get) == 0

@@ -409,7 +409,7 @@ def test_tpch_q21_semi_and_anti_on_equi_key(spark):
 def test_graph_iterations_stay_keyed(spark):
     # LPA and k-core per-round joins are all equi-keyed — a cartesian
     # anywhere in the unrolled lineage is a scale killer
-    for name in ("label_propagation", "k_core"):
+    for name in ("label_propagation", "k_core", "opic_importance"):
         p = plan_str(_q(name, spark))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name

@@ -5114,6 +5114,124 @@ SELECT node, round(rank, 6) AS pagerank FROM r3
 """
 
 
+_OPIC_ITERS = 3
+
+
+def q_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003): the crawl-frontier priority algorithm
+    that estimates page importance WHILE crawling, no convergence wait.
+    Every node carries (cash, history); each synchronous round every
+    node distributes its cash equally over its out-links, banks the
+    distributed amount into history, and dangling cash is swept to the
+    uniform virtual node. importance = (history + cash) / (t + 1) —
+    total cash is conserved at 1.0 per round, so the denominator is the
+    literal round count, never a global aggregate.
+
+    This is the reference's frontier-priority-propagation family
+    (NetworkEstimator.scala:101-124 max-combines link priority into the
+    queue; OPIC is the mass-conserving cousin real crawlers like
+    Nutch/StormCrawler default to). Per round the plan is one
+    shuffle join (state ⋈ out-edges) + one groupBy(dst) partial-agg sum
+    + a 1-row dangling aggregate broadcast back — identical wave shape
+    at 10^10 nodes, with the state frame localCheckpoint()ed per round
+    to keep the unrolled lineage flat. Same derived 50-node host graph
+    as `pagerank` so the two rankings are directly comparable."""
+    edges = _pagerank_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = float(nodes.count())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(outdeg, "src").localCheckpoint()
+    state = nodes.select(
+        "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+    )
+    for _ in range(_OPIC_ITERS):
+        contrib = (
+            ed.join(state, ed.src == state.node)
+            .select(
+                "dst",
+                (F.col("cash") / F.col("outdeg").cast("double")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = state.join(
+            ed.select("src").distinct(), state.node == F.col("src"), "left_anti"
+        ).agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dang"))
+        state = (
+            state.join(contrib, state.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("dang") / F.lit(n)
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        "node",
+        F.round("cash", 6).alias("cash"),
+        F.round("hist", 6).alias("hist"),
+        F.round(
+            (F.col("hist") + F.col("cash")) / F.lit(float(_OPIC_ITERS + 1)), 6
+        ).alias("importance"),
+    )
+
+
+def _sql_opic_iter(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS MATERIALIZED (
+  SELECT s.node AS node,
+         coalesce(c.contrib, 0.0) + dg.dang / nn.n::DOUBLE AS cash,
+         s.hist + s.cash AS hist
+  FROM {prev} s
+  CROSS JOIN ncount nn
+  CROSS JOIN (
+    SELECT coalesce(sum(p.cash), 0.0) AS dang
+    FROM {prev} p WHERE p.node NOT IN (SELECT DISTINCT src FROM edges)
+  ) dg
+  LEFT JOIN (
+    SELECT e.dst AS dst, sum(p.cash / e.outdeg::DOUBLE) AS contrib
+    FROM ed e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst
+  ) c ON s.node = c.dst
+)"""
+
+
+SQL_OPIC_IMPORTANCE = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ncount AS (SELECT count(*) AS n FROM nodes),
+ed AS MATERIALIZED (
+  SELECT e.src, e.dst, d.outdeg
+  FROM edges e JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) d
+    ON e.src = d.src
+),
+s0 AS (SELECT node, 1.0 / nn.n::DOUBLE AS cash, 0.0 AS hist
+       FROM nodes CROSS JOIN ncount nn),
+{_sql_opic_iter('s0', 's1')},
+{_sql_opic_iter('s1', 's2')},
+{_sql_opic_iter('s2', 's3')}
+SELECT node, round(cash, 6) AS cash, round(hist, 6) AS hist,
+       round((hist + cash) / {float(_OPIC_ITERS + 1)}, 6) AS importance
+FROM s3
+"""
+
+
 _RJ_HOUR_US = 3_600_000_000  # 1h in epoch-microseconds
 
 
@@ -8323,6 +8441,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_tpch_q20_potential_promo,
         SQL_TPCH_Q20_POTENTIAL_PROMO,
     ),
+    "opic_importance": (q_opic_importance, SQL_OPIC_IMPORTANCE),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "k_core": (q_k_core, SQL_K_CORE),
     "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
