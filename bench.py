@@ -108,6 +108,8 @@ HEADLINE = [
     "rolling_stats",
     "pps_sample",
     "opic_importance",
+    "registrable_domain",
+    "mirror_hosts",
     "tpch_q2_min_cost_supp",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promo",

@@ -239,3 +239,41 @@ def test_pps_sample_exact_k_per_lang(spark):
         assert len(slots) <= _PPS_K, lang
         assert len(set(slots)) == len(slots), lang
     assert sum(len(v) for v in per_lang.values()) >= 3 * _PPS_K
+
+
+def test_registrable_domain_longest_match(spark):
+    from webcrawler_spark.queries import q_registrable_domain
+
+    rows = {
+        r.host: (r.public_suffix, r.registrable_domain)
+        for r in q_registrable_domain(spark, SF).collect()
+    }
+    # longest rule wins: co.uk over uk, github.io over io,
+    # blogspot.com over com
+    for host, (ps, rd) in rows.items():
+        assert host.endswith("." + ps)
+        assert rd.endswith("." + ps)
+        assert "." not in rd[: -len(ps) - 1]  # exactly one label + suffix
+        assert host == rd or host.endswith("." + rd)
+        if host.endswith(".co.uk"):
+            assert ps == "co.uk", host
+        if host.endswith(".github.io"):
+            assert ps == "github.io", host
+        if host.endswith(".blogspot.com"):
+            assert ps == "blogspot.com", host
+    # www/cdn subdomains collapse onto the same registrable domain
+    assert rows["www.s0.com"][1] == "s0.com"
+    # doc_id 14: 14%3!=0, 14%7==0 -> cdn.m. prefix; 14%6==2 -> github.io
+    assert rows["cdn.m.s14.github.io"] == ("github.io", "s14.github.io")
+
+
+def test_mirror_hosts_planted_pairs(spark):
+    from webcrawler_spark.queries import q_mirror_hosts
+
+    rows = q_mirror_hosts(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        a, b = int(r.host_a[1:]), int(r.host_b[1:])
+        assert abs(a - b) == 20  # only the planted (h, h+20) pairs
+        assert abs(r.overlap - 0.8) < 1e-9  # 4 shared of 5 per host
+        assert r.shared == 4 and r.n_a == 5 and r.n_b == 5

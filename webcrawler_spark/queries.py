@@ -8194,6 +8194,204 @@ FROM parts
 """
 
 
+_PSL_RULES = (
+    "com", "org", "io", "uk", "jp",
+    "co.uk", "ac.jp", "github.io", "blogspot.com",
+)
+
+
+def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) extraction by public-suffix
+    longest-match — the host-grouping primitive every per-site crawl
+    policy (politeness, budgets, dedup, blocklists) should key on
+    instead of the raw hostname: `a.github.io` and `b.github.io` are
+    DIFFERENT sites, `www.x.co.uk` and `cdn.x.co.uk` are the same. Uses
+    a deterministic PSL subset (plain rules only — no */! wildcard
+    rules) against hosts synthesized across six suffix families.
+
+    The algorithm is the PSL longest-suffix match expressed
+    relationally: build every dot-suffix of the host that leaves at
+    least one label (bounded by label count, so the explode fan-out is
+    ~4), broadcast-join the rule table, keep the match with the most
+    labels via max_by. All string ops are JVM builtins; per 10^10
+    distinct hosts this is one explode + one broadcast join + one
+    partial-aggregated groupBy on host — no UDF, no driver state."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    sfx = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("co.uk"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("github.io"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("ac.jp"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("org"))
+        .otherwise(F.lit("blogspot.com"))
+    )
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("cdn.m.")).otherwise(F.lit(""))
+        ),
+        F.lit("s"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("."),
+        sfx,
+    )
+    hosts = docs.select(host.alias("host")).distinct()
+    labels = F.split(F.col("host"), r"\.")
+    cand = F.transform(
+        F.sequence(F.lit(2), F.size(labels)),
+        lambda i: F.array_join(
+            F.slice(labels, i, F.size(labels) - i + 1), "."
+        ),
+    )
+    exploded = hosts.select(
+        "host", F.explode(cand).alias("cand")
+    ).withColumn("n_labels", F.size(F.split(F.col("cand"), r"\.")))
+    psl = spark.createDataFrame(
+        [(s,) for s in _PSL_RULES], "suffix string"
+    )
+    matched = exploded.join(
+        F.broadcast(psl), exploded.cand == psl.suffix
+    ).groupBy("host").agg(F.max_by("cand", "n_labels").alias("public_suffix"))
+    prefix = F.substring(
+        F.col("host"),
+        1,
+        F.length("host") - F.length("public_suffix") - 1,
+    )
+    return matched.select(
+        "host",
+        "public_suffix",
+        F.concat(
+            F.regexp_extract(prefix, r"([^.]+)$", 1),
+            F.lit("."),
+            F.col("public_suffix"),
+        ).alias("registrable_domain"),
+    )
+
+
+SQL_REGISTRABLE_DOMAIN = r"""
+WITH hosts AS (
+  SELECT DISTINCT
+    CASE WHEN doc_id % 3 = 0 THEN 'www.'
+         WHEN doc_id % 7 = 0 THEN 'cdn.m.' ELSE '' END
+    || 's' || (doc_id % 50)::VARCHAR || '.'
+    || CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+            WHEN 2 THEN 'github.io' WHEN 3 THEN 'ac.jp'
+            WHEN 4 THEN 'org' ELSE 'blogspot.com' END AS host
+  FROM documents
+),
+lab AS (SELECT host, string_split(host, '.') AS labels FROM hosts),
+cand AS (
+  SELECT host, array_to_string(labels[i:], '.') AS cand,
+         len(labels) - i + 1 AS n_labels
+  FROM lab, unnest(range(2, len(labels) + 1)) AS t(i)
+),
+psl(suffix) AS (VALUES ('com'), ('org'), ('io'), ('uk'), ('jp'),
+                       ('co.uk'), ('ac.jp'), ('github.io'), ('blogspot.com')),
+m AS (
+  SELECT host, arg_max(cand, n_labels) AS public_suffix
+  FROM cand JOIN psl ON cand = suffix
+  GROUP BY host
+)
+SELECT host, public_suffix,
+       regexp_extract(host[1:len(host) - len(public_suffix) - 1],
+                      '([^.]+)$', 1)
+       || '.' || public_suffix AS registrable_domain
+FROM m
+"""
+
+
+_MIRROR_MAXDF = 16
+_MIRROR_HOSTS = 40
+_MIRROR_THRESH = 0.5
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: host pairs whose content-fingerprint sets
+    overlap by >= 50% of the smaller host — the crawl-budget killer
+    (mirrors and CDN aliases burn fetches on bytes already stored; the
+    classic Bharat & Broder WWW'99 'mirrored host' problem). Content is
+    synthesized deterministically and scale-free: 120 content classes;
+    a class's docs sit on its base host (class % 40), and the 2-of-3
+    "mirrored" classes alternate their docs onto the partner host 20
+    away — so every planted pair (h, h+20) shares exactly 4 of each
+    host's 5 classes (overlap 0.8) at ANY table size, while the
+    class%3==0 solo classes keep overlap below 1.0.
+
+    Scale shape: the candidate generator is a self-join of the distinct
+    (host, fp) table ON fp — never host x host — and fingerprints seen
+    on more than {maxdf} hosts are dropped first (the boilerplate/hot-fp
+    guard, same discipline as ngram maxdf), so per-fp fan-out is
+    bounded and the join work is sum(df^2) <= maxdf * |fp|. Host sizes
+    re-aggregate from the same filtered table; overlap = shared /
+    min(|A|, |B|)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 120
+    base = m % _MIRROR_HOSTS
+    hostnum = F.when(
+        (m % 3 != 0) & (F.floor(F.col("doc_id") / 120) % 2 == 1),
+        (base + 20) % _MIRROR_HOSTS,
+    ).otherwise(base)
+    host = F.concat(F.lit("h"), hostnum.cast("string"))
+    fp = F.md5(F.concat(F.lit("c"), m.cast("string")))
+    hfp = docs.select(host.alias("host"), fp.alias("fp")).distinct()
+    ok = (
+        hfp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _MIRROR_MAXDF)
+        .select("fp")
+    )
+    hfp = hfp.join(ok, "fp", "left_semi").localCheckpoint()
+    sizes = hfp.groupBy("host").agg(F.count("*").alias("n_fp"))
+    a = hfp.select(F.col("host").alias("host_a"), "fp")
+    b = hfp.select(F.col("host").alias("host_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("host", "host_a"), "host_a")
+        .withColumnRenamed("n_fp", "n_a")
+        .join(sizes.withColumnRenamed("host", "host_b"), "host_b")
+        .withColumnRenamed("n_fp", "n_b")
+        .withColumn(
+            "overlap",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 4),
+        )
+        .filter(F.col("overlap") >= _MIRROR_THRESH)
+        .select("host_a", "host_b", "shared", "n_a", "n_b", "overlap")
+    )
+
+
+SQL_MIRROR_HOSTS = f"""
+WITH hfp AS (
+  SELECT DISTINCT
+    'h' || (CASE WHEN (doc_id % 120) % 3 <> 0 AND (doc_id // 120) % 2 = 1
+                 THEN ((doc_id % 120) % {_MIRROR_HOSTS} + 20) % {_MIRROR_HOSTS}
+                 ELSE (doc_id % 120) % {_MIRROR_HOSTS} END)::VARCHAR AS host,
+    md5('c' || (doc_id % 120)::VARCHAR) AS fp
+  FROM documents
+),
+ok AS (
+  SELECT host, fp FROM hfp
+  WHERE fp IN (SELECT fp FROM hfp GROUP BY fp
+               HAVING count(*) <= {_MIRROR_MAXDF})
+),
+sizes AS (SELECT host, count(*) AS n_fp FROM ok GROUP BY host),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM ok a JOIN ok b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+       round(shared / least(sa.n_fp, sb.n_fp), 4) AS overlap
+FROM shared
+JOIN sizes sa ON host_a = sa.host
+JOIN sizes sb ON host_b = sb.host
+WHERE round(shared / least(sa.n_fp, sb.n_fp), 4) >= {_MIRROR_THRESH}
+"""
+
+
 def q_link_farm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-farm / spam-graph signals per host-graph node: out-degree,
     in-degree, reciprocity (fraction of out-edges whose reverse edge
@@ -8442,6 +8640,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_TPCH_Q20_POTENTIAL_PROMO,
     ),
     "opic_importance": (q_opic_importance, SQL_OPIC_IMPORTANCE),
+    "registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
+    "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "k_core": (q_k_core, SQL_K_CORE),
     "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
