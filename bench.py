@@ -108,6 +108,7 @@ HEADLINE = [
     "rolling_stats",
     "pps_sample",
     "opic_importance",
+    "weighted_reservoir",
     "registrable_domain",
     "mirror_hosts",
     "tpch_q2_min_cost_supp",

@@ -277,3 +277,37 @@ def test_mirror_hosts_planted_pairs(spark):
         assert abs(a - b) == 20  # only the planted (h, h+20) pairs
         assert abs(r.overlap - 0.8) < 1e-9  # 4 shared of 5 per host
         assert r.shared == 4 and r.n_a == 5 and r.n_b == 5
+
+
+def test_weighted_reservoir_bias_and_bounds(spark):
+    from webcrawler_spark.queries import _AES_K, q_weighted_reservoir
+    from webcrawler_spark.queries import _read
+
+    import hashlib
+    import math
+
+    rows = q_weighted_reservoir(spark, SF).collect()
+    pop = _read(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+
+    # pure-Python A-ES oracle: same md5-derived uniform, same key formula
+    def aes_key(doc_id: int, w: int) -> float:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        return round(-math.log(u) / float(w), 9)
+
+    pop_by_lang: dict[str, list] = {}
+    for r in pop:
+        pop_by_lang.setdefault(r.lang, []).append(
+            (aes_key(r.doc_id, r.n_chars), r.doc_id)
+        )
+    for lang, sel in by_lang.items():
+        want = sorted(pop_by_lang[lang])[: _AES_K]
+        assert len(sel) == min(_AES_K, len(pop_by_lang[lang])), lang
+        assert sorted(r.rk for r in sel) == list(range(1, len(sel) + 1))
+        got = [r.doc_id for r in sorted(sel, key=lambda r: r.rk)]
+        assert got == [d for _, d in want], lang  # exact A-ES selection

@@ -2951,6 +2951,69 @@ WHERE (c.cum * {_PPS_K} // t.total) > ((c.cum - c.w) * {_PPS_K} // t.total)
 """
 
 
+_AES_K = 15
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted reservoir sampling (Efraimidis & Spirakis 2006):
+    k=15 docs per language WITHOUT replacement, inclusion biased by
+    n_chars — the mergeable weighted sampler (each partition keeps its
+    k smallest keys; merging reservoirs = merging top-k heaps, which is
+    exactly Spark's partial TakeOrdered/window shape). Complements
+    `pps_sample` (systematic/Madow): A-ES is the one you use when the
+    stream is unordered and reservoirs must merge across executors.
+
+    Key = -ln(u)/w with u derived from md5(doc_id) (the repo's standard
+    cross-engine uniform: first 8 hex digits -> 32-bit int -> (h+0.5)/2^32,
+    bit-identical in Spark and DuckDB). ln() is the one transcendental:
+    both engines are within 1 ULP, so keys are rounded to 9 dp and ties
+    break on doc_id — rank flips would need two of ~500 exponential
+    keys within 1e-9, and the tie-break makes even that deterministic.
+    Plan: pure map to build keys, one per-lang top-k window (map-side
+    partial via rank pushdown) — no global sort, no RNG state."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+    )
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+    )
+    u = (h.cast("double") + 0.5) / F.lit(float(2**32))
+    key = F.round(-F.log(u) / F.col("w"), 9)
+    w = Window.partitionBy("lang").orderBy(F.asc("key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "w", key.alias("key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _AES_K)
+        .select(
+            "lang",
+            F.col("rk").cast("int").alias("rk"),
+            "doc_id",
+            F.col("w").cast("bigint").alias("n_chars"),
+            "key",
+        )
+    )
+
+
+SQL_WEIGHTED_RESERVOIR = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars::DOUBLE AS w,
+         round(
+           -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+                + 0.5) / 4294967296.0)
+           / n_chars::DOUBLE, 9) AS key
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, w, key,
+         row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC)
+           AS rk
+  FROM keyed
+)
+SELECT lang, rk::INTEGER AS rk, doc_id, w::BIGINT AS n_chars, key
+FROM ranked WHERE rk <= {_AES_K}
+"""
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window time-series monitor: per event_type daily counts
     with a 7-day trailing mean and an anomaly flag when a day runs over
@@ -8650,6 +8713,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hac_reciprocal": (q_hac_reciprocal, SQL_HAC_RECIPROCAL),
     "rolling_stats": (q_rolling_stats, SQL_ROLLING_STATS),
     "pps_sample": (q_pps_sample, SQL_PPS_SAMPLE),
+    "weighted_reservoir": (q_weighted_reservoir, SQL_WEIGHTED_RESERVOIR),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
