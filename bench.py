@@ -109,6 +109,7 @@ HEADLINE = [
     "pps_sample",
     "opic_importance",
     "weighted_reservoir",
+    "span_corrupt",
     "registrable_domain",
     "mirror_hosts",
     "tpch_q2_min_cost_supp",

@@ -311,3 +311,37 @@ def test_weighted_reservoir_bias_and_bounds(spark):
         assert sorted(r.rk for r in sel) == list(range(1, len(sel) + 1))
         got = [r.doc_id for r in sorted(sel, key=lambda r: r.rk)]
         assert got == [d for _, d in want], lang  # exact A-ES selection
+
+
+def test_span_corrupt_round_trip(spark):
+    # denoising invariant: substituting each <extra_id_k> in the input
+    # with its span from the target reconstructs the original tokens
+    import re
+
+    from webcrawler_spark.queries import q_span_corrupt, _read
+
+    rows = q_span_corrupt(spark, SF).collect()
+    orig = {
+        r.doc_id: [t for t in re.split(r"\s+", r.text.lower()) if t]
+        for r in _read(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    assert len(rows) == len(orig)
+    sent = re.compile(r"^<extra_id_(\d+)>$")
+    for r in rows:
+        spans: dict[str, list] = {}
+        cur = None
+        for t in r.target_text.split(" ") if r.target_text else []:
+            m = sent.match(t)
+            if m:
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        assert len(spans) == r.n_spans
+        rebuilt = []
+        for t in r.input_text.split(" ") if r.input_text else []:
+            rebuilt.extend(spans[t] if sent.match(t) else [t])
+        assert rebuilt == orig[r.doc_id], r.doc_id
+        # the input must never leak a masked token in place
+        if r.n_spans:
+            assert "<extra_id_0>" in r.input_text

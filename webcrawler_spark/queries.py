@@ -1142,6 +1142,99 @@ FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) t
 """
 
 
+_SPAN_STRIDE = 10  # a 3-token span starts every 10 tokens => ~30% corruption
+_SPAN_LEN = 3
+
+
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span corruption (Raffel et al. 2020 §3.1.4): build
+    (input, target) denoising pairs — masked spans replaced by
+    sequential <extra_id_k> sentinels in the input, and the target is
+    the sentinel-delimited concatenation of the masked spans. Spans are
+    placed deterministically (a {span}-token span starting every
+    {stride} tokens) so both engines corrupt identical positions — the
+    RNG a production pipeline would use is per-row seeded hashing,
+    identical plan shape.
+
+    Plan: one posexplode, a per-token CASE projecting each position's
+    input/target piece, and one groupBy(doc_id) ordered reassembly
+    (sort_array over collected (pos, piece) structs — the same
+    order-stable aggregation contract as c4_clean). Everything is
+    JVM-side string/array builtins; work is O(tokens) with a single
+    doc_id shuffle, the plan that holds when docs are 100 TB."""
+    toks = _tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    in_span = (F.col("pos") % _SPAN_STRIDE) >= _SPAN_STRIDE - _SPAN_LEN
+    is_start = (F.col("pos") % _SPAN_STRIDE) == _SPAN_STRIDE - _SPAN_LEN
+    sent = F.concat(
+        F.lit("<extra_id_"),
+        (F.col("pos") / _SPAN_STRIDE).cast("bigint").cast("string"),
+        F.lit(">"),
+    )
+    pieces = toks.select(
+        "doc_id",
+        "pos",
+        F.when(~in_span, F.col("tok"))
+        .when(is_start, sent)
+        .otherwise(F.lit(None))
+        .alias("in_piece"),
+        F.when(in_span & is_start, F.concat(sent, F.lit(" "), F.col("tok")))
+        .when(in_span, F.col("tok"))
+        .otherwise(F.lit(None))
+        .alias("tg_piece"),
+    )
+
+    def _joined(col: str) -> F.Column:
+        arr = F.sort_array(
+            F.collect_list(F.struct(F.col("pos"), F.col(col).alias("p")))
+        )
+        return F.array_join(
+            F.filter(F.transform(arr, lambda s: s["p"]), lambda p: p.isNotNull()),
+            " ",
+        )
+
+    return (
+        pieces.groupBy("doc_id")
+        .agg(
+            _joined("in_piece").alias("input_text"),
+            _joined("tg_piece").alias("target_text"),
+            F.sum(F.when(is_start, 1).otherwise(0))
+            .cast("int")
+            .alias("n_spans"),
+        )
+    )
+
+
+SQL_SPAN_CORRUPT = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) - 1 AS pos
+  FROM (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents) d
+),
+pieces AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos % {_SPAN_STRIDE} < {_SPAN_STRIDE - _SPAN_LEN} THEN tok
+              WHEN pos % {_SPAN_STRIDE} = {_SPAN_STRIDE - _SPAN_LEN}
+                THEN '<extra_id_' || (pos // {_SPAN_STRIDE})::VARCHAR || '>'
+              ELSE NULL END AS in_piece,
+         CASE WHEN pos % {_SPAN_STRIDE} = {_SPAN_STRIDE - _SPAN_LEN}
+                THEN '<extra_id_' || (pos // {_SPAN_STRIDE})::VARCHAR || '> ' || tok
+              WHEN pos % {_SPAN_STRIDE} > {_SPAN_STRIDE - _SPAN_LEN} THEN tok
+              ELSE NULL END AS tg_piece,
+         (pos % {_SPAN_STRIDE} = {_SPAN_STRIDE - _SPAN_LEN})::INTEGER AS is_start
+  FROM toks
+)
+SELECT doc_id,
+       coalesce(string_agg(in_piece, ' ' ORDER BY pos)
+                FILTER (WHERE in_piece IS NOT NULL), '') AS input_text,
+       coalesce(string_agg(tg_piece, ' ' ORDER BY pos)
+                FILTER (WHERE tg_piece IS NOT NULL), '') AS target_text,
+       sum(is_start)::INTEGER AS n_spans
+FROM pieces
+GROUP BY doc_id
+"""
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: split each document into fixed-size (50-token)
     chunks preserving order — the training-data windowing idiom."""
@@ -8651,6 +8744,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "span_corrupt": (q_span_corrupt, SQL_SPAN_CORRUPT),
     "doc_chunk_overlap": (q_doc_chunk_overlap, SQL_DOC_CHUNK_OVERLAP),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
