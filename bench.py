@@ -110,6 +110,7 @@ HEADLINE = [
     "opic_importance",
     "weighted_reservoir",
     "span_corrupt",
+    "facility_location",
     "registrable_domain",
     "mirror_hosts",
     "tpch_q2_min_cost_supp",

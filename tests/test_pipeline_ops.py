@@ -345,3 +345,53 @@ def test_span_corrupt_round_trip(spark):
         # the input must never leak a masked token in place
         if r.n_spans:
             assert "<extra_id_0>" in r.input_text
+
+
+def test_facility_location_matches_python_greedy(spark):
+    # pure-Python greedy facility location on the same integer-micro-unit
+    # kernel must pick identical medoids with identical gains
+    from webcrawler_spark.queries import _FL_ROUNDS, q_facility_location, _read
+
+    vecs: dict[int, list] = {}
+    labels: dict[int, list] = {}
+    for r in _read(spark, SF, "embeddings").collect():
+        vecs[r.vec_id] = r.embedding
+        labels.setdefault(r.label, []).append(r.vec_id)
+
+    def s_units(a, b):
+        d2 = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            d2 += (float(x) - float(y)) * (float(x) - float(y))
+        v = 1000000.0 / (1.0 + d2)
+        # round-half-up like Spark/DuckDB round()
+        import math
+        return int(math.floor(v + 0.5))
+
+    want = {}
+    for lab, ids in labels.items():
+        ids = sorted(ids)
+        sims = {c: {p: s_units(c, p) for p in ids} for c in ids}
+        cov = {p: 0 for p in ids}
+        sel = []
+        for rnd in range(1, _FL_ROUNDS + 1):
+            best = None
+            for c in ids:
+                if c in sel:
+                    continue
+                gain = sum(max(sims[c][p] - cov[p], 0) for p in ids)
+                if best is None or gain > best[0] or (gain == best[0] and c < best[1]):
+                    best = (gain, c)
+            sel.append(best[1])
+            want[(lab, rnd)] = (best[1], best[0])
+            for p in ids:
+                cov[p] = max(cov[p], sims[best[1]][p])
+
+    got = {
+        (r.label, r.round): (r.medoid, r.gain_units)
+        for r in q_facility_location(spark, SF).collect()
+    }
+    assert got == want
+    # submodularity: per-label gains are non-increasing across rounds
+    for lab in labels:
+        gains = [got[(lab, r)][1] for r in range(1, _FL_ROUNDS + 1)]
+        assert gains == sorted(gains, reverse=True), lab

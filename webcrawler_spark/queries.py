@@ -2985,6 +2985,135 @@ SELECT vec_id, cid AS cluster_id FROM m{_HAC_ROUNDS}"""
 SQL_HAC_RECIPROCAL = _hac_oracle_sql()
 
 
+_FL_ROUNDS = 3
+
+
+def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location selection — the submodular coreset
+    picker (Mirzasoleiman et al., CRAIG; Iyer & Bilmes): per label
+    bucket, greedily pick the {rounds} exemplars maximizing coverage
+    F(S) = sum_p max_{{c in S}} sim(c, p), the (1-1/e)-approximate
+    data-selection objective LLM pipelines use to pick representative
+    training subsets. Kernel sim = 1/(1+sqdist), held in integer
+    micro-units (round(1e6/(1+d2)) BIGINT) so every marginal-gain sum
+    is order-independent and the per-round argmax is bit-identical in
+    both engines (the quality_classifier discipline); argmax ties break
+    to the lower vec_id.
+
+    Scale shape: the similarity table is a bucketed self-join (work =
+    sum of bucket^2 — IVF cells at 10^10 vectors, same contract as
+    hac_reciprocal), built once and localCheckpoint()ed; each round is
+    one join + partial-agg sum + a per-label top-1 window + a broadcast
+    cov update — gains for ALL candidates in one distributed pass,
+    never a per-candidate loop."""
+    e = _read(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("cand"), F.col("embedding").alias("va"))
+    b = e.select("label", F.col("vec_id").alias("p"), F.col("embedding").alias("vb"))
+    s_units = F.round(1000000.0 / (1.0 + F.expr(_sqdist_expr("va", "vb")))).cast(
+        "long"
+    )
+    sims = (
+        a.join(b, "label")
+        .select("label", "cand", "p", s_units.alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    cov = sims.select("label", "p").distinct().withColumn("cov", F.lit(0).cast("long"))
+    chosen = None
+    out = None
+    wtop = Window.partitionBy("label").orderBy(F.desc("gain"), F.asc("cand"))
+    for r in range(1, _FL_ROUNDS + 1):
+        gains = (
+            sims.join(cov, ["label", "p"])
+            .select("label", "cand", F.greatest(F.col("s") - F.col("cov"), F.lit(0).cast("long")).alias("g"))
+            .groupBy("label", "cand")
+            .agg(F.sum("g").alias("gain"))
+        )
+        if chosen is not None:
+            gains = gains.join(F.broadcast(chosen), ["label", "cand"], "left_anti")
+        winners = (
+            gains.withColumn("rk", F.row_number().over(wtop))
+            .filter(F.col("rk") == 1)
+            .select("label", "cand", "gain", F.lit(r).alias("round"))
+            .localCheckpoint(eager=True)
+        )
+        chosen = (
+            winners.select("label", "cand")
+            if chosen is None
+            else chosen.union(winners.select("label", "cand")).localCheckpoint()
+        )
+        out = winners if out is None else out.unionByName(winners)
+        wsims = sims.join(
+            F.broadcast(winners.select("label", "cand")), ["label", "cand"]
+        ).select("label", "p", F.col("s").alias("ws"))
+        cov = (
+            cov.join(wsims, ["label", "p"], "left")
+            .select(
+                "label",
+                "p",
+                F.greatest("cov", F.coalesce("ws", F.lit(0).cast("long"))).alias("cov"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out.select(
+        "label",
+        F.col("round").cast("int").alias("round"),
+        F.col("cand").alias("medoid"),
+        F.col("gain").alias("gain_units"),
+    )
+
+
+def _fl_oracle_sql() -> str:
+    rounds = []
+    prev_cov = "cov0"
+    excl = ""
+    for r in range(1, _FL_ROUNDS + 1):
+        rounds.append(f"""
+g{r} AS MATERIALIZED (
+  SELECT s.label, s.cand, sum(greatest(s.s - c.cov, 0)) AS gain
+  FROM sims s JOIN {prev_cov} c ON s.label = c.label AND s.p = c.p
+  {excl}
+  GROUP BY s.label, s.cand
+),
+w{r} AS MATERIALIZED (
+  SELECT label, cand, gain, {r} AS round FROM g{r}
+  QUALIFY row_number() OVER (PARTITION BY label
+                             ORDER BY gain DESC, cand ASC) = 1
+),
+cov{r} AS MATERIALIZED (
+  SELECT c.label, c.p, greatest(c.cov, coalesce(ws.s, 0)) AS cov
+  FROM {prev_cov} c
+  LEFT JOIN (SELECT s.label, s.p, s.s FROM sims s
+             JOIN w{r} ON s.label = w{r}.label AND s.cand = w{r}.cand) ws
+    ON c.label = ws.label AND c.p = ws.p
+)""")
+        sel = " UNION ALL ".join(
+            f"SELECT label, cand FROM w{k}" for k in range(1, r + 1)
+        )
+        excl = (
+            f"WHERE NOT EXISTS (SELECT 1 FROM ({sel}) sel "
+            f"WHERE sel.label = s.label AND sel.cand = s.cand)"
+        )
+        prev_cov = f"cov{r}"
+    outs = " UNION ALL ".join(
+        f"SELECT label, round, cand, gain::BIGINT AS gain FROM w{k}"
+        for k in range(1, _FL_ROUNDS + 1)
+    )
+    return f"""
+WITH sims AS MATERIALIZED (
+  SELECT a.label, a.vec_id AS cand, b.vec_id AS p,
+         CAST(round(1000000.0 / (1.0 + {_sql_sqdist('a.embedding', 'b.embedding')})) AS BIGINT) AS s
+  FROM embeddings a JOIN embeddings b ON a.label = b.label
+),
+cov0 AS (SELECT DISTINCT label, p, CAST(0 AS BIGINT) AS cov FROM sims),
+{",".join(rounds)}
+SELECT label, round::INTEGER AS round, cand AS medoid, gain AS gain_units
+FROM ({outs})
+"""
+
+
+SQL_FACILITY_LOCATION = _fl_oracle_sql()
+
+
 _PPS_K = 20
 
 
@@ -8805,6 +8934,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "hac_reciprocal": (q_hac_reciprocal, SQL_HAC_RECIPROCAL),
+    "facility_location": (q_facility_location, SQL_FACILITY_LOCATION),
     "rolling_stats": (q_rolling_stats, SQL_ROLLING_STATS),
     "pps_sample": (q_pps_sample, SQL_PPS_SAMPLE),
     "weighted_reservoir": (q_weighted_reservoir, SQL_WEIGHTED_RESERVOIR),
