@@ -111,6 +111,7 @@ HEADLINE = [
     "weighted_reservoir",
     "span_corrupt",
     "facility_location",
+    "rrf_fusion",
     "registrable_domain",
     "mirror_hosts",
     "tpch_q2_min_cost_supp",

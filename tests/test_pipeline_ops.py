@@ -395,3 +395,32 @@ def test_facility_location_matches_python_greedy(spark):
     for lab in labels:
         gains = [got[(lab, r)][1] for r in range(1, _FL_ROUNDS + 1)]
         assert gains == sorted(gains, reverse=True), lab
+
+
+def test_rrf_fusion_properties(spark):
+    from webcrawler_spark.queries import (
+        _RRF_K,
+        _RRF_QUERIES,
+        _RRF_TOPN,
+        q_rrf_fusion,
+    )
+
+    rows = q_rrf_fusion(spark, SF).collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_term, []).append(r)
+    assert len(by_q) == _RRF_QUERIES
+    for qt, sel in by_q.items():
+        assert len(sel) == _RRF_TOPN, qt
+        sel = sorted(sel, key=lambda r: r.rk)
+        # fused score is exactly the two-term reciprocal sum
+        for r in sel:
+            want = round(1.0 / (_RRF_K + r.rank_a) + 1.0 / (_RRF_K + r.rank_b), 6)
+            assert abs(r.rrf - want) < 1e-12
+        # top-n is ordered by fused score (doc_id tie-break)
+        keys = [(-r.rrf, r.doc_id) for r in sel]
+        assert keys == sorted(keys), qt
+        # a doc ranked #1 by BOTH rankers must be fused #1
+        both_first = [r for r in sel if r.rank_a == 1 and r.rank_b == 1]
+        if both_first:
+            assert both_first[0].rk == 1

@@ -6500,6 +6500,112 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
+_RRF_K = 60
+_RRF_QUERIES = 5
+_RRF_TOPN = 10
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09):
+    fuse two retrieval rankings per query into one list by
+    rrf = sum_r 1/(k + rank_r), k={k} — the standard way hybrid search
+    (BM25 + dense, or here raw-tf + length-normalized density) merges
+    rankings without score calibration. Queries are the corpus's top-{q}
+    document-frequency terms (deterministic: df desc, term asc); each
+    ranker is an integer row_number, so the fused score is a fixed
+    two-term expression of integers — bit-identical across engines —
+    and the final top-{n} orders by the ROUNDED score with doc_id
+    tie-break.
+
+    Plan: one (doc,term) tf aggregation, a broadcast 5-term query list
+    semi-joined into it (posting-list pruning), two per-term ranking
+    windows and one final top-n window — all keyed on the query term.
+    At web scale each window is one query's posting list; the pruning a
+    real engine adds (WAND / impact-ordered truncation before ranking)
+    slots in as a per-term pre-top-k, same contract as frontier_topk's
+    salted pre-window."""
+    tf = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # top-5 by df via TakeOrderedAndProject (distributed partial top-k),
+    # never a global row_number window over the whole vocabulary
+    queries_df = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_RRF_QUERIES)
+        .select("term")
+    )
+    posting = tf.join(F.broadcast(queries_df), "term")
+    wa = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    wb = Window.partitionBy("term").orderBy(
+        F.desc(F.col("tf") / F.col("dl")), F.asc("doc_id")
+    )
+    ranked = posting.select(
+        F.col("term").alias("query_term"),
+        "doc_id",
+        F.row_number().over(wa).alias("rank_a"),
+        F.row_number().over(wb).alias("rank_b"),
+    )
+    rrf = F.round(
+        1.0 / (_RRF_K + F.col("rank_a")) + 1.0 / (_RRF_K + F.col("rank_b")), 6
+    )
+    wtop = Window.partitionBy("query_term").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        ranked.withColumn("rrf", rrf)
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= _RRF_TOPN)
+        .select(
+            "query_term",
+            F.col("rk").cast("int").alias("rk"),
+            "doc_id",
+            F.col("rank_a").cast("int").alias("rank_a"),
+            F.col("rank_b").cast("int").alias("rank_b"),
+            "rrf",
+        )
+    )
+
+
+SQL_RRF_FUSION = f"""
+WITH tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len({_SQL_TOKS}) AS dl, unnest({_SQL_TOKS}) AS term
+        FROM documents) t
+  GROUP BY doc_id, dl, term
+),
+queries AS (
+  SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+  QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) <= {_RRF_QUERIES}
+),
+ranked AS (
+  SELECT term AS query_term, doc_id,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id ASC) AS rank_a,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf / dl::DOUBLE DESC, doc_id ASC) AS rank_b
+  FROM tf JOIN queries USING (term)
+),
+fused AS (
+  SELECT query_term, doc_id, rank_a, rank_b,
+         round(1.0 / ({_RRF_K} + rank_a) + 1.0 / ({_RRF_K} + rank_b), 6) AS rrf
+  FROM ranked
+)
+SELECT query_term,
+       row_number() OVER (PARTITION BY query_term
+                          ORDER BY rrf DESC, doc_id ASC)::INTEGER AS rk,
+       doc_id, rank_a::INTEGER AS rank_a, rank_b::INTEGER AS rank_b, rrf
+FROM fused
+QUALIFY rk <= {_RRF_TOPN}
+"""
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-3 terms per document (Robertson/Sparck-Jones idf,
     k1={_BM25_K1} b={_BM25_B}) — the ranking-grade sibling of
@@ -8865,6 +8971,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "zipf_alpha": (q_zipf_alpha, SQL_ZIPF_ALPHA),
     "countmin_sketch": (q_countmin_sketch, SQL_COUNTMIN_SKETCH),
