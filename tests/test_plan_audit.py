@@ -448,3 +448,31 @@ def test_tpch_q20_semi_joins_and_year_pushdown(spark):
     p = plan_str(_q("tpch_q20_potential_promo", spark))
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_rrf_fusion_topk_without_global_sort(spark):
+    # the 5-query selection must ship TakeOrderedAndProject (partial
+    # top-k), never a single-task global row_number window; the posting
+    # join must broadcast the tiny query list
+    p = plan_str(_q("rrf_fusion", spark))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_facility_location_bucketed_never_cartesian(spark):
+    # the similarity self-join is label-bucketed (equi hash join);
+    # per-round gain/cov joins stay equi-keyed
+    p = plan_str(_q("facility_location", spark))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_mirror_hosts_joins_on_fp_not_host_pairs(spark):
+    p = plan_str(_q("mirror_hosts", spark))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_registrable_domain_broadcasts_psl(spark):
+    p = plan_str(_q("registrable_domain", spark))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
