@@ -112,6 +112,7 @@ HEADLINE = [
     "span_corrupt",
     "facility_location",
     "rrf_fusion",
+    "trust_rank",
     "registrable_domain",
     "mirror_hosts",
     "tpch_q2_min_cost_supp",

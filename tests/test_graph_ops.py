@@ -113,3 +113,34 @@ def test_opic_star_graph(spark, monkeypatch):
 
     got = {r.node: r.importance for r in q_opic_importance(spark, SF).collect()}
     assert max(got, key=got.get) == 0
+
+
+def test_trust_rank_mass_and_seed_bias(spark):
+    from webcrawler_spark.queries import q_trust_rank
+
+    rows = q_trust_rank(spark, SF).collect()
+    # personalized PageRank conserves mass: sum(trust) = 1 (6dp rounding slack)
+    assert abs(sum(r.trust for r in rows) - 1.0) < 1e-4
+    seeds = [r.trust for r in rows if r.is_seed]
+    others = [r.trust for r in rows if not r.is_seed]
+    assert seeds and others
+    # trust concentrates on/near the seed set: seed mean dominates
+    assert sum(seeds) / len(seeds) > sum(others) / len(others)
+    # every node with zero trust path stays at (1-d)*tele = 0 for non-seeds
+    assert all(r.trust >= 0 for r in rows)
+
+
+def test_trust_rank_unreachable_spam_gets_zero(spark, monkeypatch):
+    # a clique {21,22} (no seeds: seed set is node%10==0) disconnected
+    # from the seed component (0 -> 1) must end at exactly 0 trust —
+    # the defining TrustRank property PageRank lacks
+    pairs = [(0, 1), (21, 22)]
+    monkeypatch.setattr(
+        "webcrawler_spark.queries._pagerank_edges",
+        lambda s, d: _fake_edges(spark, pairs),
+    )
+    from webcrawler_spark.queries import q_trust_rank
+
+    got = {r.node: r.trust for r in q_trust_rank(spark, SF).collect()}
+    assert got[21] == 0.0 and got[22] == 0.0
+    assert got[0] > 0.0 and got[1] > 0.0

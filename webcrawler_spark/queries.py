@@ -5399,6 +5399,124 @@ SELECT node, round(rank, 6) AS pagerank FROM r3
 """
 
 
+_TR_DAMPING = 0.85
+_TR_ITERS = 3
+_TR_SEED_MOD = 10  # nodes ≡ 0 (mod 10) are the trusted seed set
+
+
+def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    personalized PageRank whose teleport vector is a trusted seed set —
+    trust flows out from vetted hosts and decays through the link
+    graph, so spam farms that PageRank rewards stay low unless a
+    trusted host (transitively) links to them. The crawl-policy use is
+    direct: admission/priority damping for link-farm neighborhoods
+    (complements `link_farm_score`'s local signals with a global one).
+
+    Same derived 50-node host graph and iteration scaffolding as
+    `pagerank` (one edges-join + groupBy(dst) partial-agg per round,
+    1-row dangling aggregate broadcast back, localCheckpoint lineage
+    truncation) — the only change is the teleport/dangling mass going
+    to the seed distribution instead of uniform, which is exactly how
+    you'd run it at 10^8 hosts. Seeds: node % {mod} == 0."""
+    edges = _pagerank_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_flag = (F.col("node") % _TR_SEED_MOD == 0).cast("int")
+    nodes = nodes.select("node", seed_flag.alias("is_seed"))
+    n_seeds = float(nodes.agg(F.sum("is_seed")).collect()[0][0])
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(outdeg, "src").localCheckpoint()
+    tele = F.col("is_seed").cast("double") / F.lit(n_seeds)
+    ranks = nodes.select("node", "is_seed", tele.alias("rank"))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(
+                "dst",
+                (F.col("rank") / F.col("outdeg").cast("double")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = ranks.join(
+            ed.select("src").distinct(), ranks.node == F.col("src"), "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        ranks = (
+            ranks.select("node", "is_seed")
+            .join(contrib, F.col("node") == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "is_seed",
+                (
+                    (1.0 - _TR_DAMPING) * tele
+                    + _TR_DAMPING
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") * tele
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", "is_seed", F.round("rank", 6).alias("trust")
+    )
+
+
+def _sql_trustrank_iter(prev: str, cur: str) -> str:
+    tele = f"(n.is_seed::DOUBLE / ns.n_seeds::DOUBLE)"
+    return f"""
+{cur} AS MATERIALIZED (
+  SELECT n.node AS node, n.is_seed AS is_seed,
+         (1.0 - {_TR_DAMPING}) * {tele}
+           + {_TR_DAMPING} * (coalesce(c.contrib, 0.0) + dg.dang * {tele}) AS rank
+  FROM nodes n
+  CROSS JOIN nseeds ns
+  CROSS JOIN (
+    SELECT coalesce(sum(p.rank), 0.0) AS dang
+    FROM {prev} p WHERE p.node NOT IN (SELECT DISTINCT src FROM edges)
+  ) dg
+  LEFT JOIN (
+    SELECT e.dst AS dst, sum(p.rank / e.outdeg::DOUBLE) AS contrib
+    FROM ed e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst
+  ) c ON n.node = c.dst
+)"""
+
+
+SQL_TRUST_RANK = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+nodes AS (
+  SELECT node, (node % {_TR_SEED_MOD} = 0)::INTEGER AS is_seed
+  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+nseeds AS (SELECT sum(is_seed) AS n_seeds FROM nodes),
+ed AS MATERIALIZED (
+  SELECT e.src, e.dst, d.outdeg
+  FROM edges e JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) d
+    ON e.src = d.src
+),
+r0 AS (SELECT node, is_seed, is_seed::DOUBLE / ns.n_seeds::DOUBLE AS rank
+       FROM nodes CROSS JOIN nseeds ns),
+{_sql_trustrank_iter('r0', 'r1')},
+{_sql_trustrank_iter('r1', 'r2')},
+{_sql_trustrank_iter('r2', 'r3')}
+SELECT node, is_seed, round(rank, 6) AS trust FROM r3
+"""
+
+
 _OPIC_ITERS = 3
 
 
@@ -9033,6 +9151,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_TPCH_Q20_POTENTIAL_PROMO,
     ),
     "opic_importance": (q_opic_importance, SQL_OPIC_IMPORTANCE),
+    "trust_rank": (q_trust_rank, SQL_TRUST_RANK),
     "registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
