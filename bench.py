@@ -113,6 +113,7 @@ HEADLINE = [
     "facility_location",
     "rrf_fusion",
     "trust_rank",
+    "url_param_rules",
     "registrable_domain",
     "mirror_hosts",
     "tpch_q2_min_cost_supp",

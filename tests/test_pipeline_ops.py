@@ -424,3 +424,15 @@ def test_rrf_fusion_properties(spark):
         both_first = [r for r in sel if r.rank_a == 1 and r.rank_b == 1]
         if both_first:
             assert both_first[0].rk == 1
+
+
+def test_url_param_rules_planted_structure(spark):
+    from webcrawler_spark.queries import q_url_param_rules
+
+    got = {r.param: r for r in q_url_param_rules(spark, SF).collect()}
+    assert set(got) == {"sid", "page"}
+    # session ids collapse content on every evidenced base -> irrelevant
+    assert got["sid"].irrelevant and got["sid"].n_collapsed == got["sid"].n_bases
+    # the page param changes content on every base -> relevant
+    assert not got["page"].irrelevant and got["page"].n_collapsed == 0
+    assert got["sid"].n_bases == 25 and got["page"].n_bases == 25

@@ -8703,6 +8703,95 @@ FROM parts
 """
 
 
+def q_url_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-normalization rule mining (Dasgupta et al. WWW'08 'de-duping
+    URLs via rewrite rules'): learn which query parameters are
+    content-IRRELEVANT by checking whether, within each base URL,
+    varying the parameter's value leaves the content fingerprint
+    unchanged. A crawler that learns `sid` is irrelevant canonicalizes
+    it away and stops re-fetching session-id aliases — the rule-mining
+    upstream of `url_canonical_dedup`'s fixed rule list.
+
+    Deterministic synthesis: each doc carries one URL on a shared base
+    (25 bases); even doc_ids append a session-id param (value unique
+    per doc, content fp = fp(base) — irrelevant), odd doc_ids append a
+    page param (content fp = fp(base, value) — relevant). Mining is two
+    aggregations: per (param, base) count distinct values vs distinct
+    fps (>=2 values required for evidence), then per param: the rule
+    fires when EVERY evidenced base collapses to one fingerprint.
+    Partial-agg shuffles only, keyed on (param, base) then param —
+    at 10^10 URLs both keys are low-cardinality-per-group and the
+    distinct counts swap to HLL sketches (`hll_registers` contract)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    base = F.concat(
+        F.lit("http://h"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/p"),
+        (F.col("doc_id") % 25).cast("string"),
+    )
+    is_sid = F.col("doc_id") % 2 == 0
+    param = F.when(is_sid, F.lit("sid")).otherwise(F.lit("page"))
+    # page value must VARY within a base (doc_id//25 strides across the
+    # base's docs; doc_id%5 would be constant per base since 25 = 5*5)
+    value = F.when(
+        is_sid, F.md5(F.col("doc_id").cast("string"))
+    ).otherwise((F.floor(F.col("doc_id") / 25) % 5).cast("string"))
+    fp = F.when(is_sid, F.md5(base)).otherwise(
+        F.md5(F.concat(base, F.lit("?page="), value))
+    )
+    urls = docs.select(
+        base.alias("base"), param.alias("param"), value.alias("value"), fp.alias("fp")
+    )
+    per_base = (
+        urls.groupBy("param", "base")
+        .agg(
+            F.countDistinct("value").alias("nv"),
+            F.countDistinct("fp").alias("nf"),
+        )
+        .filter(F.col("nv") >= 2)
+    )
+    return (
+        per_base.groupBy("param")
+        .agg(
+            F.count("*").alias("n_bases"),
+            F.sum(F.when(F.col("nf") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_collapsed"),
+        )
+        .withColumn(
+            "irrelevant", F.col("n_collapsed") == F.col("n_bases")
+        )
+    )
+
+
+SQL_URL_PARAM_RULES = """
+WITH urls AS (
+  SELECT
+    'http://h' || (doc_id % 5)::VARCHAR || '.example.com/p'
+      || (doc_id % 25)::VARCHAR AS base,
+    CASE WHEN doc_id % 2 = 0 THEN 'sid' ELSE 'page' END AS param,
+    CASE WHEN doc_id % 2 = 0 THEN md5(doc_id::VARCHAR)
+         ELSE ((doc_id // 25) % 5)::VARCHAR END AS value
+  FROM documents
+),
+fps AS (
+  SELECT base, param, value,
+         CASE WHEN param = 'sid' THEN md5(base)
+              ELSE md5(base || '?page=' || value) END AS fp
+  FROM urls
+),
+per_base AS (
+  SELECT param, base, count(DISTINCT value) AS nv, count(DISTINCT fp) AS nf
+  FROM fps GROUP BY param, base
+  HAVING count(DISTINCT value) >= 2
+)
+SELECT param, count(*) AS n_bases,
+       CAST(sum((nf = 1)::INTEGER) AS BIGINT) AS n_collapsed,
+       sum((nf = 1)::INTEGER) = count(*) AS irrelevant
+FROM per_base GROUP BY param
+"""
+
+
 _PSL_RULES = (
     "com", "org", "io", "uk", "jp",
     "co.uk", "ac.jp", "github.io", "blogspot.com",
@@ -9153,6 +9242,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "opic_importance": (q_opic_importance, SQL_OPIC_IMPORTANCE),
     "trust_rank": (q_trust_rank, SQL_TRUST_RANK),
     "registrable_domain": (q_registrable_domain, SQL_REGISTRABLE_DOMAIN),
+    "url_param_rules": (q_url_param_rules, SQL_URL_PARAM_RULES),
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "k_core": (q_k_core, SQL_K_CORE),
