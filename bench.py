@@ -114,6 +114,7 @@ HEADLINE = [
     "rrf_fusion",
     "trust_rank",
     "url_param_rules",
+    "warc_revisit",
     "registrable_domain",
     "mirror_hosts",
     "tpch_q2_min_cost_supp",

@@ -436,3 +436,30 @@ def test_url_param_rules_planted_structure(spark):
     # the page param changes content on every base -> relevant
     assert not got["page"].irrelevant and got["page"].n_collapsed == 0
     assert got["sid"].n_bases == 25 and got["page"].n_bases == 25
+
+
+def test_warc_revisit_semantics(spark):
+    from webcrawler_spark.queries import q_warc_revisit
+
+    rows = q_warc_revisit(spark, SF).collect()
+    by_url: dict[int, list] = {}
+    for r in rows:
+        by_url.setdefault(r.url_key, []).append(r)
+    assert sum(len(v) for v in by_url.values()) == len(rows)
+    n_rev = 0
+    for url, fetches in by_url.items():
+        fetches.sort(key=lambda r: r.ts_us)
+        # the first capture of a URL is never a revisit
+        assert not fetches[0].is_revisit and fetches[0].refers_to_us is None
+        prev = fetches[0]
+        for r in fetches[1:]:
+            want = r.digest == prev.digest
+            assert r.is_revisit == want, (url, r.ts_us)
+            if want:
+                assert r.refers_to_us == prev.ts_us
+                n_rev += 1
+            else:
+                assert r.refers_to_us is None
+            prev = r
+    # the synthetic change schedule must produce real dedup
+    assert 0 < n_rev < len(rows)

@@ -7084,6 +7084,81 @@ FROM documents
 """
 
 
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record detection (ISO 28500 / IIPC
+    'identical-payload-digest' profile): when a refetch returns a
+    payload whose digest equals the previous capture, archives store a
+    tiny `revisit` record pointing at the original instead of the
+    bytes — the storage dedup every real crawl archive (Heritrix,
+    Common Crawl) runs. Same fetch-log surface as `recrawl_priority`
+    (user_id = URL key, events = fetches, 'click' = content change):
+    the payload digest is md5(url_key, running change count), a revisit
+    is a fetch whose digest equals LAG(digest), and `refers_to_us`
+    carries the referenced capture's timestamp (the WARC Refers-To
+    field).
+
+    One window spec serves the running version sum and both LAGs —
+    a single shuffle on the URL key, partition size = per-URL fetch
+    history (bounded), integer-microsecond time math throughout."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url_key"),
+        "event_id",
+        _us("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("chg"),
+    )
+    w = Window.partitionBy("url_key").orderBy("ts_us", "event_id")
+    ver = F.sum("chg").over(w)
+    with_digest = ev.select(
+        "url_key",
+        "event_id",
+        "ts_us",
+        F.md5(
+            F.concat(
+                F.col("url_key").cast("string"), F.lit("-"), ver.cast("string")
+            )
+        ).alias("digest"),
+    )
+    prev_digest = F.lag("digest").over(w)
+    prev_ts = F.lag("ts_us").over(w)
+    is_rev = F.coalesce(prev_digest == F.col("digest"), F.lit(False))
+    return with_digest.select(
+        "url_key",
+        "ts_us",
+        "digest",
+        is_rev.alias("is_revisit"),
+        F.when(is_rev, prev_ts).alias("refers_to_us"),
+    )
+
+
+SQL_WARC_REVISIT = """
+WITH ev AS (
+  SELECT user_id AS url_key, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+d AS (
+  SELECT url_key, event_id, ts_us,
+         md5(url_key::VARCHAR || '-' ||
+             (sum(chg) OVER (PARTITION BY url_key
+                             ORDER BY ts_us, event_id))::VARCHAR) AS digest
+  FROM ev
+),
+r AS (
+  SELECT url_key, event_id, ts_us, digest,
+         lag(digest) OVER (PARTITION BY url_key
+                           ORDER BY ts_us, event_id) AS prev_digest,
+         lag(ts_us) OVER (PARTITION BY url_key
+                          ORDER BY ts_us, event_id) AS prev_ts
+  FROM d
+)
+SELECT url_key, ts_us, digest,
+       coalesce(prev_digest = digest, FALSE) AS is_revisit,
+       CASE WHEN coalesce(prev_digest = digest, FALSE)
+            THEN prev_ts END AS refers_to_us
+FROM r
+"""
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness-driven recrawl scheduling: per URL (user_id as the URL
     key, events as its fetch log), estimate a Poisson change rate from
@@ -9119,6 +9194,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "breadth_fifo": (q_breadth_fifo, SQL_BREADTH_FIFO),
     "politeness_window": (q_politeness_window, SQL_POLITENESS_WINDOW),
     "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
+    "warc_revisit": (q_warc_revisit, SQL_WARC_REVISIT),
     "first_seen_ids": (q_first_seen_ids, SQL_FIRST_SEEN_IDS),
     # dedup / membership (§2.4 + training-data surface)
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
