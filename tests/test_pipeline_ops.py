@@ -463,3 +463,100 @@ def test_warc_revisit_semantics(spark):
             prev = r
     # the synthetic change schedule must produce real dedup
     assert 0 < n_rev < len(rows)
+
+
+# ------------------------------------------------------- pmi_collocations
+
+
+def test_pmi_collocations_python_recount(spark):
+    import math
+
+    from webcrawler_spark.queries import _PMI_MIN_C, q_pmi_collocations
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    c12: dict[tuple, int] = {}
+    cw: dict[str, int] = {}
+    n_tok = 0
+    for d in docs:
+        toks = [t for t in re.split(r"\s+", d.text.lower()) if t]
+        n_tok += len(toks)
+        for t in toks:
+            cw[t] = cw.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    want = {
+        p: (c, round(math.log(c * n_tok / (cw[p[0]] * cw[p[1]])), 5))
+        for p, c in c12.items()
+        if c >= _PMI_MIN_C
+    }
+    got = {
+        (r.w1, r.w2): (r.pair_count, r.pmi)
+        for r in q_pmi_collocations(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------- mlm_mask
+
+
+def test_mlm_mask_deterministic_and_proportioned(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import (
+        _MLM_MASK,
+        _MLM_RAND,
+        _MLM_SEL,
+        q_mlm_mask,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    toks_by_doc = {
+        d.doc_id: [t for t in re.split(r"\s+", d.text.lower()) if t]
+        for d in docs
+    }
+    total_pos = sum(len(v) for v in toks_by_doc.values())
+    rows = q_mlm_mask(spark, SF).collect()
+    # every selected row reproduces the hash decision exactly
+    for r in rows:
+        h = hashlib.md5(f"{r.doc_id}:{r.pos}".encode()).hexdigest()
+        u, v = int(h[:8], 16), int(h[8:16], 16)
+        assert u < _MLM_SEL
+        toks = toks_by_doc[r.doc_id]
+        assert r.original == toks[r.pos]
+        if v < _MLM_MASK:
+            assert r.action == "mask" and r.masked == "[MASK]"
+        elif v < _MLM_RAND:
+            assert r.action == "random"
+            assert r.masked == toks[(r.pos * 7) % len(toks)]
+        else:
+            assert r.action == "keep" and r.masked == r.original
+    # selection rate ~15%, action split ~80/10/10
+    frac = len(rows) / total_pos
+    assert 0.10 < frac < 0.20, frac
+    n = len(rows)
+    acts = {a: sum(1 for r in rows if r.action == a) / n
+            for a in ("mask", "random", "keep")}
+    assert 0.7 < acts["mask"] < 0.9
+    assert 0.03 < acts["random"] < 0.17
+    assert 0.03 < acts["keep"] < 0.17
+
+
+# ---------------------------------------------------------- host_fairness
+
+
+def test_host_fairness_python_recount(spark):
+    from webcrawler_spark.queries import q_host_fairness
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    per: dict[int, int] = {}
+    for e in ev:
+        per[e.user_id] = per.get(e.user_id, 0) + 1
+    xs = sorted(per.values())
+    n, tot = len(xs), sum(xs)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (n + 1) / n
+    hhi = sum(x * x for x in xs) / (tot * tot)
+    row = q_host_fairness(spark, SF).collect()[0]
+    assert row.n_hosts == n and row.total_fetches == tot
+    assert row.gini == round(gini, 6)
+    assert row.hhi == round(hhi, 6)
+    assert 0.0 <= row.gini < 1.0

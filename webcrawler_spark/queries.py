@@ -9188,6 +9188,227 @@ FROM ranked
 """
 
 
+# -- PMI collocations ---------------------------------------------------------
+
+_PMI_MIN_C = 5
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: score each
+    adjacent token pair by PMI = ln(c(w1,w2)·N / (c(w1)·c(w2))) over the
+    whole corpus, keeping pairs seen at least {_PMI_MIN_C} times — the
+    classic phrase/collocation detector (Church & Hanks 1990) that a
+    training-data pipeline runs to build phrase vocabularies and to spot
+    boilerplate word glue. Relates to the reference's vocabulary signal
+    surface (TuneVocabulary pair sampling, TuneVocabulary.scala:33-83)
+    which also scores word pairs, there by link co-occurrence.
+
+    Scale shape: bigram and unigram count tables are vocabulary-sized
+    map-side partial aggregations; the PMI join brings the two unigram
+    counts to each surviving bigram via two broadcast-sized joins
+    (vocabulary ≪ corpus), and the ≥min-count filter runs before the
+    joins so the shuffled set is the small head of the pair
+    distribution. Selection is integer-exact (count threshold), PMI is
+    emitted rounded — no float ordering anywhere."""
+    toks = _tokens(_docs_parallel(spark, sf_dir))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks)-1), "
+                "slice(toks, 2, size(toks)-1), "
+                "(x, y) -> struct(x as w1, y as w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_C)
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    ntok = toks.select(F.explode("toks").alias("w")).agg(
+        F.count("*").alias("n_tok")
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    return (
+        c12.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(ntok))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n_tok").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                5,
+            ).alias("pmi"),
+        )
+    )
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+big AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+  FROM t
+), b2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM big),
+c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2
+  HAVING count(*) >= {_PMI_MIN_C}
+),
+uni AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+),
+ntok AS (SELECT count(*)::BIGINT AS n_tok FROM (SELECT unnest(toks) FROM t))
+SELECT c12.w1, c12.w2, c12::BIGINT AS pair_count,
+       round(ln(c12::DOUBLE * n_tok::DOUBLE / (u1.cw::DOUBLE * u2.cw::DOUBLE)),
+             5) AS pmi
+FROM c12
+JOIN uni u1 ON u1.w = c12.w1
+JOIN uni u2 ON u2.w = c12.w2
+CROSS JOIN ntok
+"""
+
+
+# -- BERT-style MLM masking ----------------------------------------------------
+
+# integer thresholds on the first 32 md5 bits: floor(p * 2^32)
+_MLM_SEL = 644245094  # 0.15 — fraction of positions selected
+_MLM_MASK = 3435973836  # 0.80 of selected -> [MASK]
+_MLM_RAND = 3865470566  # next 0.10 of selected -> random in-doc token
+
+
+def q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BERT-style masked-LM example generation: select 15%
+    of token positions by a hash coin on (doc_id, pos); of those, 80%
+    become '[MASK]', 10% are replaced by a pseudo-random in-document
+    token (position (pos·7) mod len — hash-derived, reproducible), 10%
+    kept unchanged (Devlin et al. 2018 §3.1). The companion of
+    span_corrupt (T5 denoising) on the encoder-only recipe.
+
+    Scale shape: pure map-side — posexplode + two md5 slices per
+    position, no shuffle at all; every decision is an integer compare on
+    hash bits so resharding/re-running yields byte-identical examples
+    (the property a 100-TB preprocessing run needs for resumability).
+    All thresholds are integer literals: no float anywhere."""
+    toks = _tokens(_docs_parallel(spark, sf_dir)).select("doc_id", "toks")
+    pos = toks.select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos", "tok")
+    )
+    h = F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos")))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    rand_tok = F.expr("element_at(toks, cast((pos * 7) % size(toks) as int) + 1)")
+    sel = pos.filter(u < _MLM_SEL)
+    action = (
+        F.when(v < _MLM_MASK, F.lit("mask"))
+        .when(v < _MLM_RAND, F.lit("random"))
+        .otherwise(F.lit("keep"))
+    )
+    masked = (
+        F.when(v < _MLM_MASK, F.lit("[MASK]"))
+        .when(v < _MLM_RAND, rand_tok)
+        .otherwise(F.col("tok"))
+    )
+    return sel.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("tok").alias("original"),
+        masked.alias("masked"),
+        action.alias("action"),
+    )
+
+
+SQL_MLM_MASK = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, toks, CAST(p.i AS INTEGER) AS pos, toks[p.i + 1] AS tok
+  FROM t, LATERAL unnest(range(0, len(toks))) AS p(i)
+),
+hashed AS (
+  SELECT doc_id, toks, pos, tok,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR), 1, 8))::BIGINT AS u,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR), 9, 8))::BIGINT AS v
+  FROM pos
+)
+SELECT doc_id, pos, tok AS original,
+       CASE WHEN v < {_MLM_MASK} THEN '[MASK]'
+            WHEN v < {_MLM_RAND} THEN toks[CAST((pos * 7) % len(toks) AS INTEGER) + 1]
+            ELSE tok END AS masked,
+       CASE WHEN v < {_MLM_MASK} THEN 'mask'
+            WHEN v < {_MLM_RAND} THEN 'random'
+            ELSE 'keep' END AS action
+FROM hashed WHERE u < {_MLM_SEL}
+"""
+
+
+# -- crawl fairness (Gini / HHI over per-host fetch counts) --------------------
+
+
+def q_host_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-fairness audit of a fetch log: Gini coefficient and
+    Herfindahl-Hirschman index of the per-host fetch-count distribution
+    — the one-row health metric a crawl operator watches to see whether
+    the scheduler (F5 politeness window, crawler.py:399-431) is actually
+    spreading budget across hosts or letting hot domains starve the
+    tail. Gini = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over counts sorted
+    ascending; HHI = Σ(xᵢ/total)².
+
+    Scale shape: the per-host groupBy is the only data-sized shuffle;
+    the rank window then orders ONE ROW PER HOST (10^5-ish at web
+    scale, same bounded single-task stage write_shard_plan uses), and
+    everything stays integer until the final two divisions."""
+    ev = _read(spark, sf_dir, "events")
+    per = ev.groupBy(F.col("user_id").alias("host")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.asc("n"), F.asc("host"))
+    ranked = per.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("int").alias("n_hosts"),
+        F.sum("n").cast("bigint").alias("total_fetches"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("n")))
+            / (F.count("*") * F.sum("n"))
+            - (F.count("*") + 1).cast("double") / F.count("*"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(F.col("n") * F.col("n"))
+            / (F.sum("n") * F.sum("n")).cast("double"),
+            6,
+        ).alias("hhi"),
+    )
+
+
+SQL_HOST_FAIRNESS = """
+WITH per AS (
+  SELECT user_id AS host, count(*) AS n FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT host, n, row_number() OVER (ORDER BY n ASC, host ASC) AS i FROM per
+)
+SELECT count(*)::INTEGER AS n_hosts,
+       sum(n)::BIGINT AS total_fetches,
+       round((2.0 * sum(i * n)::BIGINT) / (count(*) * sum(n)::BIGINT)
+             - (count(*) + 1)::DOUBLE / count(*), 6) AS gini,
+       round(sum(n * n)::BIGINT / (sum(n)::BIGINT * sum(n)::BIGINT)::DOUBLE,
+             6) AS hhi
+FROM ranked
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -9340,6 +9561,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "mlm_mask": (q_mlm_mask, SQL_MLM_MASK),
+    "host_fairness": (q_host_fairness, SQL_HOST_FAIRNESS),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
