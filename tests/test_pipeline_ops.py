@@ -560,3 +560,77 @@ def test_host_fairness_python_recount(spark):
     assert row.gini == round(gini, 6)
     assert row.hhi == round(hhi, 6)
     assert 0.0 <= row.gini < 1.0
+
+
+# ------------------------------------------------------ boilerplate_lines
+
+
+def test_boilerplate_lines_detects_planted_chrome(spark):
+    from webcrawler_spark.queries import _BP_W, q_boilerplate_lines
+
+    rows = q_boilerplate_lines(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # the planted 8-token chrome line is shared by every doc of its
+        # source (>= _BP_MIN_DOCS docs per source at every sf) => at
+        # least one boilerplate chunk per doc, and never all chunks
+        assert r.n_boiler >= 1, r
+        assert r.n_boiler < r.n_chunks, r
+        assert r.boiler_frac == round(r.n_boiler / r.n_chunks, 6)
+
+
+# ---------------------------------------------------- neardup_edit_verify
+
+
+def test_neardup_edit_verify_finds_planted_mutants(spark):
+    from webcrawler_spark.queries import (
+        _EV_MUT_OFFSET,
+        _EV_MUT_POS,
+        _EV_SIM,
+        q_neardup_edit_verify,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    planted = set()
+    for d in docs:
+        toks = [t for t in re.split(r"\s+", d.text.lower()) if t]
+        if d.doc_id % 10 == 0 and len(toks) > _EV_MUT_POS:
+            planted.add((d.doc_id, d.doc_id + _EV_MUT_OFFSET))
+    pairs = {(r.doc_a, r.doc_b): r for r in q_neardup_edit_verify(spark, SF).collect()}
+    # every planted mutant pair is found and its edit distance is tiny
+    for p in planted:
+        assert p in pairs, p
+        r = pairs[p]
+        assert r.sim >= _EV_SIM
+        assert 0 < r.lev <= max(len("qqq"), 12)
+    assert planted, "no planted pairs at this sf"
+
+
+# --------------------------------------------------------- ngram_novelty
+
+
+def test_ngram_novelty_python_recount(spark):
+    from webcrawler_spark.queries import _NOV_N, q_ngram_novelty
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    first: dict[str, int] = {}
+    per_doc: dict[int, set] = {}
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        toks = [t for t in re.split(r"\s+", d.text.lower()) if t]
+        if len(toks) < _NOV_N:
+            continue
+        sh = {" ".join(toks[i : i + _NOV_N]) for i in range(len(toks) - _NOV_N + 1)}
+        per_doc[d.doc_id] = sh
+        for s in sh:
+            first.setdefault(s, d.doc_id)
+    got = {r.doc_id: r for r in q_ngram_novelty(spark, SF).collect()}
+    assert set(got) == set(per_doc)
+    for doc_id, sh in per_doc.items():
+        n_novel = sum(1 for s in sh if first[s] == doc_id)
+        r = got[doc_id]
+        assert r.n_shingles == len(sh)
+        assert r.n_novel == n_novel
+        assert r.novelty == round(n_novel / len(sh), 6)
+    # doc 0 contributes everything it has; later docs should repeat some
+    assert got[min(per_doc)].novelty == 1.0
+    assert any(r.novelty < 1.0 for r in got.values())

@@ -9409,6 +9409,256 @@ FROM ranked
 """
 
 
+# -- per-site boilerplate line detection (CCNet-style) -------------------------
+
+_BP_W = 8  # tokens per line-chunk
+_BP_MIN_DOCS = 3  # chunk in >= this many docs of one source => boilerplate
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site boilerplate detection (the CCNet/RefinedWeb pre-dedup
+    stage): a line that recurs across many pages of the SAME site is
+    chrome (nav, footer, cookie banner), not content — classify each
+    fixed-width token chunk by its distinct-document frequency within
+    its source, and report per document how much of it is boilerplate.
+    Documents are word streams here, so 'lines' are {_BP_W}-token
+    chunks; a deterministic {_BP_W}-token site-chrome line ('home about
+    contact privacy terms login search <source>') is prepended in-engine
+    to every page — it tiles into its own chunk, shared by every page of
+    the source — so the detector has real chrome to find, exactly like
+    c4_clean synthesizes its lines.
+    Distinct from paragraph_dedup (global first-occurrence dedup): this
+    is per-site frequency classification, the step that runs BEFORE
+    global dedup in a production pipeline.
+
+    Scale shape: one shuffle keyed by (source, chunk) for the
+    distinct-doc counts — the key space is per-site content, so the
+    hottest key is bounded by site size, not corpus size; one shuffle
+    back on doc_id for the per-doc rollup. No Python anywhere."""
+    # exactly _BP_W tokens of site chrome => it tiles into its own chunk
+    docs = _docs_parallel(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.lit("home about contact privacy terms login search "),
+            F.col("source"),
+            F.lit(" "),
+            F.col("text"),
+        ),
+    )
+    toks = _tokens(docs).filter(F.expr("size(toks) > 0"))
+    chunks = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks)/{_BP_W}.0) as int) - 1), "
+                f"i -> array_join(slice(toks, i*{_BP_W}+1, {_BP_W}), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("source", "chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = chunks.join(freq, ["source", "chunk"]).withColumn(
+        "is_boiler", (F.col("n_docs") >= _BP_MIN_DOCS).cast("int")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum("is_boiler").cast("int").alias("n_boiler"),
+        F.round(F.sum("is_boiler") / F.count("*"), 6).alias("boiler_frac"),
+    )
+
+
+SQL_BOILERPLATE_LINES = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         'home about contact privacy terms login search ' || source || ' ' || text AS text
+  FROM documents
+),
+t AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM d),
+chunks AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, CAST(ceil(len(toks)/{_BP_W}.0) AS INTEGER)),
+                               i -> array_to_string(toks[i*{_BP_W}+1 : i*{_BP_W}+{_BP_W}], ' '))) AS chunk
+  FROM t WHERE len(toks) > 0
+),
+freq AS (
+  SELECT source, chunk, count(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY source, chunk
+)
+SELECT c.doc_id,
+       count(*)::INTEGER AS n_chunks,
+       sum(CASE WHEN f.n_docs >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)::INTEGER AS n_boiler,
+       round(sum(CASE WHEN f.n_docs >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)
+             / count(*), 6) AS boiler_frac
+FROM chunks c JOIN freq f ON c.source = f.source AND c.chunk = f.chunk
+GROUP BY c.doc_id
+"""
+
+
+# -- edit-distance verification of near-dup candidates --------------------------
+
+_EV_SIM = 0.8  # keep pairs with 1 - lev/maxlen >= this
+_EV_MUT_POS = 5  # planted mutants: token replaced at this position
+_EV_MUT_OFFSET = 100000
+
+
+def q_neardup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage of a candidate-based near-dup pipeline: bucket
+    documents by a cheap prefix key (lang + first two tokens — the
+    LSH-band stand-in), pair within buckets, and confirm with true
+    Levenshtein similarity 1 − lev/max(len) ≥ {_EV_SIM}. Candidate
+    generation elsewhere in the registry (minhash_lsh_candidates,
+    simhash_hamming_pairs) is probabilistic; this is the exact check a
+    production dedup runs on the surviving pairs before dropping data.
+    Near-duplicates are planted in-engine (token {_EV_MUT_POS} replaced
+    in every 10th doc, id + {_EV_MUT_OFFSET}) so both engines verify an
+    identical planted truth.
+
+    Scale shape: the quadratic work is confined inside prefix buckets
+    (hot buckets are the known skew risk — the maxdf guard pattern from
+    ngram_jaccard_capped applies); Levenshtein runs ONLY on bucket
+    pairs, never all-pairs, and is a JVM builtin (no Python). One
+    shuffle on the bucket key, one integer-exact filter."""
+    base = _docs_parallel(spark, sf_dir).select("doc_id", "lang", "text")
+    toks = _tokens(base)
+    mut = (
+        toks.filter(F.col("doc_id") % 10 == 0)
+        .filter(F.expr(f"size(toks) > {_EV_MUT_POS}"))
+        .select(
+            (F.col("doc_id") + _EV_MUT_OFFSET).alias("doc_id"),
+            "lang",
+            F.expr(
+                f"array_join(concat(slice(toks, 1, {_EV_MUT_POS}), array('qqq'), "
+                f"slice(toks, {_EV_MUT_POS + 2}, size(toks))), ' ')"
+            ).alias("text"),
+        )
+    )
+    allv = _tokens(base.unionByName(mut)).filter(F.expr("size(toks) >= 2"))
+    keyed = allv.select(
+        "doc_id",
+        "text",
+        F.concat_ws(
+            "|", "lang", F.expr("toks[0]"), F.expr("toks[1]")
+        ).alias("bucket"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    sim = 1.0 - lev / F.greatest(F.length("a.text"), F.length("b.text"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("int").alias("lev"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= _EV_SIM)
+    )
+
+
+SQL_NEARDUP_EDIT_VERIFY = f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM documents
+),
+mut AS (
+  SELECT doc_id + {_EV_MUT_OFFSET} AS doc_id, lang,
+         array_to_string(
+           list_concat(list_concat(toks[1 : {_EV_MUT_POS}], ['qqq']),
+                       toks[{_EV_MUT_POS} + 2 : len(toks)]), ' ') AS text
+  FROM base WHERE doc_id % 10 = 0 AND len(toks) > {_EV_MUT_POS}
+),
+allv AS (
+  SELECT doc_id, lang, text, {_SQL_TOKS} AS toks
+  FROM (SELECT doc_id, lang, text FROM base
+        UNION ALL SELECT doc_id, lang, text FROM mut) u
+),
+keyed AS (
+  SELECT doc_id, text,
+         lang || '|' || toks[1] || '|' || toks[2] AS bucket
+  FROM allv WHERE len(toks) >= 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text)::INTEGER AS lev,
+       round(1.0 - levenshtein(a.text, b.text)
+             / greatest(len(a.text), len(b.text)), 6) AS sim
+FROM keyed a JOIN keyed b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE 1.0 - levenshtein(a.text, b.text)
+      / greatest(len(a.text), len(b.text)) >= {_EV_SIM}
+"""
+
+
+# -- n-gram novelty scoring ------------------------------------------------------
+
+_NOV_N = 3
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty score per document: the fraction of its
+    distinct {_NOV_N}-gram shingles whose FIRST corpus occurrence (by
+    doc_id) is this document — the diversity/diminishing-returns signal
+    a data-curation run tracks while growing a corpus (new shards that
+    add no new n-grams are redundant). The complement of duplication:
+    paragraph_dedup keeps first occurrences; this SCORES every document
+    by how much first-occurrence material it contributes.
+
+    Scale shape: one shuffle keyed by shingle for the min(doc_id)
+    first-seen table (map-side partial min), one shuffle back on doc_id
+    — identical topology to the engine's first_seen_ids numbering
+    (crawler.py:130-191) applied to n-grams instead of URLs."""
+    toks = _tokens(_docs_parallel(spark, sf_dir)).filter(
+        F.expr(f"size(toks) >= {_NOV_N}")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(toks) - {_NOV_N - 1}), "
+                f"i -> array_join(slice(toks, i, {_NOV_N}), ' ')))"
+            )
+        ).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("int")
+            .alias("n_novel"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - {_NOV_N - 2}),
+                                 i -> array_to_string(toks[i : i + {_NOV_N - 1}], ' '))) AS shingle
+    FROM t WHERE len(toks) >= {_NOV_N}
+  )
+),
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       count(*)::INTEGER AS n_shingles,
+       sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)::INTEGER AS n_novel,
+       round(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             / count(*), 6) AS novelty
+FROM sh JOIN first USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -9564,6 +9814,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "mlm_mask": (q_mlm_mask, SQL_MLM_MASK),
     "host_fairness": (q_host_fairness, SQL_HOST_FAIRNESS),
+    "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
+    "neardup_edit_verify": (q_neardup_edit_verify, SQL_NEARDUP_EDIT_VERIFY),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
