@@ -634,3 +634,149 @@ def test_ngram_novelty_python_recount(spark):
     # doc 0 contributes everything it has; later docs should repeat some
     assert got[min(per_doc)].novelty == 1.0
     assert any(r.novelty < 1.0 for r in got.values())
+
+
+# ----------------------------------------------------------- bitext_mine
+
+
+def test_bitext_mine_numpy_recount(spark):
+    import numpy as np
+
+    from webcrawler_spark.queries import _BT_MARGIN, q_bitext_mine
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    a_ids, b_ids = ids[ids % 2 == 0], ids[ids % 2 == 1]
+    A, B = V[ids % 2 == 0], V[ids % 2 == 1]
+    C = (A / np.linalg.norm(A, axis=1, keepdims=True)) @ (
+        B / np.linalg.norm(B, axis=1, keepdims=True)
+    ).T
+    want = {}
+    fb, bb = C.argmax(1), C.argmax(0)
+    order = np.argsort(-C, axis=1)
+    for i in range(len(a_ids)):
+        j = fb[i]
+        if bb[j] != i:
+            continue
+        margin = C[i, j] / C[i, order[i][1]]
+        if margin >= _BT_MARGIN - 1e-9:
+            want[(int(a_ids[i]), int(b_ids[j]))] = margin
+    got = {(r.src, r.dst): r for r in q_bitext_mine(spark, SF).collect()}
+    # numpy's float32->float64 matmul differs in ulps from the engines'
+    # sequential fold; pairs at the exact threshold may differ — allow
+    # only boundary discrepancies
+    sym = set(got) ^ set(want)
+    for s, d in sym:
+        m = want.get((s, d)) or got[(s, d)].margin
+        assert abs(m - _BT_MARGIN) < 1e-3, (s, d, m)
+    for p, r in got.items():
+        if p in want:
+            assert abs(r.margin - want[p]) < 1e-4
+
+
+# ----------------------------------------------------------- vocab_drift
+
+
+def test_vocab_drift_python_recount(spark):
+    import math
+
+    from webcrawler_spark.queries import q_vocab_drift
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ca: dict[str, int] = {}
+    cb: dict[str, int] = {}
+    for d in docs:
+        tgt = ca if d.doc_id % 2 == 0 else cb
+        for t in re.split(r"\s+", d.text.lower()):
+            if t:
+                tgt[t] = tgt.get(t, 0) + 1
+    vocab = set(ca) | set(cb)
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    js_pico = 0
+    for w in vocab:
+        p = (ca.get(w, 0) + 1) / (na + v)
+        q = (cb.get(w, 0) + 1) / (nb + v)
+        m = (p + q) / 2
+        js_pico += round((0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)) * 1e12)
+    row = q_vocab_drift(spark, SF).collect()[0]
+    assert row.n_terms == v and row.tokens_a == na and row.tokens_b == nb
+    assert row.js_divergence == round(js_pico / 1e12, 6)
+    assert 0.0 <= row.js_divergence <= math.log(2)
+
+
+# ------------------------------------------------------------ scc_mutual
+
+
+def _tarjan_scc(n, edges):
+    import sys
+
+    sys.setrecursionlimit(100000)
+    adj: dict[int, list] = {v: [] for v in range(n)}
+    for s, d in edges:
+        adj[s].append(d)
+    idx, low, onstk, st = {}, {}, set(), []
+    out, counter = {}, [0]
+
+    def strong(v0):
+        stack = [(v0, 0)]
+        while stack:
+            v, pi = stack.pop()
+            if pi == 0:
+                idx[v] = low[v] = counter[0]
+                counter[0] += 1
+                st.append(v)
+                onstk.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in idx:
+                    stack.append((v, i + 1))
+                    stack.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstk:
+                    low[v] = min(low[v], idx[w])
+            if not recurse:
+                if low[v] == idx[v]:
+                    comp = []
+                    while True:
+                        w = st.pop()
+                        onstk.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    m = min(comp)
+                    for w in comp:
+                        out[w] = m
+                if stack:
+                    pv = stack[-1][0]
+                    low[pv] = min(low[pv], low[v])
+
+    for v in range(n):
+        if v not in idx:
+            strong(v)
+    return out
+
+
+def test_scc_mutual_sound_vs_tarjan(spark):
+    from webcrawler_spark.queries import q_scc_mutual
+
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    edges = set()
+    for s in range(n):
+        for d in ((s * 7 + 3) % n, (s // 3) % n):
+            if d != s:
+                edges.add((s, d))
+    truth = _tarjan_scc(n, edges)
+    rows = q_scc_mutual(spark, SF).collect()
+    assert len(rows) == n
+    resolved = 0
+    for r in rows:
+        if r.scc_id is not None:
+            resolved += 1
+            # one FW-BW round is SOUND: fwd==bwd==m proves v in SCC(m)
+            assert truth[r.node] == r.scc_id, (r.node, r.scc_id, truth[r.node])
+            assert r.fwd == r.bwd == r.scc_id
+    # and it resolves the pivot's component, which is non-trivial here
+    assert resolved >= 10, resolved

@@ -9659,6 +9659,289 @@ GROUP BY sh.doc_id
 """
 
 
+# -- margin-based bitext mining --------------------------------------------------
+
+_BT_MARGIN = 1.05  # keep pairs whose top1/top2 cosine ratio clears this
+
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining over two embedding pools (the
+    LASER/CCMatrix recipe, Artetxe & Schwenk 2019, ratio variant): treat
+    even vec_ids as the source-language pool and odd as the target pool,
+    score every cross pair by cosine, and keep a pair iff it is MUTUAL
+    best (x is y's top-1 and vice versa) and the top1/top2 margin clears
+    {_BT_MARGIN} — the filter that separates true translations from
+    hubness artifacts. This is how the multilingual slice of a web
+    corpus is turned into aligned training pairs.
+
+    Scale shape: one scored cross frame with per-row norms folded BELOW
+    the join (2 folds per row, not 3); both directions' ranks and the
+    margin come from windows over the SAME frame — no second join. At
+    real scale the cross pair-stream is bucketed by an ANN partitioner
+    (ann_ivf's assignment) first; the mining windows are unchanged.
+    Cosines are sequential-fold doubles — bit-identical across engines —
+    so rank and margin comparisons are exact."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(F.expr(_dot_expr("embedding", "embedding"))).alias("nrm"),
+    )
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(_dot_expr("va", "vb")) / (F.col("na") * F.col("nb"))
+    scored = a.crossJoin(F.broadcast(b)).select("src", "dst", cos.alias("cos"))
+    w_fwd = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    w_bwd = Window.partitionBy("dst").orderBy(F.desc("cos"), F.asc("src"))
+    ranked = scored.select(
+        "src",
+        "dst",
+        "cos",
+        F.row_number().over(w_fwd).alias("rf"),
+        F.row_number().over(w_bwd).alias("rb"),
+        F.lead("cos").over(w_fwd).alias("cos2"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rf") == 1)
+            & (F.col("rb") == 1)
+            & (F.col("cos") / F.col("cos2") >= _BT_MARGIN)
+        )
+        .select(
+            "src",
+            "dst",
+            F.round("cos", 6).alias("cos"),
+            F.round(F.col("cos") / F.col("cos2"), 5).alias("margin"),
+        )
+    )
+
+
+SQL_BITEXT_MINE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos
+  FROM e a, e b
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+),
+ranked AS (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rf,
+         row_number() OVER (PARTITION BY dst ORDER BY cos DESC, src ASC) AS rb,
+         lead(cos) OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS cos2
+  FROM scored
+)
+SELECT src, dst, round(cos, 6) AS cos, round(cos / cos2, 5) AS margin
+FROM ranked
+WHERE rf = 1 AND rb = 1 AND cos / cos2 >= {_BT_MARGIN}
+"""
+
+
+# -- vocabulary drift between snapshots -------------------------------------------
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the term distributions of two
+    corpus snapshots (even vs odd doc_ids as the A/B split): the drift
+    monitor a continuously-crawled corpus runs to detect topic/spam
+    shift between refreshes — the distributional companion of ks_drift
+    (which watches a numeric column). Laplace-smoothed over the union
+    vocabulary; JS = ½KL(p‖m)+½KL(q‖m), m=(p+q)/2.
+
+    Scale shape: two vocabulary-sized count aggregations (map-side
+    partial) joined FULL OUTER on term; each term's JS contribution is
+    converted to integer picounits before the global sum, so the
+    reduction is an exact integer sum — no float-summation-order
+    dependence between engines, the same micro-unit trick
+    quality_classifier uses for its weight updates."""
+    toks = _tokens(_docs_parallel(spark, sf_dir)).select(
+        "doc_id", F.explode("toks").alias("w")
+    )
+    ca = toks.filter(F.col("doc_id") % 2 == 0).groupBy("w").agg(
+        F.count("*").alias("ca")
+    )
+    cb = toks.filter(F.col("doc_id") % 2 == 1).groupBy("w").agg(
+        F.count("*").alias("cb")
+    )
+    j = ca.join(cb, "w", "full_outer").select(
+        "w",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = j.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count("*").alias("v")
+    )
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v"))
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v"))
+    m = (p + q) / 2.0
+    contrib = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("na"),
+            F.col("nb"),
+            F.col("v"),
+            F.round(contrib * 1e12).cast("bigint").alias("c_pico"),
+        )
+        .groupBy("na", "nb", "v")
+        .agg(F.round(F.sum("c_pico") / 1e12, 6).alias("js_divergence"))
+        .select(
+            F.col("v").cast("int").alias("n_terms"),
+            F.col("na").cast("bigint").alias("tokens_a"),
+            F.col("nb").cast("bigint").alias("tokens_b"),
+            "js_divergence",
+        )
+    )
+
+
+SQL_VOCAB_DRIFT = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+),
+ca AS (SELECT w, count(*) AS ca FROM toks WHERE doc_id % 2 = 0 GROUP BY w),
+cb AS (SELECT w, count(*) AS cb FROM toks WHERE doc_id % 2 = 1 GROUP BY w),
+j AS (
+  SELECT coalesce(ca.w, cb.w) AS w,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w
+),
+tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+               count(*)::BIGINT AS v FROM j),
+contrib AS (
+  SELECT na, nb, v,
+         round((0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)) * 1e12)::BIGINT AS c_pico
+  FROM (
+    SELECT na, nb, v,
+           (ca + 1)::DOUBLE / (na + v) AS p,
+           (cb + 1)::DOUBLE / (nb + v) AS q,
+           ((ca + 1)::DOUBLE / (na + v) + (cb + 1)::DOUBLE / (nb + v)) / 2.0 AS m
+    FROM j CROSS JOIN tot
+  )
+)
+SELECT v::INTEGER AS n_terms, na::BIGINT AS tokens_a, nb::BIGINT AS tokens_b,
+       round(sum(c_pico)::BIGINT / 1e12, 6) AS js_divergence
+FROM contrib GROUP BY na, nb, v
+"""
+
+
+# -- strongly connected components (one FW-BW coloring round) ---------------------
+
+_SCC_ITERS = 8
+
+
+def q_scc_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of the forward-backward coloring SCC algorithm
+    (Fleischer et al. 2000, the standard distributed SCC building
+    block) over the same deterministic host graph link_farm_score uses:
+    propagate min-reachable-id {_SCC_ITERS} hops along forward edges
+    (fwd) and along reversed edges (bwd); a node with fwd == bwd == m is
+    mutually reachable with m, hence provably in SCC(m); others stay
+    unresolved (scc_id NULL) for the next recursion level. Directed-
+    cycle detection is what a crawl graph needs for spam-ring / trap
+    detection that undirected components (cc_star) cannot see.
+
+    Scale shape: each hop is one join edges⋈labels + one min-groupBy —
+    the canonical Pregel step as DataFrames; labels localCheckpoint'd
+    per hop so lineage stays flat. All label math is integer min —
+    exact on both engines."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = docs.select(F.col("doc_id").alias("src"))
+    edges = (
+        base.select("src", ((F.col("src") * 7 + 3) % n).alias("dst"))
+        .union(base.select("src", (F.floor(F.col("src") / 3) % n).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+    def propagate(e: DataFrame, col: str) -> DataFrame:
+        lab = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias(col))
+        for _ in range(_SCC_ITERS):
+            nbr = (
+                e.join(lab, e["dst"] == lab["node"])
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min(col).alias("nmin"))
+            )
+            lab = (
+                lab.join(nbr, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col(col), F.coalesce("nmin", F.col(col))).alias(col),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return lab
+
+    fwd = propagate(edges, "fwd")
+    bwd = propagate(rev, "bwd")
+    return fwd.join(bwd, "node").select(
+        "node",
+        "fwd",
+        "bwd",
+        F.when(F.col("fwd") == F.col("bwd"), F.col("fwd")).alias("scc_id"),
+    )
+
+
+def _scc_sql() -> str:
+    n_expr = "(SELECT count(*) FROM documents)"
+    steps_f, steps_b = [], []
+    for i in range(_SCC_ITERS):
+        prev = f"f{i}" if i else "l0f"
+        steps_f.append(
+            f"f{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT l.node, least(l.lab, coalesce(m.nmin, l.lab)) AS lab\n"
+            f"  FROM {prev} l LEFT JOIN (\n"
+            f"    SELECT e.src AS node, min(p.lab) AS nmin\n"
+            f"    FROM edges e JOIN {prev} p ON e.dst = p.node GROUP BY e.src\n"
+            f"  ) m ON l.node = m.node\n)"
+        )
+        prevb = f"b{i}" if i else "l0b"
+        steps_b.append(
+            f"b{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT l.node, least(l.lab, coalesce(m.nmin, l.lab)) AS lab\n"
+            f"  FROM {prevb} l LEFT JOIN (\n"
+            f"    SELECT e.dst AS node, min(p.lab) AS nmin\n"
+            f"    FROM edges e JOIN {prevb} p ON e.src = p.node GROUP BY e.dst\n"
+            f"  ) m ON l.node = m.node\n)"
+        )
+    return (
+        "WITH nd AS (SELECT " + n_expr + " AS n),\n"
+        "edges AS MATERIALIZED (\n"
+        "  SELECT DISTINCT src, dst FROM (\n"
+        "    SELECT doc_id AS src, (doc_id * 7 + 3) % nd.n AS dst FROM documents, nd\n"
+        "    UNION ALL\n"
+        "    SELECT doc_id AS src, (doc_id // 3) % nd.n AS dst FROM documents, nd\n"
+        "  ) e WHERE src <> dst\n"
+        "),\n"
+        "l0f AS (SELECT doc_id AS node, doc_id AS lab FROM documents),\n"
+        "l0b AS (SELECT doc_id AS node, doc_id AS lab FROM documents),\n"
+        + ",\n".join(steps_f)
+        + ",\n"
+        + ",\n".join(steps_b)
+        + f"""
+SELECT f.node, f.lab AS fwd, b.lab AS bwd,
+       CASE WHEN f.lab = b.lab THEN f.lab END AS scc_id
+FROM f{_SCC_ITERS} f JOIN b{_SCC_ITERS} b ON f.node = b.node
+"""
+    )
+
+
+SQL_SCC_MUTUAL = _scc_sql()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -9817,6 +10100,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
     "neardup_edit_verify": (q_neardup_edit_verify, SQL_NEARDUP_EDIT_VERIFY),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
+    "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
+    "scc_mutual": (q_scc_mutual, SQL_SCC_MUTUAL),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
