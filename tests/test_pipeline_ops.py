@@ -780,3 +780,87 @@ def test_scc_mutual_sound_vs_tarjan(spark):
             assert r.fwd == r.bwd == r.scc_id
     # and it resolves the pivot's component, which is non-trivial here
     assert resolved >= 10, resolved
+
+
+# ------------------------------------------------------------- bloom_fpr
+
+
+def test_bloom_fpr_python_recount(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _BF_K, _BF_M, q_bloom_fpr
+
+    ids = [
+        r.doc_id for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+
+    def positions(x):
+        return {
+            int(hashlib.md5(f"{x}:{j}".encode()).hexdigest()[:8], 16) % _BF_M
+            for j in range(_BF_K)
+        }
+
+    bits = set()
+    mem = [i for i in ids if i % 2 == 0]
+    for x in mem:
+        bits |= positions(x)
+    probes = [i for i in ids if i % 2 == 1]
+    fp = sum(1 for y in probes if positions(y) <= bits)
+    row = q_bloom_fpr(spark, SF).collect()[0]
+    assert row.n_members == len(mem)
+    assert row.bits_set == len(bits)
+    assert row.n_probes == len(probes)
+    assert row.n_false_pos == fp
+    assert row.fpr == round(fp / len(probes), 6)
+    # no false negatives by construction; analytic rate is in (0, 1)
+    assert 0.0 < row.analytic_fpr < 1.0
+
+
+# --------------------------------------------------- host_graph_collapse
+
+
+def test_host_graph_collapse_python_recount(spark):
+    from webcrawler_spark.queries import _HG_HOSTS, q_host_graph_collapse
+
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    edges = set()
+    for s in range(n):
+        for d in ((s * 7 + 3) % n, (s // 3) % n):
+            if d != s:
+                edges.add((s, d))
+    agg: dict[tuple, list] = {}
+    for s, d in edges:
+        k = (s % _HG_HOSTS, d % _HG_HOSTS)
+        agg.setdefault(k, [0, set()])
+        agg[k][0] += 1
+        agg[k][1].add(s)
+    rows = {(r.host_src, r.host_dst): r for r in q_host_graph_collapse(spark, SF).collect()}
+    assert set(rows) == set(agg)
+    for k, (w, srcs) in agg.items():
+        r = rows[k]
+        assert r.weight == w and r.n_src_pages == len(srcs)
+        assert r.intra_host == int(k[0] == k[1])
+    # total weight conserved across the collapse
+    assert sum(r.weight for r in rows.values()) == len(edges)
+
+
+# ----------------------------------------------------- calibration_bins
+
+
+def test_calibration_bins_is_calibrated(spark):
+    from webcrawler_spark.queries import _CAL_BINS, q_calibration_bins
+
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    rows = sorted(q_calibration_bins(spark, SF).collect(), key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(range(_CAL_BINS))
+    assert sum(r.n for r in rows) == n_docs
+    ece = sum(r.n * r.gap for r in rows) / n_docs
+    # labels are drawn with P(y=1)=conf -> near-calibrated up to
+    # small-sample noise; ECE bounded well below a broken classifier's
+    assert ece < 0.25, ece
+    for r in rows:
+        lo, hi = r.bin / _CAL_BINS, (r.bin + 1) / _CAL_BINS
+        assert lo <= r.mean_conf < hi
+        assert r.gap == round(abs(r.mean_conf - r.accuracy), 6) or abs(
+            r.gap - abs(r.mean_conf - r.accuracy)
+        ) < 2e-6

@@ -9942,6 +9942,233 @@ FROM f{_SCC_ITERS} f JOIN b{_SCC_ITERS} b ON f.node = b.node
 SQL_SCC_MUTUAL = _scc_sql()
 
 
+# -- empirical bloom-filter FPR evaluation ----------------------------------------
+
+_BF_M = 1024  # bits — deliberately undersized so the audit SEES false positives
+_BF_K = 4  # hash functions
+
+
+def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical false-positive-rate audit of a bloom URL-seen filter:
+    insert the even doc_ids ({_BF_K} md5-derived bit positions each into
+    an {_BF_M}-bit filter), probe the DISJOINT odd set, and report the
+    measured FPR against the analytic (1−e^{{−kn/m}})^k — the
+    capacity-planning check an operator runs before sizing the engine's
+    partitioned bloom seen-filter (sources/bloom.py:38-151; D1). A probe
+    is a false positive iff ALL its k bit positions are set.
+
+    Scale shape: the filter is a DISTINCT bit-position table (≤ m rows —
+    tiny, broadcastable); the probe is a left join of probe positions
+    against it + an all-k groupBy per key. Bit positions are integer md5
+    slices mod m — exact on both engines."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    ks = spark.range(_BF_K).select(F.col("id").alias("j"))
+    pos = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("j"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(_BF_M),
+    )
+    members = docs.filter(F.col("doc_id") % 2 == 0)
+    probes = docs.filter(F.col("doc_id") % 2 == 1)
+    bits = (
+        members.crossJoin(F.broadcast(ks)).select(pos.alias("pos")).distinct()
+    )
+    probe_pos = probes.crossJoin(F.broadcast(ks)).select(
+        "doc_id", pos.alias("pos")
+    )
+    hit = (
+        probe_pos.join(F.broadcast(bits.withColumn("set1", F.lit(1))), "pos", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.count("*") == F.sum(F.coalesce("set1", F.lit(0)))).cast("int").alias(
+                "fp"
+            )
+        )
+    )
+    n_mem = members.count()
+    n_bits = bits.count()
+    import math
+
+    exp_fpr = (1.0 - math.exp(-_BF_K * n_mem / _BF_M)) ** _BF_K
+    return hit.agg(
+        F.lit(_BF_M).cast("int").alias("m_bits"),
+        F.lit(_BF_K).cast("int").alias("k_hashes"),
+        F.lit(n_mem).cast("bigint").alias("n_members"),
+        F.lit(n_bits).cast("bigint").alias("bits_set"),
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum("fp").cast("bigint").alias("n_false_pos"),
+        F.round(F.sum("fp") / F.count("*"), 6).alias("fpr"),
+        F.round(F.lit(exp_fpr), 6).alias("analytic_fpr"),
+    )
+
+
+SQL_BLOOM_FPR = f"""
+WITH ks AS (SELECT unnest(range(0, {_BF_K})) AS j),
+members AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+probes AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+         % {_BF_M} AS pos
+  FROM members CROSS JOIN ks
+),
+probe_pos AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+         % {_BF_M} AS pos
+  FROM probes CROSS JOIN ks
+),
+hit AS (
+  SELECT p.doc_id,
+         CASE WHEN count(*) = sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS fp
+  FROM probe_pos p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY p.doc_id
+)
+SELECT {_BF_M}::INTEGER AS m_bits, {_BF_K}::INTEGER AS k_hashes,
+       (SELECT count(*) FROM members)::BIGINT AS n_members,
+       (SELECT count(*) FROM bits)::BIGINT AS bits_set,
+       count(*)::BIGINT AS n_probes,
+       sum(fp)::BIGINT AS n_false_pos,
+       round(sum(fp)::BIGINT / count(*)::DOUBLE, 6) AS fpr,
+       round(pow(1.0 - exp(-{_BF_K}.0 * (SELECT count(*) FROM members) / {_BF_M}.0),
+                 {_BF_K}), 6) AS analytic_fpr
+FROM hit
+"""
+
+
+# -- host-graph coarsening ---------------------------------------------------------
+
+_HG_HOSTS = 32
+
+
+def q_host_graph_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph coarsening: collapse the page-level link graph (same
+    deterministic edge set as anchor_text_agg / link_farm_score) onto
+    hosts (doc_id mod {_HG_HOSTS}) with edge weights and distinct
+    source-page counts — the graph a web-scale ranker actually iterates
+    on (10^8 hosts is tractable where 10^11 pages is not; host-level
+    PageRank/TrustRank all run on this). Intra-host edges are kept but
+    flagged, since host-level ranking drops them while mirror detection
+    needs them.
+
+    Scale shape: the collapse is ONE map-side key projection
+    (host = f(page)) followed by a (host_src, host_dst) count shuffle —
+    at 100 TB this is the single cheapest graph reduction that exists,
+    and every downstream graph op then runs 3 orders of magnitude
+    smaller. Weights are integer counts, exact everywhere."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = docs.select(F.col("doc_id").alias("src"))
+    edges = base.select(
+        "src", ((F.col("src") * 7 + 3) % n).alias("dst")
+    ).union(base.select("src", (F.floor(F.col("src") / 3) % n).alias("dst")))
+    ed = edges.filter(F.col("src") != F.col("dst")).distinct()
+    coll = ed.select(
+        (F.col("src") % _HG_HOSTS).alias("host_src"),
+        (F.col("dst") % _HG_HOSTS).alias("host_dst"),
+        "src",
+    )
+    return (
+        coll.groupBy("host_src", "host_dst")
+        .agg(
+            F.count("*").cast("bigint").alias("weight"),
+            F.countDistinct("src").cast("bigint").alias("n_src_pages"),
+        )
+        .withColumn(
+            "intra_host", (F.col("host_src") == F.col("host_dst")).cast("int")
+        )
+    )
+
+
+SQL_HOST_GRAPH_COLLAPSE = f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % nd.n AS dst FROM documents, nd
+    UNION ALL
+    SELECT doc_id AS src, (doc_id // 3) % nd.n AS dst FROM documents, nd
+  ) e WHERE src <> dst
+)
+SELECT src % {_HG_HOSTS} AS host_src, dst % {_HG_HOSTS} AS host_dst,
+       count(*)::BIGINT AS weight,
+       count(DISTINCT src)::BIGINT AS n_src_pages,
+       CASE WHEN src % {_HG_HOSTS} = dst % {_HG_HOSTS} THEN 1 ELSE 0 END AS intra_host
+FROM edges
+GROUP BY src % {_HG_HOSTS}, dst % {_HG_HOSTS}
+"""
+
+
+# -- classifier calibration audit ----------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram audit of a probabilistic quality classifier:
+    bucket predictions into {_CAL_BINS} equal-width confidence bins and
+    report per-bin count, mean confidence, empirical accuracy, and the
+    |acc − conf| gap whose weighted sum is ECE — the check run before a
+    classifier's scores are trusted to threshold 100 TB of data
+    (quality_classifier trains one; this audits one). Confidence and
+    outcome are hash-derived per doc (label drawn with P(y=1) = conf),
+    so the planted truth IS calibrated and both engines audit identical
+    predictions.
+
+    Scale shape: pure map + one {_CAL_BINS}-row groupBy — nothing
+    leaves the executors but the bin table. Confidences are integer
+    hash slices over 2^32 — exact bin assignment on both engines; means
+    are integer sums divided once at the end."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")  # conf * 2^32
+    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    scored = docs.select(
+        (F.floor(u * _CAL_BINS / F.lit(2**32))).cast("int").alias("bin"),
+        u.alias("conf_units"),
+        (v < u).cast("int").alias("label"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("conf_units") / (F.count("*") * F.lit(2.0**32)), 6).alias(
+                "mean_conf"
+            ),
+            F.round(F.sum("label") / F.count("*"), 6).alias("accuracy"),
+            F.round(
+                F.abs(
+                    F.sum("conf_units") / (F.count("*") * F.lit(2.0**32))
+                    - F.sum("label") / F.count("*")
+                ),
+                6,
+            ).alias("gap"),
+        )
+    )
+
+
+SQL_CALIBRATION_BINS = f"""
+WITH scored AS (
+  SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              * {_CAL_BINS} // 4294967296 AS INTEGER) AS bin,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS conf_units,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT
+                   < ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              THEN 1 ELSE 0 END AS label
+  FROM documents
+)
+SELECT bin, count(*)::BIGINT AS n,
+       round(sum(conf_units)::BIGINT / (count(*) * 4294967296.0), 6) AS mean_conf,
+       round(sum(label)::BIGINT / count(*)::DOUBLE, 6) AS accuracy,
+       round(abs(sum(conf_units)::BIGINT / (count(*) * 4294967296.0)
+                 - sum(label)::BIGINT / count(*)::DOUBLE), 6) AS gap
+FROM scored GROUP BY bin
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -10103,6 +10330,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
     "scc_mutual": (q_scc_mutual, SQL_SCC_MUTUAL),
+    "bloom_fpr": (q_bloom_fpr, SQL_BLOOM_FPR),
+    "host_graph_collapse": (q_host_graph_collapse, SQL_HOST_GRAPH_COLLAPSE),
+    "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
