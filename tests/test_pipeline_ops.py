@@ -864,3 +864,121 @@ def test_calibration_bins_is_calibrated(spark):
         assert r.gap == round(abs(r.mean_conf - r.accuracy), 6) or abs(
             r.gap - abs(r.mean_conf - r.accuracy)
         ) < 2e-6
+
+
+# ----------------------------------------------------- markov_transitions
+
+
+def test_markov_transitions_python_recount(spark):
+    from webcrawler_spark.queries import q_markov_transitions
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    counts: dict[tuple, int] = {}
+    for _, es in by_user.items():
+        es.sort(key=lambda e: (e.ts, e.event_id))
+        for a, b in zip(es, es[1:]):
+            k = (a.event_type, b.event_type)
+            counts[k] = counts.get(k, 0) + 1
+    totals: dict[str, int] = {}
+    for (a, _), c in counts.items():
+        totals[a] = totals.get(a, 0) + c
+    got = {(r.et, r.next_et): r for r in q_markov_transitions(spark, SF).collect()}
+    assert set(got) == set(counts)
+    for k, c in counts.items():
+        assert got[k].n == c
+        assert got[k].p == round(c / totals[k[0]], 6)
+    # each source state's probabilities sum to ~1
+    for a, t in totals.items():
+        s = sum(r.n for (x, _), r in got.items() if x == a)
+        assert s == t
+
+
+# ----------------------------------------------------------- adamic_adar
+
+
+def test_adamic_adar_python_recount(spark):
+    import math
+
+    from webcrawler_spark.queries import _AA_TOP, q_adamic_adar
+
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    de = set()
+    for s in range(n):
+        for d in ((s * 7 + 3) % n, (s // 3) % n):
+            if d != s:
+                de.add((s, d))
+    und = de | {(d, s) for s, d in de}
+    nbrs: dict[int, set] = {}
+    for s, d in und:
+        nbrs.setdefault(s, set()).add(d)
+    deg = {z: len(v) for z, v in nbrs.items()}
+    pairs: dict[tuple, list] = {}
+    for z, vs in nbrs.items():
+        # z is the wedge center: its in-neighbours (symmetric set) pair up
+        members = sorted(u for u in nbrs if z in nbrs[u])
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                k = (a, b)
+                pairs.setdefault(k, [0, 0])
+                pairs[k][0] += 1
+                pairs[k][1] += round(1e12 / math.log(deg[z]))
+    cand = {
+        k: v
+        for k, v in pairs.items()
+        if k not in und and v[0] >= 2
+    }
+    top = sorted(cand.items(), key=lambda kv: (-kv[1][0], kv[0]))[:_AA_TOP]
+    want = {k: (v[0], round(v[1] / 1e12, 6)) for k, v in top}
+    got = {(r.a, r.b): (r.common, r.aa_score) for r in q_adamic_adar(spark, SF).collect()}
+    assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------------ cdc_chunks
+
+
+def test_cdc_chunks_python_recount_and_shift_invariance(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _CDC_D, _CDC_MIN, _CDC_W, q_cdc_chunks
+
+    def cuts_of(text):
+        bounds = [
+            i
+            for i in range(_CDC_W, len(text) + 1)
+            if int(hashlib.md5(text[i - _CDC_W : i].encode()).hexdigest()[:8], 16)
+            % _CDC_D
+            == 0
+        ]
+        kept = [0]
+        for b in bounds:
+            if b - kept[-1] >= _CDC_MIN:
+                kept.append(b)
+        if kept[-1] != len(text):
+            kept.append(len(text))
+        return kept
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {r.doc_id: r for r in q_cdc_chunks(spark, SF).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        cuts = cuts_of(text)
+        sizes = [b - a for a, b in zip(cuts, cuts[1:])]
+        r = got[doc_id]
+        assert r.n_chunks == len(sizes)
+        assert r.total_len == len(text)
+        assert r.max_chunk == max(sizes)
+        assert r.mean_chunk == round(len(text) / len(sizes), 4)
+    # the CDC property: a prefix insertion only reshuffles chunks near the
+    # edit — boundaries after the first post-edit cut are unchanged offsets
+    t = docs[sorted(docs)[0]]
+    shifted = "xyz " + t
+    c1, c2 = cuts_of(t), cuts_of(shifted)
+    tail1 = {b for b in c1[1:-1]}
+    tail2 = {b - 4 for b in c2[1:-1]}
+    assert tail1 & tail2, "no shared content-defined boundaries after shift"

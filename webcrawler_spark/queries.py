@@ -10169,6 +10169,270 @@ FROM scored GROUP BY bin
 """
 
 
+# -- event-type Markov transition matrix --------------------------------------------
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition model over per-user event streams:
+    P(next event_type | event_type) with transition counts — the
+    behavioural model behind crawl-session simulation and abuse
+    detection (a bot's transition matrix is a near-delta; a human's is
+    diffuse). Rows sum to 1 per source state.
+
+    Scale shape: one window shuffle keyed by user (partition size = a
+    user's history, bounded), then a (state, state) count aggregation
+    whose key space is |event types|² — tiny; the probability divisions
+    happen on the final aggregate only. Integer counts, one rounded
+    division at the end."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", _us("ts").alias("ts_us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("et"),
+        F.lead("event_type").over(w).alias("next_et"),
+    ).filter(F.col("next_et").isNotNull())
+    counts = pairs.groupBy("et", "next_et").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("et").agg(F.sum("c").alias("row_total"))
+    return counts.join(tot, "et").select(
+        "et",
+        "next_et",
+        F.col("c").cast("bigint").alias("n"),
+        F.round(F.col("c") / F.col("row_total"), 6).alias("p"),
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS et,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS next_et
+  FROM ev
+),
+counts AS (
+  SELECT et, next_et, count(*) AS c FROM pairs
+  WHERE next_et IS NOT NULL GROUP BY et, next_et
+),
+tot AS (SELECT et, sum(c)::BIGINT AS row_total FROM counts GROUP BY et)
+SELECT counts.et, next_et, c::BIGINT AS n,
+       round(c / row_total::DOUBLE, 6) AS p
+FROM counts JOIN tot ON counts.et = tot.et
+"""
+
+
+# -- Adamic-Adar link prediction ------------------------------------------------------
+
+_AA_TOP = 100
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected host co-link
+    graph: for node pairs at distance 2, AA(a,b) = Σ_{{z∈N(a)∩N(b)}}
+    1/ln(deg z) — the classic 'which links are missing' score a crawl
+    planner uses to prioritise unexplored cross-site edges (and the
+    standard common-neighbour baseline every graph-ML eval includes).
+    Uses the same deterministic directed edge set as link_farm_score,
+    symmetrised.
+
+    Scale shape: the two-hop enumeration is the canonical wedge
+    self-join on the CENTER node z — skew is governed by max degree
+    (hub nodes) exactly as in triangle_count, so production salts or
+    caps hub wedges; existing edges are removed by one anti-join, and
+    only the ≥2-common-neighbour head survives to scoring. Ranking is
+    by (common-neighbour count, pair id) — integer-exact — with AA
+    emitted rounded."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = docs.select(F.col("doc_id").alias("src"))
+    dir_edges = (
+        base.select("src", ((F.col("src") * 7 + 3) % n).alias("dst"))
+        .union(base.select("src", (F.floor(F.col("src") / 3) % n).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = (
+        dir_edges.select("src", "dst")
+        .union(dir_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("deg"))
+    e1 = und.select(F.col("dst").alias("z"), F.col("src").alias("a"))
+    e2 = und.select(F.col("dst").alias("z"), F.col("src").alias("b"))
+    wedges = (
+        e1.join(e2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .join(F.broadcast(deg), "z")
+    )
+    # per-wedge contribution in integer picounits => the groupBy sum is an
+    # exact integer reduction (no float-summation-order dependence)
+    pairs = wedges.groupBy("a", "b").agg(
+        F.count("*").cast("int").alias("common"),
+        F.sum(F.round(1e12 / F.log(F.col("deg").cast("double"))).cast("bigint")).alias(
+            "aa_pico"
+        ),
+    )
+    existing = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    cand = pairs.join(existing, ["a", "b"], "left_anti").filter(
+        F.col("common") >= 2
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("common"), F.asc("a"), F.asc("b")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _AA_TOP)
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(F.col("aa_pico") / 1e12, 6).alias("aa_score"),
+        )
+    )
+
+
+SQL_ADAMIC_ADAR = f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+de AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % nd.n AS dst FROM documents, nd
+    UNION ALL
+    SELECT doc_id AS src, (doc_id // 3) % nd.n AS dst FROM documents, nd
+  ) e WHERE src <> dst
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM de UNION ALL SELECT dst AS src, src AS dst FROM de
+  )
+),
+deg AS (SELECT src AS z, count(*) AS deg FROM und GROUP BY src),
+wedges AS (
+  SELECT e1.src AS a, e2.src AS b, e1.dst AS z
+  FROM und e1 JOIN und e2 ON e1.dst = e2.dst AND e1.src < e2.src
+),
+pairs AS (
+  SELECT a, b, count(*)::INTEGER AS common,
+         sum(round(1e12 / ln(deg::DOUBLE))::BIGINT)::BIGINT AS aa_pico
+  FROM wedges JOIN deg USING (z) GROUP BY a, b
+),
+cand AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN und u ON u.src = p.a AND u.dst = p.b
+  WHERE u.src IS NULL AND p.common >= 2
+)
+SELECT a, b, common, round(aa_pico / 1e12, 6) AS aa_score
+FROM (
+  SELECT *, row_number() OVER (ORDER BY common DESC, a ASC, b ASC) AS rnk
+  FROM cand
+) WHERE rnk <= {_AA_TOP}
+"""
+
+
+# -- content-defined chunking ----------------------------------------------------------
+
+_CDC_W = 8  # boundary-test window (chars)
+_CDC_D = 32  # boundary when window-hash % D == 0 -> mean chunk ~D chars
+_CDC_MIN = 16  # minimum chunk length (boundaries inside are suppressed)
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking statistics (the rsync/LBFS/storage-dedup
+    primitive): a chunk boundary falls after position i when the hash of
+    the {_CDC_W}-char window ending at i is ≡ 0 mod {_CDC_D}, subject to
+    a {_CDC_MIN}-char minimum chunk length — boundaries depend only on
+    LOCAL content, so an insertion reshuffles one chunk instead of
+    re-shifting every fixed-width block (what makes CDC the right
+    fingerprint granularity for re-crawled pages whose bytes drift).
+    Reports per-doc chunk count and size profile.
+
+    Scale shape: entirely map-side — per-doc window hashing and boundary
+    folding inside array expressions, zero shuffle, zero Python. The
+    min-length suppression is a sequential fold (position list → kept
+    boundaries), identical order both engines."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # candidate boundaries: md5 of the 8-char window ending at i, mod D
+    bounds = F.expr(
+        f"filter(transform(sequence({_CDC_W}, length(text)), "
+        f"i -> IF(pmod(cast(conv(substring(md5(substring(text, i - {_CDC_W} + 1, {_CDC_W})), 1, 8), 16, 10) as bigint)"
+        f", {_CDC_D}) = 0, i, -1)), x -> x > 0)"
+    )
+    # enforce min chunk length with a sequential fold, then close the tail
+    kept = F.expr(
+        f"aggregate(bounds, array(0), (acc, b) -> "
+        f"IF(b - element_at(acc, -1) >= {_CDC_MIN}, concat(acc, array(b)), acc))"
+    )
+    d = (
+        docs.withColumn("bounds", bounds)
+        .withColumn("kept", kept)
+        .withColumn(
+            "cuts",
+            F.expr(
+                "IF(element_at(kept, -1) = length(text), kept, "
+                "concat(kept, array(length(text))))"
+            ),
+        )
+        .withColumn(
+            "sizes",
+            F.expr(
+                "zip_with(slice(cuts, 2, size(cuts) - 1), "
+                "slice(cuts, 1, size(cuts) - 1), (hi, lo) -> hi - lo)"
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.expr("size(sizes)").cast("int").alias("n_chunks"),
+        F.expr("aggregate(sizes, 0, (a, x) -> a + x)").cast("int").alias("total_len"),
+        F.round(
+            F.expr("aggregate(sizes, 0, (a, x) -> a + x)")
+            / F.expr("size(sizes)"),
+            4,
+        ).alias("mean_chunk"),
+        F.expr("array_max(sizes)").cast("int").alias("max_chunk"),
+    )
+
+
+SQL_CDC_CHUNKS = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(range({_CDC_W}, length(text) + 1),
+           i -> CASE WHEN ('0x' || substr(md5(substr(text, CAST(i AS INTEGER) - {_CDC_W} + 1, {_CDC_W})), 1, 8))::BIGINT
+                          % {_CDC_D} = 0
+                     THEN CAST(i AS INTEGER) ELSE -1 END),
+           x -> x > 0) AS bounds
+  FROM documents
+),
+k AS (
+  SELECT doc_id, text,
+         list_reduce(list_prepend([0], list_transform(bounds, x -> [x])),
+                     (acc, b) -> CASE WHEN b[1] - acc[-1] >= {_CDC_MIN}
+                                      THEN list_append(acc, b[1]) ELSE acc END)
+         AS kept
+  FROM b
+),
+c AS (
+  SELECT doc_id,
+         CASE WHEN kept[-1] = length(text) THEN kept
+              ELSE list_append(kept, length(text)) END AS cuts
+  FROM k
+),
+s AS (
+  SELECT doc_id,
+         list_transform(range(2, len(cuts) + 1),
+                        i -> cuts[CAST(i AS INTEGER)] - cuts[CAST(i AS INTEGER) - 1]) AS sizes
+  FROM c
+)
+SELECT doc_id,
+       len(sizes)::INTEGER AS n_chunks,
+       list_sum(sizes)::INTEGER AS total_len,
+       round(list_sum(sizes) / len(sizes), 4) AS mean_chunk,
+       list_max(sizes)::INTEGER AS max_chunk
+FROM s
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -10333,6 +10597,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bloom_fpr": (q_bloom_fpr, SQL_BLOOM_FPR),
     "host_graph_collapse": (q_host_graph_collapse, SQL_HOST_GRAPH_COLLAPSE),
     "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
+    "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),
+    "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
+    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
