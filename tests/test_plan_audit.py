@@ -476,3 +476,67 @@ def test_registrable_domain_broadcasts_psl(spark):
     p = plan_str(_q("registrable_domain", spark))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+# ------------------------------------------------ round-3 session-9 additions
+
+
+def test_mlm_mask_is_pure_map(spark):
+    """Masking decisions are hash bits per (doc_id, pos): the whole op
+    must stay map-side — no key shuffle anywhere (the only Exchange
+    allowed is _docs_parallel's round-robin input spreading, a no-op on
+    real multi-split inputs)."""
+    p = plan_str(_q("mlm_mask", spark), "simple")
+    assert "hashpartitioning" not in p and "SinglePartition" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_cdc_chunks_is_pure_map(spark):
+    p = plan_str(_q("cdc_chunks", spark), "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_calibration_bins_single_agg_shuffle(spark):
+    # one partial+final agg pair over a 10-row key space; nothing else
+    p = plan_str(_q("calibration_bins", spark), "simple")
+    assert p.count("Exchange") == 1 and "hashpartitioning" in p
+    assert "SinglePartition" not in p
+
+
+def test_bitext_mine_broadcasts_pool_and_reuses_one_frame(spark):
+    """The scored cross frame is built once (B side broadcast); both
+    direction ranks and the margin are windows over it — a second join
+    would double the pair-stream."""
+    p = plan_str(_q("bitext_mine", spark))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pmi_collocations_broadcasts_unigram_sides(spark):
+    p = plan_str(_q("pmi_collocations", spark))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_host_fairness_rank_window_after_host_agg(spark):
+    """The single-task window is allowed ONLY because it ranks one row
+    per host: the per-host agg must appear below the window exchange."""
+    p = plan_str(_q("host_fairness", spark), "simple")
+    i_agg = p.find("HashAggregate")
+    i_single = p.find("SinglePartition")
+    assert i_agg != -1 and i_single != -1
+    # the window's single partition sits ABOVE (earlier in the string
+    # than) the per-host aggregate that bounds its input to one row/host
+    assert i_single < i_agg or p.count("HashAggregate") >= 2
+
+
+def test_host_graph_collapse_no_python_and_counts_partial(spark):
+    p = plan_str(_q("host_graph_collapse", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bloom_fpr_broadcasts_bit_table(spark):
+    p = plan_str(_q("bloom_fpr", spark))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
