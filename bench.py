@@ -120,6 +120,21 @@ HEADLINE = [
     "tpch_q2_min_cost_supp",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promo",
+    "pmi_collocations",
+    "mlm_mask",
+    "host_fairness",
+    "boilerplate_lines",
+    "neardup_edit_verify",
+    "ngram_novelty",
+    "bitext_mine",
+    "vocab_drift",
+    "scc_mutual",
+    "bloom_fpr",
+    "host_graph_collapse",
+    "calibration_bins",
+    "markov_transitions",
+    "adamic_adar",
+    "cdc_chunks",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)
