@@ -982,3 +982,83 @@ def test_cdc_chunks_python_recount_and_shift_invariance(spark):
     tail1 = {b for b in c1[1:-1]}
     tail2 = {b - 4 for b in c2[1:-1]}
     assert tail1 & tail2, "no shared content-defined boundaries after shift"
+
+
+def test_change_rate_estimate_python_recount(spark):
+    import hashlib
+    import math
+
+    from webcrawler_spark.queries import _CR_VISITS, q_change_rate_estimate
+
+    got = {r.doc_id: r for r in q_change_rate_estimate(spark, SF).collect()}
+    ids = [r.doc_id for r in spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").collect()]
+    assert set(got) == set(ids)
+    for d in ids:
+        x = sum(
+            1
+            for i in range(1, _CR_VISITS + 1)
+            if int(hashlib.md5(str(d * 31 + i).encode()).hexdigest()[:8], 16) % 10
+            < d % 5 + 1
+        )
+        interval = d % 3 + 1
+        rate = -math.log((_CR_VISITS - x + 0.5) / (_CR_VISITS + 0.5)) / interval
+        r = got[d]
+        assert r.n_visits == _CR_VISITS and r.n_changed == x
+        assert r.interval_days == interval
+        assert r.change_rate == round(rate, 6) + 0.0
+        assert r.recrawl_days == round(min(365.0, math.log(2) / max(rate, 1e-9)), 4)
+
+
+def test_vocab_coverage_python_recount(spark):
+    import re as _re
+
+    from webcrawler_spark.queries import _VC_PCTS, q_vocab_coverage
+
+    texts = [r.text for r in spark.read.parquet(f"{SF}/documents.parquet").collect()]
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in _re.split(r"\s+", t.lower()):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    cum, cums = 0, []
+    for _, c in ranked:
+        cum += c
+        cums.append(cum)
+    got = {r.pct: r for r in q_vocab_coverage(spark, SF).collect()}
+    assert set(got) == set(_VC_PCTS)
+    for pct in _VC_PCTS:
+        vs = next(i + 1 for i, c in enumerate(cums) if c * 100 >= pct * total)
+        r = got[pct]
+        assert r.vocab_size == vs
+        assert r.coverage == round(cums[vs - 1] / total, 6)
+        # minimality: one fewer type must fall below the target
+        if vs > 1:
+            assert cums[vs - 2] * 100 < pct * total
+
+
+def test_sq8_quantize_recount_and_reconstruction_bound(spark):
+    import numpy as np
+
+    from webcrawler_spark.queries import q_sq8_quantize
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    mat = np.stack(list(emb.values()))
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    span = np.where(mx == mn, 1.0, mx - mn)
+    got = {r.vec_id: r for r in q_sq8_quantize(spark, SF).collect()}
+    assert set(got) == set(emb)
+    # worst-case reconstruction: half a quantization step per dimension
+    bound = float(np.max(((mx - mn) / 255.0 / 2.0) ** 2))
+    for vid, v in emb.items():
+        # numpy uses round-half-even; re-do HALF_UP explicitly to match both engines
+        scaled = (v - mn) / span * 255.0
+        q = np.floor(scaled + 0.5).astype(np.int64)
+        r = got[vid]
+        assert r.q_sum == int(q.sum())
+        dq = mn + q / 255.0 * (mx - mn)
+        mse = float(((v - dq) ** 2).mean())
+        assert abs(r.mse - mse) < 1e-9
+        assert r.mse <= bound + 1e-12

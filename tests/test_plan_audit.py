@@ -540,3 +540,32 @@ def test_host_graph_collapse_no_python_and_counts_partial(spark):
 def test_bloom_fpr_broadcasts_bit_table(spark):
     p = plan_str(_q("bloom_fpr", spark))
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+# ------------------------------------------------ round-3 session-10 additions
+
+
+def test_change_rate_estimate_is_pure_map(spark):
+    """Per-visit indicators fold inside one array expression per row:
+    zero shuffle, zero Python — runs at scan speed on a 10^10-url log."""
+    p = plan_str(_q("change_rate_estimate", spark), "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_vocab_coverage_broadcasts_threshold_probe(spark):
+    """The ranked cumsum runs over the aggregated type table; the
+    threshold probe must be a broadcast theta-join, never a shuffle of
+    the ranked frame against 5 rows."""
+    p = plan_str(_q("vocab_coverage", spark))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sq8_quantize_broadcast_stats_no_python(spark):
+    """Pass-1 dim stats (64 groups) must broadcast into the map-only
+    quantize pass; all folds are JVM array expressions."""
+    p = plan_str(_q("sq8_quantize", spark))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p

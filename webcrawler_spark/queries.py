@@ -10433,6 +10433,229 @@ FROM s
 """
 
 
+# -- page change-rate estimation (recrawl scheduling) ----------------------------------
+
+_CR_VISITS = 8  # revisits per url in the synthetic access history
+
+
+def q_change_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson change-rate estimation from revisit histories (Cho &
+    Garcia-Molina, 'Estimating Frequency of Change', TOIT 2003): a
+    crawler revisits each page n times at a fixed per-page interval I
+    and observes X visits on which the page had changed; the
+    bias-corrected MLE for the change rate is
+    r_hat = -ln((n - X + 0.5) / (n + 0.5)) / I. The reference's
+    recrawl loop re-fetches on a fixed cadence (WebCrawler.scala wave
+    loop); this is the estimator a production recrawl scheduler layers
+    on top to set per-page cadence from observed change history.
+
+    The revisit history is synthesised deterministically: page d has
+    true change probability (d % 5 + 1)/10 per visit and interval
+    (d % 3 + 1) days; visit i changed iff H(d*31+i) % 10 < d % 5 + 1
+    with H = first-8-hex-digits-of-md5 (identical on both engines).
+
+    Scale shape: map-only — the per-visit indicators are folded inside
+    one array expression per row, zero shuffle, zero Python; at 10^10
+    urls this runs at scan speed and the output feeds recrawl_priority."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    changed = (
+        f"aggregate(transform(sequence(1, {_CR_VISITS}), i -> "
+        f"IF(pmod(cast(conv(substring(md5(cast(doc_id * 31 + i as string)), 1, 8), 16, 10) as bigint), 10) "
+        f"< pmod(doc_id, 5) + 1, 1, 0)), 0, (acc, v) -> acc + v)"
+    )
+    d = docs.withColumn("n_changed", F.expr(changed).cast("int")).withColumn(
+        "interval_days", (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int")
+    )
+    rate = -F.log(
+        (F.lit(_CR_VISITS) - F.col("n_changed") + 0.5) / F.lit(_CR_VISITS + 0.5)
+    ) / F.col("interval_days")
+    return d.select(
+        "doc_id",
+        F.lit(_CR_VISITS).cast("int").alias("n_visits"),
+        "n_changed",
+        "interval_days",
+        # + 0.0 canonicalizes IEEE -0.0 (X=0 => -ln(1)) to 0.0 on both engines
+        (F.round(rate, 6) + F.lit(0.0)).alias("change_rate"),
+        # half-life recrawl cadence ln(2)/r, capped for never-changed pages
+        F.round(
+            F.least(F.lit(365.0), float(__import__("math").log(2)) / F.greatest(rate, F.lit(1e-9))), 4
+        ).alias("recrawl_days"),
+    )
+
+
+SQL_CHANGE_RATE_ESTIMATE = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, {_CR_VISITS} + 1),
+           i -> CASE WHEN ('0x' || substr(md5((doc_id * 31 + i)::VARCHAR), 1, 8))::BIGINT % 10
+                          < doc_id % 5 + 1 THEN 1 ELSE 0 END))::INTEGER AS n_changed,
+         (doc_id % 3 + 1)::INTEGER AS interval_days
+  FROM documents
+),
+r AS (
+  SELECT *, -ln(({_CR_VISITS} - n_changed + 0.5) / {_CR_VISITS + 0.5}) / interval_days AS rate
+  FROM h
+)
+SELECT doc_id, {_CR_VISITS}::INTEGER AS n_visits, n_changed, interval_days,
+       round(rate, 6) + 0.0 AS change_rate,
+       round(least(365.0, ln(2) / greatest(rate, 1e-9)), 4) AS recrawl_days
+FROM r
+"""
+
+
+# -- vocabulary tail coverage ----------------------------------------------------------
+
+_VC_PCTS = (50, 75, 90, 95, 99)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary tail-coverage curve — the tokenizer-sizing question
+    every training-data pipeline answers before fixing a vocab: rank
+    token types by corpus frequency and report, for each target
+    coverage percentile, the smallest vocabulary size whose cumulative
+    token mass reaches it (and the coverage actually attained there).
+    Complements zipf_alpha (the fitted exponent) with the operational
+    quantity (how big must the vocab be).
+
+    Scale shape: one shuffle (token groupBy count); the ranked
+    cumulative sum runs over the AGGREGATED type table (vocab-sized,
+    orders of magnitude below corpus size); the threshold probe is an
+    integer comparison cum*100 >= pct*total — exact, no float
+    boundary. At 10^10-doc scale the ranked window goes two-phase
+    (per-partition pre-rank + merge), same as first_seen_ids."""
+    toks = _tokens(_read(spark, sf_dir, "documents")).select(
+        F.explode("toks").alias("t")
+    )
+    cnts = toks.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = cnts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("t"))
+    ranked = (
+        cnts.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("cnt")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    th = spark.createDataFrame([(p,) for p in _VC_PCTS], "pct int")
+    return (
+        ranked.join(
+            F.broadcast(th), F.col("cum") * 100 >= F.col("pct") * F.col("total")
+        )
+        .groupBy("pct", "total")
+        .agg(F.min("rnk").alias("vocab_size"), F.min("cum").alias("mincum"))
+        .select(
+            "pct",
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            F.round(F.col("mincum") / F.col("total"), 6).alias("coverage"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (SELECT unnest({_SQL_TOKS}) AS t FROM documents),
+cnts AS (SELECT t, count(*)::BIGINT AS cnt FROM toks GROUP BY t),
+tot AS (SELECT sum(cnt)::BIGINT AS total FROM cnts),
+ranked AS (
+  SELECT t, cnt,
+         row_number() OVER (ORDER BY cnt DESC, t ASC) AS rnk,
+         sum(cnt) OVER (ORDER BY cnt DESC, t ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM cnts
+),
+th AS (SELECT unnest([{", ".join(str(p) for p in _VC_PCTS)}]) AS pct)
+SELECT pct::INTEGER AS pct,
+       min(rnk)::BIGINT AS vocab_size,
+       round(min(cum) * 1.0 / total, 6) AS coverage
+FROM ranked, tot, th
+WHERE cum * 100 >= pct * total
+GROUP BY pct, total
+"""
+
+
+# -- scalar int8 embedding quantization ------------------------------------------------
+
+_SQ8_DIM = 64
+
+
+def q_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 (SQ8) embedding quantization — the storage tier every
+    vector index at 100 TB actually serves from (FAISS SQ8 / Milvus
+    SQ8): per-dimension global [min, max] over the corpus, each value
+    mapped to round((x-mn)/(mx-mn)*255), reconstruction
+    dq = mn + q/255*(mx-mn). Reports the per-vector quantized checksum
+    (integer-exact) and reconstruction MSE.
+
+    Scale shape: two passes — pass 1 is a posexplode + 64-group agg
+    (tiny shuffle, map-side combine), whose 1-row result broadcasts
+    into pass 2's map-only quantize; no per-row Python, all folds
+    sequential => bit-identical to the oracle before rounding. The
+    [0,255] range needs no clamp: mn/mx are global extrema, so every
+    value is in range by construction."""
+    e = _read(spark, sf_dir, "embeddings")
+    dims = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    mm = dims.agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").alias(
+            "mins"
+        ),
+        F.expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").alias(
+            "maxs"
+        ),
+    )
+    _q = (
+        "round((cast(s.embedding as double) - cast(s.mins as double)) / "
+        "IF(s.maxs = s.mins, cast(1.0 as double), cast(s.maxs as double) - cast(s.mins as double)) * 255.0)"
+    )
+    q_arr = f"transform(arrays_zip(embedding, mins, maxs), s -> cast({_q} as int))"
+    err = (
+        f"aggregate(transform(arrays_zip(embedding, mins, maxs), s -> "
+        f"(cast(s.embedding as double) - (cast(s.mins as double) + {_q} / 255.0 * "
+        f"(cast(s.maxs as double) - cast(s.mins as double)))) * "
+        f"(cast(s.embedding as double) - (cast(s.mins as double) + {_q} / 255.0 * "
+        f"(cast(s.maxs as double) - cast(s.mins as double))))), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return (
+        e.crossJoin(F.broadcast(mm))
+        .select(
+            "vec_id",
+            F.expr(f"aggregate({q_arr}, 0, (acc, v) -> acc + v)")
+            .cast("int")
+            .alias("q_sum"),
+            F.round(F.expr(err) / _SQ8_DIM, 12).alias("mse"),
+        )
+    )
+
+
+_SQL_SQ8_Q = (
+    "round((s[1]::DOUBLE - s[2]::DOUBLE) / "
+    "(CASE WHEN s[3] = s[2] THEN 1.0 ELSE s[3]::DOUBLE - s[2]::DOUBLE END) * 255.0)"
+)
+SQL_SQ8_QUANTIZE = f"""
+WITH dims AS (
+  SELECT i AS pos, min(embedding[i]) AS mn, max(embedding[i]) AS mx
+  FROM embeddings, generate_series(1, {_SQ8_DIM}) g(i)
+  GROUP BY i
+),
+mm AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM dims
+)
+SELECT vec_id,
+       list_sum(list_transform(list_zip(embedding, mins, maxs),
+                s -> ({_SQL_SQ8_Q})::INTEGER))::INTEGER AS q_sum,
+       round(list_sum(list_transform(list_zip(embedding, mins, maxs),
+             s -> (s[1]::DOUBLE - (s[2]::DOUBLE + {_SQL_SQ8_Q} / 255.0 * (s[3]::DOUBLE - s[2]::DOUBLE))) *
+                  (s[1]::DOUBLE - (s[2]::DOUBLE + {_SQL_SQ8_Q} / 255.0 * (s[3]::DOUBLE - s[2]::DOUBLE)))))
+             / {_SQ8_DIM}, 12) AS mse
+FROM embeddings, mm
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -10600,6 +10823,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),
     "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "change_rate_estimate": (q_change_rate_estimate, SQL_CHANGE_RATE_ESTIMATE),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "sq8_quantize": (q_sq8_quantize, SQL_SQ8_QUANTIZE),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
