@@ -1062,3 +1062,118 @@ def test_sq8_quantize_recount_and_reconstruction_bound(spark):
         mse = float(((v - dq) ** 2).mean())
         assert abs(r.mse - mse) < 1e-9
         assert r.mse <= bound + 1e-12
+
+
+def test_random_walks_python_replication(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _RW_START_MOD, _RW_STEPS, q_random_walks
+
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").collect()
+    )
+    n = len(ids)
+    adj: dict[int, list[int]] = {}
+    for s in ids:
+        for d in {(s * 7 + 3) % n, (s // 3) % n}:
+            if d != s:
+                adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s] = sorted(set(adj[s]))
+
+    def h(x: int) -> int:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+
+    got = {r.start_id: r for r in q_random_walks(spark, SF).collect()}
+    starts = [d for d in ids if d % _RW_START_MOD == 0]
+    assert set(got) == set(starts)
+    for s in starts:
+        node, path = s, [s]
+        for t in range(1, _RW_STEPS + 1):
+            nbrs = adj.get(node)
+            if nbrs:
+                node = nbrs[h(node * 131 + t * 7919) % len(nbrs)]
+            path.append(node)
+        r = got[s]
+        assert list(r.path) == path
+        assert r.final_node == node
+        assert r.n_unique_nodes == len(set(path))
+
+
+def test_mad_outliers_python_recount(spark):
+    from webcrawler_spark.queries import _MAD_K, _MAD_Z, q_mad_outliers
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.value, r.event_id))
+
+    expected = {}
+    for et, vals in by_type.items():
+        svals = sorted(vals)
+        med = svals[(len(svals) + 1) // 2 - 1][0]
+        devs = sorted((abs(v - med), eid) for v, eid in vals)
+        mad = devs[(len(devs) + 1) // 2 - 1][0]
+        if mad <= 0:
+            continue
+        for v, eid in vals:
+            z = (v - med) / (_MAD_K * mad)
+            if abs(z) > _MAD_Z:
+                expected[eid] = (et, v, round(med, 6), round(mad, 6), round(z, 4))
+
+    got = {r.event_id: r for r in q_mad_outliers(spark, SF).collect()}
+    assert set(got) == set(expected)
+    for eid, (et, v, med, mad, z) in expected.items():
+        r = got[eid]
+        assert (r.event_type, r.value, r.med, r.mad, r.robust_z) == (et, v, med, mad, z)
+
+
+def test_silhouette_score_python_replication(spark):
+    import numpy as np
+
+    from webcrawler_spark.queries import _KM_ITERS, _KM_K, q_silhouette_score
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    cent = {
+        cid: np.round(vecs[cid].astype(np.float64), 6)
+        for cid in sorted(vecs)
+        if cid < _KM_K
+    }
+    assign = {}
+    for _ in range(_KM_ITERS):
+        assign = {}
+        for vid, v in vecs.items():
+            d2 = {cid: float(((v - c) ** 2).sum()) for cid, c in cent.items()}
+            assign[vid] = min(d2, key=lambda cid: (d2[cid], cid))
+        cent = {
+            cid: np.round(
+                np.mean([vecs[v] for v, c in assign.items() if c == cid], axis=0), 6
+            )
+            for cid in cent
+        }
+    sums: dict[int, list] = {}
+    for vid, cid in assign.items():
+        v = vecs[vid]
+        a = float(np.sqrt(((v - cent[cid]) ** 2).sum()))
+        b = min(
+            float(np.sqrt(((v - cent[o]) ** 2).sum())) for o in cent if o != cid
+        )
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        sums.setdefault(cid, []).append(s)
+
+    got = {r.cid: r for r in q_silhouette_score(spark, SF).collect()}
+    assert set(got) == set(sums)
+    assert sum(r.n_vectors for r in got.values()) == len(vecs)
+    for cid, ss in sums.items():
+        r = got[cid]
+        assert r.n_vectors == len(ss)
+        # numpy's pairwise float sums can differ from the engines' sequential
+        # folds in the last ulp; compare at 1e-5, not exactly
+        assert abs(r.mean_sil - sum(ss) / len(ss)) < 1e-5
+        assert -1.0 <= r.mean_sil <= 1.0

@@ -569,3 +569,26 @@ def test_sq8_quantize_broadcast_stats_no_python(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_silhouette_score_broadcast_only_no_python(spark):
+    """Post-Lloyd passes must stay broadcast (k-row centroid table);
+    nothing in the op may fall to Python or a sort-merge join."""
+    p = plan_str(_q("silhouette_score", spark))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_random_walks_no_cartesian_no_python(spark):
+    """Each step is a keyed frontier-vs-adjacency join: never a
+    cartesian, never Python."""
+    p = plan_str(_q("random_walks", spark))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_mad_outliers_broadcasts_medians(spark):
+    p = plan_str(_q("mad_outliers", spark))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

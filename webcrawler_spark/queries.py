@@ -3957,21 +3957,13 @@ _KM_K = 8
 _KM_ITERS = 3
 
 
-def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means (Lloyd) over the embeddings table: k=8 seeds
-    taken deterministically from the first vectors by vec_id, 3
-    assign/update iterations, squared-L2 with ties to the lower cluster
-    id. Centroid components are rounded to 6 dp after every update so
-    both engines iterate on IDENTICAL state (summation-order differences
-    cannot compound across iterations).
-
-    Scale shape: each iteration is the canonical broadcast-assignment
-    plan — k x dim centroids broadcast, one argmin window per vector,
-    centroid update via posexplode + map-side partial avg on (cluster,
-    pos). The driver holds only the k-row centroid table between
-    iterations (localCheckpoint'd); the vectors never leave the
-    executors. ann_ivf trains its codebook with exactly this loop on a
-    bounded sample; this is the full-corpus variant."""
+def _kmeans_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The Lloyd loop shared by kmeans_embed and silhouette_score:
+    returns (final assignment frame, final k-row centroid frame).
+    Logic is byte-for-byte the loop kmeans_embed always ran — factored,
+    not changed — so its oracle parity is untouched."""
     e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = (
         e.filter(F.col("vec_id") < _KM_K)
@@ -4002,6 +3994,25 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cid", F.expr("transform(pc, p -> p.c)").alias("centroid"))
             .localCheckpoint(eager=True)
         )
+    return assigned, cent
+
+
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd) over the embeddings table: k=8 seeds
+    taken deterministically from the first vectors by vec_id, 3
+    assign/update iterations, squared-L2 with ties to the lower cluster
+    id. Centroid components are rounded to 6 dp after every update so
+    both engines iterate on IDENTICAL state (summation-order differences
+    cannot compound across iterations).
+
+    Scale shape: each iteration is the canonical broadcast-assignment
+    plan — k x dim centroids broadcast, one argmin window per vector,
+    centroid update via posexplode + map-side partial avg on (cluster,
+    pos). The driver holds only the k-row centroid table between
+    iterations (localCheckpoint'd); the vectors never leave the
+    executors. ann_ivf trains its codebook with exactly this loop on a
+    bounded sample; this is the full-corpus variant."""
+    assigned, cent = _kmeans_state(spark, sf_dir)
     return (
         assigned.groupBy("cid")
         .agg(
@@ -4013,7 +4024,9 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql() -> str:
+def _kmeans_sql_prefix() -> str:
+    """The unrolled Lloyd-iteration CTE chain (WITH e .. cent{N}) shared
+    by the kmeans_embed and silhouette_score oracles."""
     parts = [
         f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
 cent0 AS (
@@ -4044,15 +4057,19 @@ cent0 AS (
   ) p GROUP BY cid
 )"""
         )
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql() -> str:
     last = _KM_ITERS
-    parts.append(
-        f"""
+    return (
+        _kmeans_sql_prefix()
+        + f"""
 SELECT a.cid AS cid, count(*)::BIGINT AS n_vectors,
        round(sum(a.d2), 3) AS inertia, any_value(c.centroid) AS centroid
 FROM a{last} a JOIN cent{last} c ON a.cid = c.cid
 GROUP BY a.cid"""
     )
-    return "".join(parts)
 
 
 SQL_KMEANS_EMBED = _kmeans_oracle_sql()
@@ -10433,6 +10450,267 @@ FROM s
 """
 
 
+# -- simplified silhouette (cluster quality) -------------------------------------------
+
+
+def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette over the kmeans_embed
+    clustering: a(i) = distance to own centroid, b(i) = min distance to
+    any OTHER centroid, s(i) = (b-a)/max(a,b); reported as the
+    per-cluster mean — the standard clustering-quality audit run before
+    trusting cluster-based curation (SemDeDup, cluster-balanced
+    sampling). The simplified form is THE scale variant: O(n*k) against
+    k broadcast centroids instead of the O(n^2) pairwise original.
+
+    Scale shape: reuses the Lloyd loop's final state (_kmeans_state —
+    identical plan to kmeans_embed); the b(i) pass is one broadcast
+    cross with the k-row centroid table + a (vec_id) min-groupBy.
+    Per-vector s lands in integer nano-units so the per-cluster mean is
+    an exact integer sum — no float-order sensitivity."""
+    assigned, cent = _kmeans_state(spark, sf_dir)
+    others = cent.select(
+        F.col("cid").alias("ocid"), F.col("centroid").alias("ocentroid")
+    )
+    d2o = F.expr(_sqdist_expr("embedding", "ocentroid"))
+    # both a and b against the SAME (final) centroid snapshot — the
+    # assignment's carried d2 is vs the pre-update centroids, so recompute
+    b2 = (
+        assigned.crossJoin(F.broadcast(others))
+        .select("vec_id", "cid", "ocid", d2o.alias("d2o"))
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.min(F.when(F.col("ocid") == F.col("cid"), F.col("d2o"))).alias("a2"),
+            F.min(F.when(F.col("ocid") != F.col("cid"), F.col("d2o"))).alias("b2"),
+        )
+    )
+    a_ = F.sqrt(F.col("a2"))
+    b_ = F.sqrt(F.col("b2"))
+    sil = F.when(F.greatest(a_, b_) == 0.0, F.lit(0.0)).otherwise(
+        (b_ - a_) / F.greatest(a_, b_)
+    )
+    return (
+        b2.select("cid", F.round(sil * 1e9).cast("bigint").alias("sil_nano"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.sum("sil_nano") / 1e9 / F.count("*"), 6).alias("mean_sil"),
+        )
+    )
+
+
+def _silhouette_oracle_sql() -> str:
+    last = _KM_ITERS
+    return (
+        _kmeans_sql_prefix()
+        + f""", oth AS (
+  SELECT a.vec_id, a.cid,
+         min(CASE WHEN c.cid = a.cid THEN {_sql_sqdist('a.embedding', 'c.centroid')} END) AS a2,
+         min(CASE WHEN c.cid <> a.cid THEN {_sql_sqdist('a.embedding', 'c.centroid')} END) AS b2
+  FROM a{last} a CROSS JOIN cent{last} c
+  GROUP BY a.vec_id, a.cid
+),
+sil AS (
+  SELECT cid,
+         CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+              ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) END AS s
+  FROM oth
+)
+SELECT cid, count(*)::BIGINT AS n_vectors,
+       round(sum(round(s * 1e9)::BIGINT) / 1e9 / count(*), 6) AS mean_sil
+FROM sil GROUP BY cid"""
+    )
+
+
+SQL_SILHOUETTE_SCORE = _silhouette_oracle_sql()
+
+
+# -- deterministic random-walk corpus (DeepWalk) ---------------------------------------
+
+_RW_STEPS = 8
+_RW_START_MOD = 8  # walks start at doc_id % _RW_START_MOD == 0
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec walk-corpus generation (Perozzi KDD'14): from
+    each start node, an {_RW_STEPS}-step walk over the directed link
+    graph where step t at node u moves to
+    nbrs[H(u*131 + t*7919) % deg(u)] — hash-seeded, so the walk corpus
+    is byte-reproducible across runs and reshards (the property that
+    makes graph-embedding training data auditable). Dead-end nodes
+    absorb (walk stays in place). Uses the same deterministic edge set
+    as link_farm_score/adamic_adar.
+
+    Scale shape: the adjacency table (src -> sorted nbr list) is built
+    once with one groupBy and localCheckpoint'd; each step is one hash
+    join of the O(|starts|) walk frontier against it — the Pregel step
+    as DataFrames. No centralized walk state, no Python; at 10^10 edges
+    each step shuffles only the frontier."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = docs.select(F.col("doc_id").alias("src"))
+    edges = (
+        base.select("src", ((F.col("src") * 7 + 3) % n).alias("dst"))
+        .union(base.select("src", (F.floor(F.col("src") / 3) % n).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    adj = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    cur = docs.filter(F.col("doc_id") % _RW_START_MOD == 0).select(
+        F.col("doc_id").alias("start_id"),
+        F.col("doc_id").alias("node"),
+        F.array("doc_id").alias("path"),
+    )
+    for t in range(1, _RW_STEPS + 1):
+        nxt = (
+            f"IF(nbrs IS NULL, node, element_at(nbrs, cast(pmod("
+            f"cast(conv(substring(md5(cast(node * 131 + {t * 7919} as string)), 1, 8), 16, 10) as bigint), "
+            f"size(nbrs)) + 1 as int)))"
+        )
+        cur = (
+            cur.join(adj, cur["node"] == adj["src"], "left")
+            .select(
+                "start_id",
+                F.expr(nxt).alias("node"),
+                F.expr(f"concat(path, array({nxt}))").alias("path"),
+            )
+        )
+    return cur.select(
+        "start_id",
+        "path",
+        F.col("node").alias("final_node"),
+        F.expr("size(array_distinct(path))").cast("int").alias("n_unique_nodes"),
+    )
+
+
+def _random_walks_oracle_sql() -> str:
+    parts = [
+        f"""WITH nd AS (SELECT count(*) AS n FROM documents),
+de AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % nd.n AS dst FROM documents, nd
+    UNION ALL
+    SELECT doc_id AS src, (doc_id // 3) % nd.n AS dst FROM documents, nd
+  ) e WHERE src <> dst
+),
+adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs FROM de GROUP BY src),
+w0 AS (
+  SELECT doc_id AS start_id, doc_id AS node, [doc_id] AS path
+  FROM documents WHERE doc_id % {_RW_START_MOD} = 0
+)"""
+    ]
+    for t in range(1, _RW_STEPS + 1):
+        nxt = (
+            f"CASE WHEN a.nbrs IS NULL THEN w.node ELSE "
+            f"a.nbrs[(('0x' || substr(md5((w.node * 131 + {t * 7919})::VARCHAR), 1, 8))::BIGINT "
+            f"% len(a.nbrs))::INTEGER + 1] END"
+        )
+        parts.append(
+            f""", w{t} AS (
+  SELECT start_id, nxt AS node, list_append(path, nxt) AS path FROM (
+    SELECT w.start_id, w.path, {nxt} AS nxt
+    FROM w{t - 1} w LEFT JOIN adj a ON a.src = w.node
+  )
+)"""
+        )
+    parts.append(
+        f"""
+SELECT start_id, path, node AS final_node,
+       len(list_distinct(path))::INTEGER AS n_unique_nodes
+FROM w{_RW_STEPS}"""
+    )
+    return "".join(parts)
+
+
+SQL_RANDOM_WALKS = _random_walks_oracle_sql()
+
+
+# -- MAD robust outlier detection ------------------------------------------------------
+
+_MAD_K = 1.4826  # consistency constant: MAD * 1.4826 ~ sigma under normality
+_MAD_Z = 3.0
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per event_type — the
+    robust z-score |x - med| / (1.4826 * MAD) > 3 rule that survives the
+    heavy-tailed metric distributions (fetch latencies, page sizes)
+    where mean/stddev rules break. Medians are LOWER medians picked by
+    integer rank over the (value, event_id) total order — exact, no
+    interpolation semantics to disagree on.
+
+    Scale shape: two ranked passes per event_type (value rank, then
+    deviation rank) + a broadcast join of the per-type medians back to
+    the stream. The per-type windows are one task per type — fine for a
+    bounded type vocabulary; at unbounded cardinality production swaps
+    the rank-median for a two-phase histogram median, same topology as
+    pack_bins' two-phase cumsum."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    wv = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        ev.withColumn("rn", F.row_number().over(wv))
+        .withColumn("cnt", F.count("*").over(wall))
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy(F.asc("dev"), F.asc("event_id"))
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("cnt", F.count("*").over(wall))
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(_MAD_K) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > _MAD_Z))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("med"), 6).alias("med"),
+            F.round(F.col("mad"), 6).alias("mad"),
+            F.round(z, 4).alias("robust_z"),
+        )
+    )
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH ev AS (SELECT event_id, event_type, value FROM events),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM ev
+),
+med AS (SELECT event_type, value AS med FROM r1 WHERE rn = (cnt + 1) // 2),
+dev AS (
+  SELECT ev.event_id, ev.event_type, ev.value, med.med,
+         abs(ev.value - med.med) AS dev
+  FROM ev JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+),
+mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+SELECT d.event_id, d.event_type, d.value,
+       round(d.med, 6) AS med, round(m.mad, 6) AS mad,
+       round((d.value - d.med) / ({_MAD_K} * m.mad), 4) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND abs((d.value - d.med) / ({_MAD_K} * m.mad)) > {_MAD_Z}
+"""
+
+
 # -- page change-rate estimation (recrawl scheduling) ----------------------------------
 
 _CR_VISITS = 8  # revisits per url in the synthetic access history
@@ -10826,6 +11104,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "change_rate_estimate": (q_change_rate_estimate, SQL_CHANGE_RATE_ESTIMATE),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "sq8_quantize": (q_sq8_quantize, SQL_SQ8_QUANTIZE),
+    "silhouette_score": (q_silhouette_score, SQL_SILHOUETTE_SCORE),
+    "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
