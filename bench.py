@@ -135,6 +135,18 @@ HEADLINE = [
     "markov_transitions",
     "adamic_adar",
     "cdc_chunks",
+    "change_rate_estimate",
+    "vocab_coverage",
+    "sq8_quantize",
+    "silhouette_score",
+    "random_walks",
+    "mad_outliers",
+    "pca_power",
+    "bfs_levels",
+    "quantile_normalize",
+    "degree_assortativity",
+    "local_clustering",
+    "stupid_backoff_score",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -1177,3 +1177,203 @@ def test_silhouette_score_python_replication(spark):
         # folds in the last ulp; compare at 1e-5, not exactly
         assert abs(r.mean_sil - sum(ss) / len(ss)) < 1e-5
         assert -1.0 <= r.mean_sil <= 1.0
+
+
+def test_bfs_levels_python_recount(spark):
+    from collections import deque
+
+    from webcrawler_spark.queries import _BFS_ROUNDS, _BFS_SEED_MOD, q_bfs_levels
+
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").collect()
+    )
+    n = len(ids)
+    adj: dict[int, set] = {s: set() for s in ids}
+    for s in ids:
+        for d in {(s * 7 + 3) % n, (s // 3) % n}:
+            if d != s:
+                adj[s].add(d)
+    level = {s: (0 if s % _BFS_SEED_MOD == 0 else None) for s in ids}
+    frontier = deque(s for s in ids if level[s] == 0)
+    while frontier:
+        u = frontier.popleft()
+        if level[u] >= _BFS_ROUNDS:
+            continue
+        for v in adj[u]:
+            if level[v] is None or level[v] > level[u] + 1:
+                level[v] = level[u] + 1
+                frontier.append(v)
+    expected = {s: (lv if lv is not None else -1) for s, lv in level.items()}
+    got = {r.doc_id: r.level for r in q_bfs_levels(spark, SF).collect()}
+    assert got == expected
+    assert 0 in set(got.values()) and any(v > 0 for v in got.values())
+
+
+def test_quantile_normalize_python_recount(spark):
+    from webcrawler_spark.queries import q_quantile_normalize
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.value, r.event_id))
+    expected = {}
+    for et, vals in by_type.items():
+        svals = sorted(vals)
+        n = len(svals)
+        # average rank over the tie group, exactly as (min+max)/2
+        first = {}
+        last = {}
+        for idx, (v, _) in enumerate(svals, start=1):
+            first.setdefault(v, idx)
+            last[v] = idx
+        for v, eid in vals:
+            avg2 = first[v] + last[v]
+            expected[eid] = (et, v, round(avg2 / (2.0 * (n + 1)), 6))
+    got = {r.event_id: (r.event_type, r.value, r.u) for r in q_quantile_normalize(spark, SF).collect()}
+    assert got == expected
+    # uniformity: per type, mean of u close to 0.5
+    for et, vals in by_type.items():
+        us = [got[eid][2] for _, eid in vals]
+        assert abs(sum(us) / len(us) - 0.5) < 0.02
+
+
+def test_pca_power_python_replication(spark):
+    import numpy as np
+
+    from webcrawler_spark.queries import _PCA_DIM, _PCA_ITERS, q_pca_power
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    vids = [r.vec_id for r in rows]
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    n = len(rows)
+    mu = np.round(mat.mean(axis=0), 6)
+    cx = mat - mu
+    C = np.round(cx.T @ cx / n, 6)
+    v = np.full(_PCA_DIM, round(1.0 / _PCA_DIM**0.5, 6))
+    for _ in range(_PCA_ITERS):
+        raw = C @ v
+        v = np.round(raw / np.sqrt((raw * raw).sum()), 6)
+    lam = float((C @ v) @ v / (v @ v))
+    got = {r.vec_id: r for r in q_pca_power(spark, SF).collect()}
+    assert set(got) == set(vids)
+    for i, vid in enumerate(vids):
+        r = got[vid]
+        # numpy BLAS sums differ from sequential folds in the last ulp;
+        # 6-dp-rounded state keeps the trajectories identical, compare 1e-4
+        assert abs(r.proj - round(float(cx[i] @ v), 6)) < 1e-4
+        assert abs(r.eigenvalue - lam) < 1e-4
+    # the component explains the most variance: projection variance onto v
+    # must exceed variance along any coordinate axis
+    projs = cx @ v
+    assert projs.var() >= max(cx.var(axis=0)) * 0.99
+
+
+def test_degree_assortativity_python_recount(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _PR_NODES, q_degree_assortativity
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id").collect()
+    edges = set()
+    for r in ev:
+        s = r.user_id % _PR_NODES
+        d = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:4], 16) % _PR_NODES
+        if s != d:
+            edges.add((min(s, d), max(s, d)))
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(edges)
+    s_jk = sum(deg[a] * deg[b] for a, b in edges)
+    s_sum = sum(deg[a] + deg[b] for a, b in edges)
+    s_sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    mean_half = s_sum / (2.0 * m)
+    r_exp = (s_jk / m - mean_half**2) / (s_sq / (2.0 * m) - mean_half**2)
+    row = q_degree_assortativity(spark, SF).collect()[0]
+    assert row.n_edges == m
+    assert row.assortativity == round(r_exp, 6)
+    assert -1.0 <= row.assortativity <= 1.0
+
+
+def test_local_clustering_python_recount(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _PR_NODES, q_local_clustering
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id").collect()
+    edges = set()
+    for r in ev:
+        s = r.user_id % _PR_NODES
+        d = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:4], 16) % _PR_NODES
+        if s != d:
+            edges.add((min(s, d), max(s, d)))
+    nbrs: dict[int, set] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    got = {r.node: r for r in q_local_clustering(spark, SF).collect()}
+    assert set(got) == set(nbrs)
+    for v, ns in nbrs.items():
+        tri = sum(
+            1 for x in ns for y in ns if x < y and (min(x, y), max(x, y)) in edges
+        )
+        r = got[v]
+        assert r.deg == len(ns)
+        assert r.n_triangles == tri
+        want = round(2.0 * tri / (len(ns) * (len(ns) - 1)), 6) if len(ns) >= 2 else 0.0
+        assert r.clustering == want
+        assert 0.0 <= r.clustering <= 1.0
+
+
+def test_stupid_backoff_python_recount(spark):
+    import math
+    from collections import Counter
+
+    from webcrawler_spark.queries import _SB_ALPHA, q_stupid_backoff_score
+
+    docs = {
+        r.doc_id: [t for t in re.split(r"\s+", r.text.lower()) if t]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    tri_of = {
+        d: [(t[i], t[i + 1], t[i + 2]) for i in range(len(t) - 2)]
+        for d, t in docs.items()
+    }
+    train = [tg for d, tgs in tri_of.items() if d % 2 == 0 for tg in tgs]
+    c3g = Counter(train)
+    c12 = Counter((a, b) for a, b, _ in train)
+    c23 = Counter((b, c) for _, b, c in train)
+    c2 = Counter(b for _, b, _ in train)
+    c3 = Counter(c for _, _, c in train)
+    n = len(train)
+    a = _SB_ALPHA
+    got = {r.doc_id: r for r in q_stupid_backoff_score(spark, SF).collect()}
+    expected_ids = {d for d, tgs in tri_of.items() if d % 2 == 1 and tgs}
+    assert set(got) == expected_ids
+    for d in expected_ids:
+        lv = [0, 0, 0, 0]
+        nano = 0
+        for tg in tri_of[d]:
+            if tg in c3g:
+                s = c3g[tg] / c12[(tg[0], tg[1])]
+                lv[0] += 1
+            elif (tg[1], tg[2]) in c23:
+                s = a * c23[(tg[1], tg[2])] / c2[tg[1]]
+                lv[1] += 1
+            elif tg[2] in c3:
+                s = a * a * c3[tg[2]] / n
+                lv[2] += 1
+            else:
+                s = a * a / n
+                lv[3] += 1
+            nano += round(math.log(s) * 1e9)
+        r = got[d]
+        assert (r.n_tri, r.n_bi, r.n_uni, r.n_oov) == tuple(lv)
+        assert r.n_trigrams == len(tri_of[d])
+        assert abs(r.mean_logscore - round(nano / 1e9 / len(tri_of[d]), 6)) < 2e-6

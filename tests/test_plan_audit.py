@@ -592,3 +592,50 @@ def test_mad_outliers_broadcasts_medians(spark):
     p = plan_str(_q("mad_outliers", spark))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_pca_power_broadcast_only_no_python(spark):
+    """Corpus passes are map-side against broadcast state (mu, v, ray);
+    the covariance build is the only data shuffle."""
+    p = plan_str(_q("pca_power", spark))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bfs_levels_no_cartesian_no_python(spark):
+    p = plan_str(_q("bfs_levels", spark))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quantile_normalize_windows_keyed_by_type(spark):
+    """All three windows partition by event_type (or its (type,value)
+    refinement): no global single-task window anywhere."""
+    p = plan_str(_q("quantile_normalize", spark), "simple")
+    assert "SinglePartition" not in p
+    assert "hashpartitioning" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_degree_assortativity_broadcast_degrees(spark):
+    """Degree tables are host-cardinality: both joins must broadcast;
+    the moment sums are one partial+final agg."""
+    p = plan_str(_q("degree_assortativity", spark))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_local_clustering_broadcast_triangles(spark):
+    p = plan_str(_q("local_clustering", spark))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_stupid_backoff_no_python_partial_aggs(spark):
+    """Count tables are vocabulary-sized groupBys (partial+final); the
+    scored stream joins hash-side; nothing falls to Python."""
+    p = plan_str(_q("stupid_backoff_score", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert plan_str(_q("stupid_backoff_score", spark), "simple").count("HashAggregate") >= 4

@@ -10450,6 +10450,620 @@ FROM s
 """
 
 
+# -- degree assortativity (Newman) -----------------------------------------------------
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman's degree-assortativity coefficient of the undirected host
+    graph (Phys. Rev. Lett. 89, 2002): the Pearson correlation of the
+    degrees at either end of an edge. Negative r is the signature of
+    the web's hub-and-spoke structure (hubs link to leaves); a spam
+    link farm shows r near +1 — so the single scalar is a cheap
+    corpus-level spam/health probe next to link_farm_score's per-node
+    signals.
+
+    Scale shape: degrees are one groupBy; the per-edge (j,k) stream is
+    two broadcast joins; ALL three moment sums (sum jk, sum j+k,
+    sum j^2+k^2) are integer — the final r is one double expression
+    over six integers, so there is no float-summation-order surface at
+    all."""
+    und = (
+        _pagerank_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    jk = (
+        und.join(F.broadcast(deg).withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "j")
+        .join(F.broadcast(deg).withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("deg", "k")
+    )
+    sums = jk.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("s_jk"),
+        F.sum(F.col("j") + F.col("k")).cast("bigint").alias("s_sum"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("bigint")
+        .alias("s_sq"),
+    )
+    mean_half = F.col("s_sum") / (2.0 * F.col("m"))
+    r = (F.col("s_jk") / F.col("m") - mean_half * mean_half) / (
+        F.col("s_sq") / (2.0 * F.col("m")) - mean_half * mean_half
+    )
+    # degenerate regular graph (all degrees equal => zero variance): the
+    # integer predicate 2*m*s_sq == s_sum^2 detects it exactly, no float zero
+    degenerate = F.col("s_sq") * 2 * F.col("m") == F.col("s_sum") * F.col("s_sum")
+    return sums.select(
+        F.col("m").alias("n_edges"),
+        F.when(degenerate, F.lit(0.0)).otherwise(F.round(r, 6)).alias("assortativity"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) t GROUP BY node
+),
+jk AS (
+  SELECT da.deg AS j, db.deg AS k
+  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node
+),
+s AS (
+  SELECT count(*)::BIGINT AS m, sum(j * k)::BIGINT AS s_jk,
+         sum(j + k)::BIGINT AS s_sum, sum(j * j + k * k)::BIGINT AS s_sq
+  FROM jk
+)
+SELECT m AS n_edges,
+       CASE WHEN s_sq * 2 * m = s_sum * s_sum THEN 0.0
+            ELSE round((s_jk / m - (s_sum / (2.0 * m)) * (s_sum / (2.0 * m))) /
+                       (s_sq / (2.0 * m) - (s_sum / (2.0 * m)) * (s_sum / (2.0 * m))), 6)
+       END AS assortativity
+FROM s
+"""
+
+
+# -- local clustering coefficient ------------------------------------------------------
+
+
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient c(v) = 2*T(v) /
+    (deg(v)*(deg(v)-1)) over the host graph — Watts-Strogatz; tightly
+    clustered neighborhoods around a host are the mirror-cluster /
+    link-ring signature that complements triangle counts with a
+    degree-normalized score. Nodes with deg < 2 report 0.
+
+    Scale shape: composes q_triangle_count (degree-oriented wedge plan,
+    arboricity-bounded) with the degree table via one left join; both
+    inputs are host-cardinality, so the join side is broadcastable. The
+    ratio is integer/integer — no float surface."""
+    tri = q_triangle_count(spark, sf_dir)
+    und = (
+        _pagerank_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    return (
+        deg.join(F.broadcast(tri), "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+SQL_LOCAL_CLUSTERING = f"""
+WITH tc AS ({SQL_TRIANGLE_COUNT}),
+edges2 AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+und2 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges2
+),
+deg2 AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM und2 UNION ALL SELECT b FROM und2
+  ) t GROUP BY node
+)
+SELECT d.node, d.deg,
+       coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN round(2.0 * coalesce(tc.n_triangles, 0) / (d.deg * (d.deg - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg2 d LEFT JOIN tc ON d.node = tc.node
+"""
+
+
+# -- stupid-backoff trigram LM scoring -------------------------------------------------
+
+_SB_ALPHA = 0.4  # the Brants et al. backoff factor
+
+
+def q_stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. EMNLP'07 —
+     'Large Language Models in Machine Translation', THE distributed
+    n-gram-LM recipe): count tables are built on the TRAIN half (even
+    doc_ids) and every ODD doc is scored as held-out text, so the
+    backoff chain genuinely fires on unseen n-grams.
+    S(w3|w1w2) = c123/c12, else 0.4*c23/c2, else 0.16*c3/N, else a
+    0.16/N OOV floor. Reports per-doc mean log-score plus the exact
+    integer counts of how many positions resolved at each backoff
+    level.
+
+    Scale shape: three count tables are plain groupBys with map-side
+    partials (vocabulary-sized, NOT corpus-sized); the scored stream is
+    the exploded trigram stream with four hash left-joins against them
+    — at 100 TB one scores the DISTINCT trigram table once and rejoins
+    (the bpe_apply shape); per-position log-scores land in integer
+    nano-units so the per-doc mean is an exact integer sum."""
+    toks = _tokens(_read(spark, sf_dir, "documents")).select("doc_id", "toks")
+    tris = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 2, 0)), "
+                "i -> struct(toks[i - 1] as w1, toks[i] as w2, toks[i + 1] as w3))"
+            )
+        ).alias("pos", "t"),
+    ).select("doc_id", "pos", "t.w1", "t.w2", "t.w3")
+    train = tris.filter(F.col("doc_id") % 2 == 0)
+    test = tris.filter(F.col("doc_id") % 2 == 1)
+    tri_c = train.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    # bigram/unigram counts from the same trigram stream (positions 1..n-2
+    # windows): c(w1 w2) over train trigram starts, c(w2) likewise — the
+    # conditional-probability denominators match the numerators' support
+    bi_c = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bi_c23 = (
+        train.groupBy("w2", "w3")
+        .agg(F.count("*").alias("c23"))
+        .withColumnRenamed("w2", "b2")
+        .withColumnRenamed("w3", "b3")
+    )
+    uni_c2 = (
+        train.groupBy("w2").agg(F.count("*").alias("c2")).withColumnRenamed("w2", "u2")
+    )
+    uni_c3 = (
+        train.groupBy("w3").agg(F.count("*").alias("c3")).withColumnRenamed("w3", "u3")
+    )
+    n_total = train.count()
+    scored = (
+        test.join(tri_c, ["w1", "w2", "w3"], "left")
+        .join(bi_c, ["w1", "w2"], "left")
+        .join(
+            bi_c23,
+            (F.col("w2") == F.col("b2")) & (F.col("w3") == F.col("b3")),
+            "left",
+        )
+        .join(uni_c2, F.col("w2") == F.col("u2"), "left")
+        .join(uni_c3, F.col("w3") == F.col("u3"), "left")
+    )
+    a = _SB_ALPHA
+    s = (
+        F.when(
+            F.col("c123").isNotNull(), F.col("c123") / F.col("c12")
+        )
+        .when(F.col("c23").isNotNull(), a * F.col("c23") / F.col("c2"))
+        .when(F.col("c3").isNotNull(), a * a * F.col("c3") / F.lit(n_total))
+        .otherwise(F.lit(a * a) / F.lit(n_total))
+    )
+    lvl = (
+        F.when(F.col("c123").isNotNull(), F.lit(0))
+        .when(F.col("c23").isNotNull(), F.lit(1))
+        .when(F.col("c3").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    per = scored.select(
+        "doc_id",
+        F.round(F.log(s) * 1e9).cast("bigint").alias("ls_nano"),
+        lvl.alias("lvl"),
+    )
+    return per.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_trigrams"),
+        F.round(F.sum("ls_nano") / 1e9 / F.count("*"), 6).alias("mean_logscore"),
+        F.sum(F.when(F.col("lvl") == 0, 1).otherwise(0)).cast("int").alias("n_tri"),
+        F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0)).cast("int").alias("n_bi"),
+        F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0)).cast("int").alias("n_uni"),
+        F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0)).cast("int").alias("n_oov"),
+    )
+
+
+SQL_STUPID_BACKOFF_SCORE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tri0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> {{'w1': toks[CAST(i AS INTEGER)],
+                       'w2': toks[CAST(i AS INTEGER) + 1],
+                       'w3': toks[CAST(i AS INTEGER) + 2]}})) AS t
+  FROM toks
+),
+tris AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM tri0),
+train AS (SELECT * FROM tris WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM tris WHERE doc_id % 2 = 1),
+tri_c AS (SELECT w1, w2, w3, count(*) AS c123 FROM train GROUP BY w1, w2, w3),
+bi_c AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY w1, w2),
+bi23 AS (SELECT w2 AS b2, w3 AS b3, count(*) AS c23 FROM train GROUP BY w2, w3),
+uni2 AS (SELECT w2 AS u2, count(*) AS c2 FROM train GROUP BY w2),
+uni3 AS (SELECT w3 AS u3, count(*) AS c3 FROM train GROUP BY w3),
+nt AS (SELECT count(*) AS n FROM train),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN tc.c123 IS NOT NULL THEN tc.c123 / bc.c12
+              WHEN b23.c23 IS NOT NULL THEN {_SB_ALPHA} * b23.c23 / u2.c2
+              WHEN u3.c3 IS NOT NULL THEN {_SB_ALPHA * _SB_ALPHA} * u3.c3 / nt.n
+              ELSE {_SB_ALPHA * _SB_ALPHA} / nt.n END AS s,
+         CASE WHEN tc.c123 IS NOT NULL THEN 0
+              WHEN b23.c23 IS NOT NULL THEN 1
+              WHEN u3.c3 IS NOT NULL THEN 2 ELSE 3 END AS lvl
+  FROM test t
+  LEFT JOIN tri_c tc ON t.w1 = tc.w1 AND t.w2 = tc.w2 AND t.w3 = tc.w3
+  LEFT JOIN bi_c bc ON t.w1 = bc.w1 AND t.w2 = bc.w2
+  LEFT JOIN bi23 b23 ON t.w2 = b23.b2 AND t.w3 = b23.b3
+  LEFT JOIN uni2 u2 ON t.w2 = u2.u2
+  LEFT JOIN uni3 u3 ON t.w3 = u3.u3
+  CROSS JOIN nt
+)
+SELECT doc_id, count(*)::INTEGER AS n_trigrams,
+       round(sum(round(ln(s) * 1e9)::BIGINT) / 1e9 / count(*), 6) AS mean_logscore,
+       sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END)::INTEGER AS n_tri,
+       sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END)::INTEGER AS n_bi,
+       sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END)::INTEGER AS n_uni,
+       sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END)::INTEGER AS n_oov
+FROM scored GROUP BY doc_id
+"""
+
+
+# -- top principal component by power iteration ----------------------------------------
+
+_PCA_ITERS = 4
+_PCA_DIM = 64  # embedding dimensionality (same corpus as sq8_quantize)
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration on the covariance matrix — the first step of whitening /
+    all-but-the-top (Mu & Viswanath 2018) post-processing that
+    production embedding pipelines run before similarity search. Four
+    unrolled iterations v <- normalize(C v), every state component
+    rounded to 6 dp (the kmeans_embed idiom) so both engines iterate on
+    identical numbers; output is each vector's projection on the
+    component plus the Rayleigh-quotient eigenvalue estimate.
+
+    Scale shape: mean and covariance are ONE pass each over the corpus
+    (posexplode + (i,j) groupBy with map-side partial aggs; d^2 = 4096
+    cells — tiny); each iteration is a d-row matvec against the 1-row
+    broadcast v with sequential zip_with folds (bit-identical on both
+    engines); the corpus is touched again only by the final map-side
+    projection. The vectors never leave the executors; driver state is
+    O(d^2)."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    mu = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.expr("transform(pm, p -> p.m)").alias("mu"))
+    )
+    centered = e.crossJoin(F.broadcast(mu)).select(
+        "vec_id",
+        F.expr(
+            "zip_with(embedding, mu, (x, m) -> cast(x as double) - m)"
+        ).alias("cx"),
+    )
+    # covariance cells: flatten the outer product per row, avg per (i, j)
+    cells = (
+        centered.select(
+            F.posexplode(
+                F.expr(
+                    "flatten(transform(cx, (xi, i) -> transform(cx, (xj, j) -> xi * xj)))"
+                )
+            ).alias("k", "v")
+        )
+        .groupBy("k")
+        .agg(F.round(F.sum("v") / n, 6).alias("c"))
+    )
+    crows = (
+        cells.select(
+            F.expr(f"cast(k div {_PCA_DIM} as int)").alias("i"),
+            F.expr(f"cast(pmod(k, {_PCA_DIM}) as int)").alias("j"),
+            "c",
+        )
+        .groupBy("i")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "c"))).alias("jc"))
+        .select("i", F.expr("transform(jc, p -> p.c)").alias("crow"))
+        .localCheckpoint(eager=True)
+    )
+    v = spark.createDataFrame(
+        [([round(1.0 / _PCA_DIM**0.5, 6)] * _PCA_DIM,)], "v array<double>"
+    )
+    for _ in range(_PCA_ITERS):
+        raw = crows.crossJoin(F.broadcast(v)).select(
+            "i", F.expr(_dot_expr("crow", "v")).alias("r")
+        )
+        v = (
+            raw.agg(F.array_sort(F.collect_list(F.struct("i", "r"))).alias("ir"))
+            .select(F.expr("transform(ir, p -> p.r)").alias("raw"))
+            .select(
+                F.expr(
+                    f"transform(raw, x -> round(x / sqrt({_dot_expr('raw', 'raw')}), 6))"
+                ).alias("v")
+            )
+            .localCheckpoint(eager=True)
+        )
+    lam = crows.crossJoin(F.broadcast(v)).select(
+        "i", F.expr(_dot_expr("crow", "v")).alias("r")
+    )
+    ray = (
+        lam.agg(F.array_sort(F.collect_list(F.struct("i", "r"))).alias("ir"))
+        .select(F.expr("transform(ir, p -> p.r)").alias("cv"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.round(
+                F.expr(_dot_expr("cv", "v")) / F.expr(_dot_expr("v", "v")), 6
+            ).alias("eigenvalue")
+        )
+    )
+    return (
+        centered.crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(ray))
+        .select(
+            "vec_id",
+            F.round(F.expr(_dot_expr("cx", "v")), 6).alias("proj"),
+            "eigenvalue",
+        )
+    )
+
+
+def _pca_oracle_sql() -> str:
+    d = _PCA_DIM
+    parts = [
+        f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+nn AS (SELECT count(*) AS n FROM e),
+mu AS (
+  SELECT list(m ORDER BY pos) AS mu FROM (
+    SELECT i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS m
+    FROM e, generate_series(1, {d}) g(i) GROUP BY i
+  )
+),
+cx AS (
+  SELECT vec_id,
+         list_transform(list_zip(embedding, mu), z -> z[1]::DOUBLE - z[2]::DOUBLE) AS cx
+  FROM e, mu
+),
+cells AS (
+  SELECT i, j, round(sum(cx[i] * cx[j]) / any_value(nn.n), 6) AS c
+  FROM cx, nn, generate_series(1, {d}) gi(i), generate_series(1, {d}) gj(j)
+  GROUP BY i, j
+),
+crows AS (
+  SELECT i, list(c ORDER BY j) AS crow FROM cells GROUP BY i
+),
+v0 AS (SELECT list_transform(range(1, {d} + 1), x -> round(1.0 / sqrt({d}::DOUBLE), 6)) AS v)"""
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f""", r{t} AS (
+  SELECT list({_sql_dot('crow', 'v')} ORDER BY i) AS raw
+  FROM crows, v{t - 1}
+), v{t} AS (
+  SELECT list_transform(raw, x -> round(x / sqrt({_sql_dot('raw', 'raw')}), 6)) AS v
+  FROM r{t}
+)"""
+        )
+    last = _PCA_ITERS
+    parts.append(
+        f""", cvf AS (
+  SELECT list({_sql_dot('crow', 'v')} ORDER BY i) AS cv FROM crows, v{last}
+),
+ray AS (
+  SELECT round({_sql_dot('cv', 'v')} / {_sql_dot('v', 'v')}, 6) AS eigenvalue
+  FROM cvf, v{last}
+)
+SELECT cx.vec_id, round({_sql_dot('cx.cx', 'v.v')}, 6) AS proj, ray.eigenvalue
+FROM cx, v{last} v, ray"""
+    )
+    return "".join(parts)
+
+
+SQL_PCA_POWER = _pca_oracle_sql()
+
+
+# -- multi-source BFS (crawl depth from seeds) -----------------------------------------
+
+_BFS_ROUNDS = 6
+_BFS_SEED_MOD = 64  # seeds: doc_id % _BFS_SEED_MOD == 0
+
+
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the directed link graph from the seed set —
+    the crawl-depth question itself: how many hops from the seeds is
+    every reachable page, and how does the frontier grow per wave? This
+    is exactly the wave structure of the crawl engine replayed as a
+    batch query (the reference's breadth mode explores in this order);
+    unreached pages report level -1.
+
+    Scale shape: the Pregel min-label relaxation — per round, one hash
+    join of the current level table against the edge list + a min
+    groupBy; rounds are unrolled with localCheckpoint, so the lineage
+    stays flat and each round shuffles O(|edges touched|), never the
+    corpus. Same topology as label_propagation/scc_mutual."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = docs.select(F.col("doc_id").alias("src"))
+    edges = (
+        base.select("src", ((F.col("src") * 7 + 3) % n).alias("dst"))
+        .union(base.select("src", (F.floor(F.col("src") / 3) % n).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lev = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % _BFS_SEED_MOD == 0, F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("level"),
+    )
+    for t in range(1, _BFS_ROUNDS + 1):
+        reached = (
+            lev.filter(F.col("level").isNotNull())
+            .join(edges, F.col("doc_id") == F.col("src"))
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min(F.col("level") + 1).alias("nlevel"))
+        )
+        lev = (
+            lev.join(reached, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("level").isNotNull() & F.col("nlevel").isNotNull(),
+                    F.least("level", "nlevel"),
+                )
+                .otherwise(F.coalesce("level", "nlevel"))
+                .alias("level"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lev.select(
+        "doc_id", F.coalesce("level", F.lit(-1)).cast("int").alias("level")
+    )
+
+
+def _bfs_oracle_sql() -> str:
+    parts = [
+        f"""WITH nd AS (SELECT count(*) AS n FROM documents),
+de AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % nd.n AS dst FROM documents, nd
+    UNION ALL
+    SELECT doc_id AS src, (doc_id // 3) % nd.n AS dst FROM documents, nd
+  ) e WHERE src <> dst
+),
+l0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_BFS_SEED_MOD} = 0 THEN 0 ELSE NULL END AS level
+  FROM documents
+)"""
+    ]
+    for t in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f""", r{t} AS MATERIALIZED (
+  SELECT de.dst AS doc_id, min(l.level + 1) AS nlevel
+  FROM l{t - 1} l JOIN de ON de.src = l.doc_id
+  WHERE l.level IS NOT NULL
+  GROUP BY de.dst
+), l{t} AS MATERIALIZED (
+  SELECT l.doc_id,
+         CASE WHEN l.level IS NOT NULL AND r.nlevel IS NOT NULL
+              THEN least(l.level, r.nlevel)
+              ELSE coalesce(l.level, r.nlevel) END AS level
+  FROM l{t - 1} l LEFT JOIN r{t} r USING (doc_id)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id, coalesce(level, -1)::INTEGER AS level FROM l{_BFS_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+SQL_BFS_LEVELS = _bfs_oracle_sql()
+
+
+# -- rank-based quantile normalization -------------------------------------------------
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of a heavy-tailed feature
+    (events.value) within each event_type: u = rank / (n + 1) maps any
+    distribution onto uniform(0,1) — the robust feature-scaling step
+    for downstream models when magnitudes across types aren't
+    comparable. Average rank for ties (the standard), emitted exactly
+    as (2*rank_sum)/(2*ties) in integer half-units so tie handling is
+    integer-exact.
+
+    Scale shape: one rank window per event_type (same bounded-type
+    caveat as mad_outliers) + the count over the partition; everything
+    else map-side."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    wv = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    wt = Window.partitionBy("event_type", "value")
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(wv))
+        .withColumn("avg2", (F.min("rn").over(wt) + F.max("rn").over(wt)).cast("bigint"))
+        .withColumn("cnt", F.count("*").over(wall))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("avg2") / (2.0 * (F.col("cnt") + 1)), 6).alias("u"),
+        )
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH r AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+),
+t AS (
+  SELECT *, (min(rn) OVER (PARTITION BY event_type, value)
+           + max(rn) OVER (PARTITION BY event_type, value))::BIGINT AS avg2
+  FROM r
+)
+SELECT event_id, event_type, value,
+       round(avg2 / (2.0 * (cnt + 1)), 6) AS u
+FROM t
+"""
+
+
 # -- simplified silhouette (cluster quality) -------------------------------------------
 
 
@@ -11107,6 +11721,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "silhouette_score": (q_silhouette_score, SQL_SILHOUETTE_SCORE),
     "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "pca_power": (q_pca_power, SQL_PCA_POWER),
+    "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
+    "local_clustering": (q_local_clustering, SQL_LOCAL_CLUSTERING),
+    "stupid_backoff_score": (q_stupid_backoff_score, SQL_STUPID_BACKOFF_SCORE),
+    "bfs_levels": (q_bfs_levels, SQL_BFS_LEVELS),
+    "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
