@@ -147,6 +147,9 @@ HEADLINE = [
     "degree_assortativity",
     "local_clustering",
     "stupid_backoff_score",
+    "attack_robustness",
+    "hll_merge",
+    "char_entropy",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

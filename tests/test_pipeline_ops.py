@@ -1377,3 +1377,116 @@ def test_stupid_backoff_python_recount(spark):
         assert (r.n_tri, r.n_bi, r.n_uni, r.n_oov) == tuple(lv)
         assert r.n_trigrams == len(tri_of[d])
         assert abs(r.mean_logscore - round(nano / 1e9 / len(tri_of[d]), 6)) < 2e-6
+
+
+def test_attack_robustness_python_cc(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import (
+        _AR_REMOVE_K,
+        _PR_NODES,
+        q_attack_robustness,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id").collect()
+    edges = set()
+    for r in ev:
+        s = r.user_id % _PR_NODES
+        d = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:4], 16) % _PR_NODES
+        if s != d:
+            edges.add((min(s, d), max(s, d)))
+    nodes = {n for e in edges for n in e}
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    hubs = set(
+        n for n, _ in sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:_AR_REMOVE_K]
+    )
+
+    def lcc(vs, es):
+        nbr: dict[int, set] = {v: set() for v in vs}
+        for a, b in es:
+            nbr[a].add(b)
+            nbr[b].add(a)
+        seen, best = set(), 0
+        for v in vs:
+            if v in seen:
+                continue
+            comp, stack = 0, [v]
+            seen.add(v)
+            while stack:
+                u = stack.pop()
+                comp += 1
+                for w in nbr[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        stack.append(w)
+            best = max(best, comp)
+        return best
+
+    vs2 = nodes - hubs
+    es2 = {(a, b) for a, b in edges if a not in hubs and b not in hubs}
+    r = q_attack_robustness(spark, SF).collect()[0]
+    assert r.n_nodes == len(nodes)
+    assert r.n_edges == len(edges)
+    assert r.lcc_full == lcc(nodes, edges)
+    assert r.lcc_attacked == lcc(vs2, es2)
+    assert r.lcc_frac_after == round(lcc(vs2, es2) / (len(nodes) - _AR_REMOVE_K), 6)
+
+
+def test_hll_merge_python_recount_and_error_bound(spark):
+    import hashlib
+    import math
+
+    from webcrawler_spark.queries import _HLL_P, q_hll_merge
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("source", "text").collect()
+    toks = set()
+    per_src = set()
+    for r in docs:
+        for w in re.split(r"\s+", r.text.lower()):
+            if w:
+                toks.add(w)
+                per_src.add((r.source, w))
+    m = 1 << _HLL_P
+    low = 60 - _HLL_P
+    regs: dict[int, int] = {}
+    for _, w in per_src:
+        hv = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        b, rest = hv >> low, hv & ((1 << low) - 1)
+        rho = low + 1 if rest == 0 else low - rest.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    s_total = sum(1 << (52 - r) for r in regs.values()) + (m - len(regs)) * (1 << 52)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m * float(1 << 52) / s_total
+    zeros = m - len(regs)
+    est = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+    r = q_hll_merge(spark, SF).collect()[0]
+    assert r.exact_distinct == len(toks)
+    assert r.hll_estimate == round(est, 4)
+    # merged estimate within ~5 standard errors of truth
+    assert r.rel_err < 5 * 1.04 / math.sqrt(m)
+
+
+def test_char_entropy_python_recount(spark):
+    import math
+    from collections import Counter
+
+    from webcrawler_spark.queries import q_char_entropy
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {r.doc_id: r for r in q_char_entropy(spark, SF).collect()}
+    assert set(got) == set(docs)
+    for d, text in docs.items():
+        c = Counter(text)
+        n = len(text)
+        micro = sum(round(-(k / n) * math.log2(k / n) * 1e6) for k in c.values())
+        r = got[d]
+        assert r.n_chars == n
+        assert r.n_distinct_chars == len(c)
+        assert abs(r.entropy_bits - round(micro / 1e6, 6)) < 2e-6
+        assert 0.0 < r.entropy_bits < math.log2(len(c)) + 1e-9

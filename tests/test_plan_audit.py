@@ -639,3 +639,24 @@ def test_stupid_backoff_no_python_partial_aggs(spark):
     p = plan_str(_q("stupid_backoff_score", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert plan_str(_q("stupid_backoff_score", spark), "simple").count("HashAggregate") >= 4
+
+
+def test_attack_robustness_no_cartesian_no_python(spark):
+    p = plan_str(_q("attack_robustness", spark))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hll_merge_partial_aggs_no_python(spark):
+    """Register build and merge are groupBys with map-side partials; the
+    scalar joins broadcast."""
+    p = plan_str(_q("hll_merge", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert plan_str(_q("hll_merge", spark), "simple").count("HashAggregate") >= 4
+
+
+def test_char_entropy_two_level_agg_no_python(spark):
+    p = plan_str(_q("char_entropy", spark), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 4  # (doc,ch) and doc level, partial+final

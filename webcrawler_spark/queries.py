@@ -10450,6 +10450,354 @@ FROM s
 """
 
 
+# -- hub-removal percolation (attack robustness) ---------------------------------------
+
+_AR_REMOVE_K = 5
+_AR_ROUNDS = 12
+
+
+def q_attack_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack percolation (Albert, Jeong & Barabási, Nature
+    2000): remove the top-{_AR_REMOVE_K} hubs by degree from the host
+    graph and measure how the largest connected component collapses —
+    THE robustness audit for a crawl frontier (how much of the web do
+    you lose if the biggest hub hosts ban you). Components via
+    min-label relaxation, {_AR_ROUNDS} unrolled rounds on both the full
+    and the attacked graph; convergence to true components is pinned by
+    the python-CC property test.
+
+    Scale shape: hub selection is a window over the host-cardinality
+    degree table; each relaxation round is one edge-join + min-groupBy
+    + localCheckpoint (the bfs_levels/scc_mutual topology). Component
+    sizes are one count per label; only two scalars leave the
+    executors."""
+    und = (
+        _pagerank_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    wdeg = Window.orderBy(F.desc("deg"), F.asc("node"))
+    hubs = (
+        deg.withColumn("rnk", F.row_number().over(wdeg))
+        .filter(F.col("rnk") <= _AR_REMOVE_K)
+        .select("node")
+    )
+
+    def lcc_size(edges: DataFrame, verts: DataFrame) -> DataFrame:
+        sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        lbl = verts.select("node", F.col("node").alias("lbl"))
+        for _ in range(_AR_ROUNDS):
+            prop = (
+                lbl.join(sym, F.col("node") == F.col("u"))
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.min("lbl").alias("plbl"))
+            )
+            lbl = (
+                lbl.join(prop, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce("plbl", F.col("lbl"))).alias(
+                        "lbl"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return lbl.groupBy("lbl").agg(F.count("*").alias("sz")).agg(
+            F.max("sz").cast("bigint").alias("lcc")
+        )
+
+    full = lcc_size(und, nodes)
+    verts2 = nodes.join(hubs, "node", "left_anti")
+    edges2 = (
+        und.join(hubs.withColumnRenamed("node", "a"), "a", "left_anti")
+        .join(hubs.withColumnRenamed("node", "b"), "b", "left_anti")
+        .select("a", "b")
+    )
+    after = lcc_size(edges2, verts2)
+    n_nodes = nodes.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    m_edges = und.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(m_edges)
+        .crossJoin(full.withColumnRenamed("lcc", "lcc_full"))
+        .crossJoin(after.withColumnRenamed("lcc", "lcc_attacked"))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.lit(_AR_REMOVE_K).cast("int").alias("removed_hubs"),
+            "lcc_full",
+            "lcc_attacked",
+            F.round(
+                F.col("lcc_attacked") / (F.col("n_nodes") - _AR_REMOVE_K), 6
+            ).alias("lcc_frac_after"),
+        )
+    )
+
+
+def _attack_sql() -> str:
+    rounds = []
+    for g, (edges, verts) in {
+        "f": ("undA", "nodesA"),
+        "x": ("edges2", "verts2"),
+    }.items():
+        rounds.append(
+            f""", sym_{g} AS (
+  SELECT a AS u, b AS v FROM {edges} UNION ALL SELECT b AS u, a AS v FROM {edges}
+), l{g}0 AS (SELECT node, node AS lbl FROM {verts})"""
+        )
+        for t in range(1, _AR_ROUNDS + 1):
+            rounds.append(
+                f""", p{g}{t} AS MATERIALIZED (
+  SELECT s.v AS node, min(l.lbl) AS plbl
+  FROM l{g}{t - 1} l JOIN sym_{g} s ON s.u = l.node GROUP BY s.v
+), l{g}{t} AS MATERIALIZED (
+  SELECT l.node, least(l.lbl, coalesce(p.plbl, l.lbl)) AS lbl
+  FROM l{g}{t - 1} l LEFT JOIN p{g}{t} p USING (node)
+)"""
+            )
+        rounds.append(
+            f""", lcc_{g} AS (
+  SELECT max(sz)::BIGINT AS lcc FROM (
+    SELECT lbl, count(*) AS sz FROM l{g}{_AR_ROUNDS} GROUP BY lbl
+  )
+)"""
+        )
+    return (
+        f"""WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+undA AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+nodesA AS (SELECT DISTINCT node FROM (SELECT a AS node FROM undA UNION ALL SELECT b FROM undA)),
+degA AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM undA UNION ALL SELECT b FROM undA
+  ) t GROUP BY node
+),
+hubs AS (
+  SELECT node FROM (
+    SELECT node, row_number() OVER (ORDER BY deg DESC, node ASC) AS rnk FROM degA
+  ) WHERE rnk <= {_AR_REMOVE_K}
+),
+verts2 AS (SELECT node FROM nodesA WHERE node NOT IN (SELECT node FROM hubs)),
+edges2 AS (
+  SELECT a, b FROM undA
+  WHERE a NOT IN (SELECT node FROM hubs) AND b NOT IN (SELECT node FROM hubs)
+)"""
+        + "".join(rounds)
+        + f"""
+SELECT (SELECT count(*) FROM nodesA)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM undA)::BIGINT AS n_edges,
+       {_AR_REMOVE_K}::INTEGER AS removed_hubs,
+       lcc_f.lcc AS lcc_full,
+       lcc_x.lcc AS lcc_attacked,
+       round(lcc_x.lcc / ((SELECT count(*) FROM nodesA) - {_AR_REMOVE_K}), 6) AS lcc_frac_after
+FROM lcc_f, lcc_x"""
+    )
+
+
+SQL_ATTACK_ROBUSTNESS = _attack_sql()
+
+
+# -- HLL merge across sources ----------------------------------------------------------
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog MERGE — the property that makes the sketch the
+    100 TB distinct-counter: per-source register sets over distinct
+    tokens union via max(register), and the merged estimate approximates
+    the corpus-wide distinct count without ever re-touching the data.
+    The 2^-rho harmonic sum is computed as EXACT integers scaled by
+    2^52 (missing buckets contribute 2^52 each), so the only float in
+    the op is the final closed-form estimate; the small-range
+    linear-counting correction applies when est <= 2.5m and empty
+    buckets exist (Flajolet et al. 2007).
+
+    Scale shape: per-source register build = one distinct + one groupBy
+    (both map-side-partial); the merge is a second groupBy over
+    (bucket) of at most sources x m rows. Nothing here grows with the
+    corpus beyond the distinct pass."""
+    m = 1 << _HLL_P
+    lowbits = 60 - _HLL_P
+    toks = _tokens(_read(spark, sf_dir, "documents")).select(
+        "source", F.explode("toks").alias("tok")
+    )
+    dist = toks.distinct()
+    hashed = dist.withColumn(
+        "hv", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    reg = (
+        hashed.select(
+            "source",
+            F.shiftright("hv", lowbits).alias("bucket"),
+            F.col("hv").bitwiseAND(F.lit((1 << lowbits) - 1)).alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(lowbits + 1)).otherwise(
+                F.lit(lowbits) - F.length(F.bin("w")) + 1
+            ),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = reg.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    # integer harmonic sum: sum 2^-rho == S / 2^52 with term 2^(52-rho)
+    stats = merged.agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 52 - cast(rho as int))"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s_total = (F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(1 << 52)).cast(
+        "double"
+    )
+    raw = F.lit(alpha * m * m * float(1 << 52)) / s_total
+    zeros = F.lit(m) - F.col("n_present")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = dist.select("tok").distinct().agg(
+        F.count("*").cast("bigint").alias("exact_distinct")
+    )
+    n_src = reg.select("source").distinct().agg(
+        F.count("*").cast("int").alias("n_sources")
+    )
+    return (
+        stats.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            "n_sources",
+            F.round(est, 4).alias("hll_estimate"),
+            "exact_distinct",
+            F.round(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+SQL_HLL_MERGE = f"""
+WITH toks AS (
+  SELECT DISTINCT source, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT source, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+),
+regw AS (
+  SELECT source, hv >> {60 - _HLL_P} AS bucket,
+         hv & {(1 << (60 - _HLL_P)) - 1} AS w
+  FROM hashed
+),
+reg AS (
+  SELECT source, bucket,
+         max(CASE WHEN w = 0 THEN {60 - _HLL_P + 1}
+                  ELSE {60 - _HLL_P} - length(bin(w)::VARCHAR) + 1 END) AS rho
+  FROM regw GROUP BY source, bucket
+),
+merged AS (SELECT bucket, max(rho) AS rho FROM reg GROUP BY bucket),
+stats AS (
+  SELECT count(*)::BIGINT AS n_present,
+         sum((1::BIGINT << (52 - rho)))::BIGINT AS s_present
+  FROM merged
+),
+ex AS (SELECT count(DISTINCT tok)::BIGINT AS exact_distinct FROM toks),
+ns AS (SELECT count(DISTINCT source)::INTEGER AS n_sources FROM reg),
+calc AS (
+  SELECT n_present, s_present,
+         (s_present + ({1 << _HLL_P} - n_present) * {1 << 52})::DOUBLE AS s_total
+  FROM stats
+),
+est AS (
+  SELECT CASE WHEN ({"%.17e" % (0.7213 / (1.0 + 1.079 / (1 << _HLL_P)) * (1 << _HLL_P) * (1 << _HLL_P) * float(1 << 52))} / s_total) <= {2.5 * (1 << _HLL_P)}
+                   AND ({1 << _HLL_P} - n_present) > 0
+              THEN {float(1 << _HLL_P)} * ln({float(1 << _HLL_P)} / ({1 << _HLL_P} - n_present))
+              ELSE {"%.17e" % (0.7213 / (1.0 + 1.079 / (1 << _HLL_P)) * (1 << _HLL_P) * (1 << _HLL_P) * float(1 << 52))} / s_total
+         END AS e
+  FROM calc
+)
+SELECT ns.n_sources, round(est.e, 4) AS hll_estimate, ex.exact_distinct,
+       round(abs(est.e - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_err
+FROM est, ex, ns
+"""
+
+
+# -- character-level Shannon entropy ---------------------------------------------------
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    compression-ratio quality signal: gibberish and binary-leak pages
+    sit far from natural-language entropy (~4.0-4.5 bits for English),
+    repetitive boilerplate sits low. Complements quality_score's ratio
+    features with an information-theoretic one.
+
+    Scale shape: char explode -> (doc_id, ch) count -> per-doc sum, the
+    token-counting topology with map-side partials; per-(doc,ch) terms
+    land in integer nano-bits so the doc sum is exact."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    # micro-units, not nano: Java's and libm's log2 disagree by enough ulps
+    # that nano-rounding flips per-term at ~1e-5 — micro leaves 1000x margin
+    term = F.round(
+        -(F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n")) * 1e6
+    ).cast("bigint")
+    return (
+        cnt.join(tot, "doc_id")
+        .select("doc_id", "n", term.alias("t_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars"),
+            F.count("*").cast("int").alias("n_distinct_chars"),
+            F.round(F.sum("t_micro") / 1e6, 6).alias("entropy_bits"),
+        )
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                i -> substr(text, CAST(i AS INTEGER), 1))) AS ch
+  FROM documents
+),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cnt GROUP BY doc_id)
+SELECT doc_id, max(n)::BIGINT AS n_chars,
+       count(*)::INTEGER AS n_distinct_chars,
+       round(sum(round(-(c * 1.0 / n) * log2(c * 1.0 / n) * 1e6)::BIGINT) / 1e6, 6) AS entropy_bits
+FROM cnt JOIN tot USING (doc_id)
+GROUP BY doc_id
+"""
+
+
 # -- degree assortativity (Newman) -----------------------------------------------------
 
 
@@ -11723,6 +12071,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "pca_power": (q_pca_power, SQL_PCA_POWER),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
+    "attack_robustness": (q_attack_robustness, SQL_ATTACK_ROBUSTNESS),
+    "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "local_clustering": (q_local_clustering, SQL_LOCAL_CLUSTERING),
     "stupid_backoff_score": (q_stupid_backoff_score, SQL_STUPID_BACKOFF_SCORE),
     "bfs_levels": (q_bfs_levels, SQL_BFS_LEVELS),
