@@ -150,6 +150,9 @@ HEADLINE = [
     "attack_robustness",
     "hll_merge",
     "char_entropy",
+    "url_path_rollup",
+    "histogram_quantiles",
+    "bowtie_structure",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

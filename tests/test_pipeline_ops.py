@@ -1490,3 +1490,116 @@ def test_char_entropy_python_recount(spark):
         assert r.n_distinct_chars == len(c)
         assert abs(r.entropy_bits - round(micro / 1e6, 6)) < 2e-6
         assert 0.0 < r.entropy_bits < math.log2(len(c)) + 1e-9
+
+
+def test_url_path_rollup_python_recount(spark):
+    from collections import defaultdict
+
+    from webcrawler_spark.queries import q_url_path_rollup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "n_chars").collect()
+    agg = defaultdict(lambda: [0, 0, 0])  # (host,prefix) -> [depth, n, bytes]
+    for r in docs:
+        host = f"h{r.doc_id % 10}"
+        s1 = f"/s{r.doc_id % 5}"
+        s2 = f"{s1}/t{r.doc_id % 7}"
+        s3 = f"{s2}/p{r.doc_id}"
+        for d, p in enumerate((s1, s2, s3), start=1):
+            a = agg[(host, p)]
+            a[0] = max(a[0], d)
+            a[1] += 1
+            a[2] += r.n_chars
+    got = {(r.host, r.prefix): r for r in q_url_path_rollup(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for k, (d, n, b) in agg.items():
+        r = got[k]
+        assert (r.depth, r.n_pages, r.bytes) == (d, n, b)
+    # mass conservation: depth-1 totals equal the corpus
+    assert sum(r.n_pages for r in got.values() if r.depth == 1) == len(docs)
+
+
+def test_histogram_quantiles_python_recount(spark):
+    import math
+    from collections import Counter
+
+    from webcrawler_spark.queries import _HQ_BINS, _HQ_QS, q_histogram_quantiles
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.value, r.event_id))
+    got = {(r.event_type, r.q): r for r in q_histogram_quantiles(spark, SF).collect()}
+    for et, vals in by_type.items():
+        lo = min(v for v, _ in vals)
+        hi = max(v for v, _ in vals)
+        n = len(vals)
+        w = (hi - lo) / _HQ_BINS
+        bins = Counter(
+            0 if hi == lo else min(_HQ_BINS - 1, int(math.floor((v - lo) / w)))
+            for v, _ in vals
+        )
+        svals = sorted(vals)
+        for q in _HQ_QS:
+            cum = 0
+            for b in sorted(bins):
+                prev = cum
+                cum += bins[b]
+                if cum >= q * n:
+                    est = lo + w * (b + (q * n - prev) / bins[b])
+                    break
+            exact = svals[math.ceil(q * n) - 1][0]
+            r = got[(et, q)]
+            assert r.exact_q == exact
+            assert abs(r.hist_q - round(est, 6)) < 2e-6
+            assert r.abs_err == round(abs(est - exact), 6)
+            # the audit property: estimate lands within one bin width
+            assert abs(r.hist_q - r.exact_q) <= w + 1e-9
+
+
+def test_bowtie_structure_python_reachability(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _PR_NODES, q_bowtie_structure
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id").collect()
+    edges = set()
+    for r in ev:
+        s = r.user_id % _PR_NODES
+        d = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:4], 16) % _PR_NODES
+        if s != d:
+            edges.add((s, d))
+    nodes = {n for e in edges for n in e}
+    fwd: dict[int, set] = {}
+    bwd: dict[int, set] = {}
+    for s, d in edges:
+        fwd.setdefault(s, set()).add(d)
+        bwd.setdefault(d, set()).add(s)
+
+    def reach(start, adj):
+        seen, stack = {start}, [start]
+        while stack:
+            u = stack.pop()
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        return seen
+
+    m = min(nodes)
+    from_m = reach(m, fwd)  # m reaches these
+    to_m = reach(m, bwd)  # these reach m
+    got = {r.node: r.component for r in q_bowtie_structure(spark, SF).collect()}
+    assert set(got) == nodes
+    for v in nodes:
+        if v in from_m and v in to_m:
+            want = "CORE"
+        elif v in to_m:
+            want = "IN"
+        elif v in from_m:
+            want = "OUT"
+        else:
+            want = "OTHER"
+        assert got[v] == want, (v, got[v], want)
+    assert got[m] == "CORE"

@@ -660,3 +660,25 @@ def test_char_entropy_two_level_agg_no_python(spark):
     p = plan_str(_q("char_entropy", spark), "simple")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("HashAggregate") >= 4  # (doc,ch) and doc level, partial+final
+
+
+def test_url_path_rollup_single_shuffle_partial_agg(spark):
+    """Bounded prefix explode then ONE (host,prefix) groupBy — exactly
+    one exchange, partial+final agg, no Python."""
+    p = plan_str(_q("url_path_rollup", spark), "simple")
+    assert p.count("Exchange") == 1 and "hashpartitioning" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_histogram_quantiles_broadcast_state(spark):
+    """Histogram stats and the q-list broadcast; the only windows are
+    the per-type cumulative and the small-sf exact reference."""
+    p = plan_str(_q("histogram_quantiles", spark))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bowtie_structure_no_cartesian_no_python(spark):
+    p = plan_str(_q("bowtie_structure", spark))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -10450,6 +10450,319 @@ FROM s
 """
 
 
+# -- URL path-prefix rollup ------------------------------------------------------------
+
+_UPR_DEPTH = 3
+
+
+def q_url_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical URL path rollup — per (host, path-prefix) page count
+    and byte mass at every directory depth, the 'which subtrees are
+    heavy' view a crawl budgeter and a CDX compactor both need (and the
+    natural GROUP BY ROLLUP shape expressed as an explicit prefix
+    explode so both engines see identical rows). Paths are synthesized
+    deterministically per doc (the surt_cdx convention, two directory
+    levels + leaf).
+
+    Scale shape: each url contributes exactly depth rows (bounded
+    explode), then one (host, prefix) groupBy with map-side partials —
+    the same plan at 10^10 urls; no windows, no skew beyond genuinely
+    hot subtrees, which ARE the answer."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+    s1 = F.concat(F.lit("/s"), (F.col("doc_id") % 5).cast("string"))
+    s2 = F.concat(s1, F.lit("/t"), (F.col("doc_id") % 7).cast("string"))
+    s3 = F.concat(s2, F.lit("/p"), F.col("doc_id").cast("string"))
+    pref = docs.select(
+        host.alias("host"),
+        "n_chars",
+        F.posexplode(F.array(s1, s2, s3)).alias("d", "prefix"),
+    )
+    return (
+        pref.groupBy("host", "prefix")
+        .agg(
+            F.max(F.col("d") + 1).cast("int").alias("depth"),
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.sum("n_chars").cast("bigint").alias("bytes"),
+        )
+    )
+
+
+SQL_URL_PATH_ROLLUP = """
+WITH p AS (
+  SELECT 'h' || (doc_id % 10)::VARCHAR AS host, n_chars,
+         '/s' || (doc_id % 5)::VARCHAR AS s1,
+         '/s' || (doc_id % 5)::VARCHAR || '/t' || (doc_id % 7)::VARCHAR AS s2,
+         '/s' || (doc_id % 5)::VARCHAR || '/t' || (doc_id % 7)::VARCHAR
+             || '/p' || doc_id::VARCHAR AS s3
+  FROM documents
+),
+e AS (
+  SELECT host, n_chars, 1 AS d, s1 AS prefix FROM p
+  UNION ALL SELECT host, n_chars, 2, s2 FROM p
+  UNION ALL SELECT host, n_chars, 3, s3 FROM p
+)
+SELECT host, prefix, max(d)::INTEGER AS depth,
+       count(*)::BIGINT AS n_pages, sum(n_chars)::BIGINT AS bytes
+FROM e GROUP BY host, prefix
+"""
+
+
+# -- mergeable-histogram quantile estimation -------------------------------------------
+
+_HQ_BINS = 64
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a mergeable equi-width histogram — the
+    100 TB quantile plan: per-partition histograms combine by adding
+    bin counts (exactly what the partial agg does), so no global sort
+    ever happens; the estimate interpolates linearly inside the hit
+    bin. Reports, per (event_type, q), the estimate, the EXACT rank
+    quantile (lower value at rank ceil(q*n), integer semantics), and
+    the absolute error — the accuracy audit that tells you whether
+    {_HQ_BINS} bins suffice before you trust the sketch at scale.
+
+    Scale shape: min/max one agg, bin counts one groupBy (map-side
+    partial = the histogram merge), the cumulative walk runs over
+    |types| x {_HQ_BINS} rows; the exact reference uses the bounded
+    per-type rank window (small-sf oracle only — at 10^10 rows you keep
+    the histogram and drop the exact side)."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    mm = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    binned = (
+        ev.join(F.broadcast(mm), "event_type")
+        .withColumn(
+            "bin",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(_HQ_BINS - 1),
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / _HQ_BINS)
+                    ).cast("int"),
+                )
+            ),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("c").over(wcum)).join(
+        F.broadcast(mm), "event_type"
+    )
+    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("event_type", "q")
+        .agg(
+            F.min_by(
+                F.struct("bin", "c", "cum", "lo", "hi", "n"), F.col("bin")
+            ).alias("s")
+        )
+        .select("event_type", "q", "s.*")
+    )
+    width = (F.col("hi") - F.col("lo")) / _HQ_BINS
+    est = F.col("lo") + width * (
+        F.col("bin")
+        + (F.col("q") * F.col("n") - (F.col("cum") - F.col("c"))) / F.col("c")
+    )
+    # exact rank quantile: lower value at rank ceil(q*n)
+    wv = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    ranked = ev.withColumn("rn", F.row_number().over(wv)).join(
+        F.broadcast(mm.select("event_type", "n")), "event_type"
+    )
+    exact = (
+        ranked.crossJoin(F.broadcast(qs))
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n")).cast("bigint"))
+        .select("event_type", "q", F.col("value").alias("exact_q"))
+    )
+    return (
+        hit.join(F.broadcast(exact), ["event_type", "q"])
+        .select(
+            "event_type",
+            "q",
+            F.round(est, 6).alias("hist_q"),
+            "exact_q",
+            F.round(F.abs(est - F.col("exact_q")), 6).alias("abs_err"),
+        )
+    )
+
+
+SQL_HISTOGRAM_QUANTILES = f"""
+WITH ev AS (SELECT event_id, event_type, value FROM events),
+mm AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi, count(*)::BIGINT AS n
+  FROM ev GROUP BY event_type
+),
+binned AS (
+  SELECT ev.event_type,
+         CASE WHEN mm.hi = mm.lo THEN 0
+              ELSE least({_HQ_BINS - 1},
+                   floor((ev.value - mm.lo) / ((mm.hi - mm.lo) / {_HQ_BINS}))::INTEGER)
+         END AS bin,
+         count(*)::BIGINT AS c
+  FROM ev JOIN mm USING (event_type)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT b.*, mm.lo, mm.hi, mm.n,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM binned b JOIN mm USING (event_type)
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _HQ_QS)}]) AS q),
+hit AS (
+  SELECT event_type, q,
+         min_by(bin, bin) AS bin, min_by(c, bin) AS c, min_by(cum, bin) AS cum,
+         min_by(lo, bin) AS lo, min_by(hi, bin) AS hi, min_by(n, bin) AS n
+  FROM cum, qs WHERE cum >= q * n
+  GROUP BY event_type, q
+),
+ranked AS (
+  SELECT ev.*, row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC) AS rn,
+         mm.n
+  FROM ev JOIN mm USING (event_type)
+),
+exact AS (
+  SELECT event_type, q, value AS exact_q
+  FROM ranked, qs WHERE rn = ceil(q * n)::BIGINT
+)
+SELECT h.event_type, h.q,
+       round(h.lo + (h.hi - h.lo) / {_HQ_BINS} *
+             (h.bin + (h.q * h.n - (h.cum - h.c)) / h.c), 6) AS hist_q,
+       e.exact_q,
+       round(abs(h.lo + (h.hi - h.lo) / {_HQ_BINS} *
+             (h.bin + (h.q * h.n - (h.cum - h.c)) / h.c) - e.exact_q), 6) AS abs_err
+FROM hit h JOIN exact e USING (event_type, q)
+"""
+
+
+# -- web bow-tie decomposition ---------------------------------------------------------
+
+_BT_ROUNDS = 8
+
+
+def q_bowtie_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder et al.'s bow-tie decomposition of the directed host graph
+    (WWW'00, 'Graph structure in the Web'): CORE = the SCC of the
+    minimum-id node, IN = nodes that reach the core, OUT = nodes the
+    core reaches, OTHER = tendrils/disconnected. One forward and one
+    backward min-label propagation decide all four classes: f(v) =
+    min label v reaches, b(v) = min label that reaches v; with m the
+    global min node, v∈CORE iff f=b=m, v∈IN iff only f=m, v∈OUT iff
+    only b=m.
+
+    Scale shape: two independent {_BT_ROUNDS}-round Pregel relaxations
+    (edge join + min groupBy + localCheckpoint each round — the
+    scc_mutual topology); classification is a map over the joined label
+    tables. Convergence to true reachability is pinned by the python
+    test."""
+    edges = _pagerank_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def relax(rev: bool) -> DataFrame:
+        e = (
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+            if rev
+            else edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        )
+        lbl = nodes.select("node", F.col("node").alias("lbl"))
+        for _ in range(_BT_ROUNDS):
+            prop = (
+                lbl.join(e, F.col("node") == F.col("v"))
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.min("lbl").alias("plbl"))
+            )
+            lbl = (
+                lbl.join(prop, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce("plbl", F.col("lbl"))).alias(
+                        "lbl"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return lbl
+
+    # f(v): min label reachable FORWARD from v — propagate against edge
+    # direction (v gets labels of its out-neighbors)
+    f = relax(rev=False).withColumnRenamed("lbl", "f")
+    b = relax(rev=True).withColumnRenamed("lbl", "b")
+    m = nodes.agg(F.min("node").alias("m"))
+    return (
+        f.join(b, "node")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "node",
+            F.when((F.col("f") == F.col("m")) & (F.col("b") == F.col("m")), "CORE")
+            .when(F.col("f") == F.col("m"), "IN")
+            .when(F.col("b") == F.col("m"), "OUT")
+            .otherwise("OTHER")
+            .alias("component"),
+        )
+    )
+
+
+def _bowtie_sql() -> str:
+    parts = [
+        f"""WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+nodesB AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+ef AS (SELECT src AS u, dst AS v FROM edges),
+eb AS (SELECT dst AS u, src AS v FROM edges),
+f0 AS (SELECT node, node AS lbl FROM nodesB),
+b0 AS (SELECT node, node AS lbl FROM nodesB)"""
+    ]
+    for g, e in (("f", "ef"), ("b", "eb")):
+        for t in range(1, _BT_ROUNDS + 1):
+            parts.append(
+                f""", {g}p{t} AS MATERIALIZED (
+  SELECT e.u AS node, min(l.lbl) AS plbl
+  FROM {g}{t - 1} l JOIN {e} e ON e.v = l.node GROUP BY e.u
+), {g}{t} AS MATERIALIZED (
+  SELECT l.node, least(l.lbl, coalesce(p.plbl, l.lbl)) AS lbl
+  FROM {g}{t - 1} l LEFT JOIN {g}p{t} p USING (node)
+)"""
+            )
+    parts.append(
+        f"""
+SELECT f.node,
+       CASE WHEN f.lbl = m.m AND b.lbl = m.m THEN 'CORE'
+            WHEN f.lbl = m.m THEN 'IN'
+            WHEN b.lbl = m.m THEN 'OUT'
+            ELSE 'OTHER' END AS component
+FROM f{_BT_ROUNDS} f
+JOIN b{_BT_ROUNDS} b USING (node)
+CROSS JOIN (SELECT min(node) AS m FROM nodesB) m"""
+    )
+    return "".join(parts)
+
+
+SQL_BOWTIE_STRUCTURE = _bowtie_sql()
+
+
 # -- hub-removal percolation (attack robustness) ---------------------------------------
 
 _AR_REMOVE_K = 5
@@ -12072,6 +12385,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pca_power": (q_pca_power, SQL_PCA_POWER),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
     "attack_robustness": (q_attack_robustness, SQL_ATTACK_ROBUSTNESS),
+    "url_path_rollup": (q_url_path_rollup, SQL_URL_PATH_ROLLUP),
+    "histogram_quantiles": (q_histogram_quantiles, SQL_HISTOGRAM_QUANTILES),
+    "bowtie_structure": (q_bowtie_structure, SQL_BOWTIE_STRUCTURE),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "local_clustering": (q_local_clustering, SQL_LOCAL_CLUSTERING),
