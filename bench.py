@@ -153,6 +153,9 @@ HEADLINE = [
     "url_path_rollup",
     "histogram_quantiles",
     "bowtie_structure",
+    "landmark_closeness",
+    "host_reputation_ewma",
+    "edge_triangle_support",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

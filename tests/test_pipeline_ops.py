@@ -1603,3 +1603,107 @@ def test_bowtie_structure_python_reachability(spark):
             want = "OTHER"
         assert got[v] == want, (v, got[v], want)
     assert got[m] == "CORE"
+
+
+def test_landmark_closeness_python_recount(spark):
+    import hashlib
+    from collections import deque
+
+    from webcrawler_spark.queries import (
+        _LC_LANDMARKS,
+        _LC_ROUNDS,
+        _PR_NODES,
+        q_landmark_closeness,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id").collect()
+    sym: dict[int, set] = {}
+    for r in ev:
+        s = r.user_id % _PR_NODES
+        d = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:4], 16) % _PR_NODES
+        if s != d:
+            sym.setdefault(s, set()).add(d)
+            sym.setdefault(d, set()).add(s)
+    nodes = set(sym)
+    rate = _PR_NODES // _LC_LANDMARKS
+    lms = [
+        n
+        for n in sorted(nodes)
+        if int(hashlib.md5(str(n).encode()).hexdigest()[:8], 16) % rate == 0
+    ]
+
+    def bfs(src):
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= _LC_ROUNDS:
+                continue
+            for v in sym.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        return dist
+
+    dists = {lm: bfs(lm) for lm in lms}
+    got = {r.node: r for r in q_landmark_closeness(spark, SF).collect()}
+    assert set(got) == nodes
+    for v in nodes:
+        ds = [dists[lm][v] for lm in lms if v in dists[lm] and dists[lm][v] > 0]
+        nano = sum(round(1e9 / d) for d in ds)
+        r = got[v]
+        assert r.n_landmarks == len(lms)
+        assert r.n_reached == len(ds)
+        assert r.harmonic == round(nano / 1e9, 6)
+
+
+def test_host_reputation_ewma_python_recount(spark):
+    from webcrawler_spark.queries import _EWMA_ALPHA, _PR_NODES, q_host_reputation_ewma
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    by_host: dict[int, list] = {}
+    for r in rows:
+        by_host.setdefault(r.user_id % _PR_NODES, []).append((r.ts, r.event_id, r.value))
+    got = {r.host: r for r in q_host_reputation_ewma(spark, SF).collect()}
+    assert set(got) == set(by_host)
+    for h, evs in by_host.items():
+        evs.sort()
+        ewma = None
+        for _, _, v in evs:
+            ewma = v if ewma is None else _EWMA_ALPHA * v + (1 - _EWMA_ALPHA) * ewma
+        r = got[h]
+        assert r.n_events == len(evs)
+        assert r.ewma == round(ewma, 6)
+        # recency weighting: the last event pulls EWMA away from the mean
+        # toward itself (sanity, not equality)
+        assert abs(r.ewma - evs[-1][2]) <= abs(r.plain_mean - evs[-1][2]) + 60.0
+
+
+def test_edge_triangle_support_python_recount(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _PR_NODES, q_edge_triangle_support
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id").collect()
+    edges = set()
+    for r in ev:
+        s = r.user_id % _PR_NODES
+        d = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:4], 16) % _PR_NODES
+        if s != d:
+            edges.add((min(s, d), max(s, d)))
+    nbrs: dict[int, set] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    got = {(r.a, r.b): r for r in q_edge_triangle_support(spark, SF).collect()}
+    assert set(got) == edges
+    total_support = 0
+    for (a, b), r in got.items():
+        sup = len(nbrs[a] & nbrs[b])
+        assert r.support == sup
+        assert r.in_4truss == (sup >= 2)
+        total_support += sup
+    # each triangle contributes support 1 to exactly 3 edges
+    assert total_support % 3 == 0

@@ -682,3 +682,22 @@ def test_bowtie_structure_no_cartesian_no_python(spark):
     p = plan_str(_q("bowtie_structure", spark))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_landmark_closeness_no_cartesian_no_python(spark):
+    p = plan_str(_q("landmark_closeness", spark))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_host_reputation_ewma_single_shuffle(spark):
+    """One groupBy(host); the fold runs inside a JVM array expression."""
+    p = plan_str(_q("host_reputation_ewma", spark), "simple")
+    assert p.count("Exchange") == 1 and "hashpartitioning" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_edge_triangle_support_broadcast_degrees(spark):
+    p = plan_str(_q("edge_triangle_support", spark))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

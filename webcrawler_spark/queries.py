@@ -10450,6 +10450,326 @@ FROM s
 """
 
 
+# -- landmark closeness centrality -----------------------------------------------------
+
+_LC_LANDMARKS = 8
+_LC_ROUNDS = 8
+
+
+def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-based harmonic closeness (Eppstein-Wang style
+    approximation): BFS from ~{_LC_LANDMARKS} hash-chosen landmark nodes
+    (md5 coin with rate 1/{_PR_NODES // _LC_LANDMARKS}; the exact count
+    is reported per row),
+    every node scored by sum over landmarks of 1/d(v, landmark) on the
+    undirected host graph (unreachable => 0 contribution). Exact
+    closeness is all-pairs (hopeless at web scale); landmark sketches
+    are THE production approximation, and the landmark count — not the
+    graph size — bounds the state.
+
+    Scale shape: one (node, landmark, dist) state table relaxed for
+    {_LC_ROUNDS} Pregel rounds — per round one edge join + min groupBy
+    on the composite key + localCheckpoint; state is O(nodes x
+    landmarks). Harmonic sums land in integer nano-units (1/d of
+    integer d is the only float) so the per-node reduction is exact."""
+    edges = _pagerank_edges(spark, sf_dir)
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    lm = nodes.filter(
+        F.expr(
+            "pmod(cast(conv(substring(md5(cast(node as string)), 1, 8), 16, 10) as bigint), "
+            f"{_PR_NODES // _LC_LANDMARKS}) = 0"
+        )
+    ).select(F.col("node").alias("landmark"))
+    state = lm.select(
+        F.col("landmark").alias("node"), "landmark", F.lit(0).alias("dist")
+    )
+    for _ in range(_LC_ROUNDS):
+        prop = (
+            state.join(sym, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"), "landmark")
+            .agg((F.min("dist") + 1).alias("ndist"))
+        )
+        state = (
+            state.join(prop, ["node", "landmark"], "full")
+            .select(
+                "node",
+                "landmark",
+                F.least(
+                    F.coalesce("dist", F.lit(10**9)),
+                    F.coalesce("ndist", F.lit(10**9)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    contrib = state.filter(F.col("dist") > 0).select(
+        "node",
+        F.round(F.lit(1e9) / F.col("dist")).cast("bigint").alias("h_nano"),
+    )
+    n_lm = lm.agg(F.count("*").cast("int").alias("n_landmarks"))
+    return (
+        nodes.join(
+            contrib.groupBy("node").agg(
+                F.sum("h_nano").alias("s_nano"),
+                F.count("*").cast("int").alias("n_reached"),
+            ),
+            "node",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_lm))
+        .select(
+            "node",
+            "n_landmarks",
+            F.coalesce("n_reached", F.lit(0)).cast("int").alias("n_reached"),
+            F.round(F.coalesce("s_nano", F.lit(0)) / 1e9, 6).alias("harmonic"),
+        )
+    )
+
+
+def _landmark_sql() -> str:
+    parts = [
+        f"""WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+  )
+),
+nodesL AS (SELECT DISTINCT src AS node FROM sym),
+lm AS (
+  SELECT node AS landmark FROM nodesL
+  WHERE ('0x' || substr(md5(node::VARCHAR), 1, 8))::BIGINT
+        % {_PR_NODES // _LC_LANDMARKS} = 0
+),
+s0 AS (SELECT landmark AS node, landmark, 0 AS dist FROM lm)"""
+    ]
+    for t in range(1, _LC_ROUNDS + 1):
+        parts.append(
+            f""", p{t} AS MATERIALIZED (
+  SELECT e.dst AS node, s.landmark, min(s.dist) + 1 AS ndist
+  FROM s{t - 1} s JOIN sym e ON e.src = s.node
+  GROUP BY e.dst, s.landmark
+), s{t} AS MATERIALIZED (
+  SELECT coalesce(s.node, p.node) AS node,
+         coalesce(s.landmark, p.landmark) AS landmark,
+         least(coalesce(s.dist, 1000000000), coalesce(p.ndist, 1000000000)) AS dist
+  FROM s{t - 1} s FULL JOIN p{t} p
+    ON s.node = p.node AND s.landmark = p.landmark
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n.node,
+       (SELECT count(*) FROM lm)::INTEGER AS n_landmarks,
+       coalesce(c.n_reached, 0)::INTEGER AS n_reached,
+       round(coalesce(c.s_nano, 0) / 1e9, 6) AS harmonic
+FROM nodesL n LEFT JOIN (
+  SELECT node, sum(round(1e9 / dist)::BIGINT)::BIGINT AS s_nano,
+         count(*)::INTEGER AS n_reached
+  FROM s{_LC_ROUNDS} WHERE dist > 0 GROUP BY node
+) c ON n.node = c.node"""
+    )
+    return "".join(parts)
+
+
+SQL_LANDMARK_CLOSENESS = _landmark_sql()
+
+
+# -- time-decayed host reputation (EWMA) -----------------------------------------------
+
+_EWMA_ALPHA = 0.25
+
+
+def q_host_reputation_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed host reputation: an exponentially weighted moving
+    average over each host's event values in (ts, event_id) order —
+    the recency-weighted health signal a scheduler uses where a plain
+    mean is poisoned by ancient history. EWMA_t = a*x_t + (1-a)*EWMA_0
+    ... chained in event order; the fold order is the SAME total order
+    on both engines, so the float chain is bit-identical before the
+    final rounding.
+
+    Scale shape: one groupBy(host) with a sorted collect_list — state
+    is per-host event lists, the sequential dependence is irreducible
+    (it IS the operator), so the plan bounds it per host and computes
+    each fold inside one JVM array expression; at 10^10 events you cap
+    per-host history first (politeness already bounds per-host rates).
+    user_id % 50 plays host, exactly the graph ops' convention."""
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % _PR_NODES).alias("host"), "ts", "event_id", "value"
+    )
+    per = (
+        ev.groupBy("host")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("h")
+        )
+        .select(
+            "host",
+            F.size("h").cast("int").alias("n_events"),
+            F.expr(
+                f"aggregate(h, cast(NULL as double), (acc, s) -> "
+                f"IF(acc IS NULL, s.value, {_EWMA_ALPHA} * s.value + {1 - _EWMA_ALPHA} * acc))"
+            ).alias("ewma"),
+            F.expr("aggregate(h, cast(0.0 as double), (acc, s) -> acc + s.value)").alias(
+                "plain_sum"
+            ),
+        )
+    )
+    return per.select(
+        "host",
+        "n_events",
+        F.round("ewma", 6).alias("ewma"),
+        F.round(F.col("plain_sum") / F.col("n_events"), 6).alias("plain_mean"),
+    )
+
+
+SQL_HOST_REPUTATION_EWMA = f"""
+WITH ev AS (
+  SELECT user_id % {_PR_NODES} AS host, ts, event_id, value FROM events
+),
+per AS (
+  SELECT host,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM ev GROUP BY host
+)
+SELECT host,
+       len(vals)::INTEGER AS n_events,
+       round(list_reduce(list_prepend(CAST(NULL AS DOUBLE), vals),
+             (acc, x) -> CASE WHEN acc IS NULL THEN x
+                              ELSE {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc END), 6) AS ewma,
+       round(list_sum(list_transform(vals, x -> x::DOUBLE)) / len(vals), 6) AS plain_mean
+FROM per
+"""
+
+
+# -- per-edge triangle support (k-truss signal) ----------------------------------------
+
+
+def q_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support — the k-truss building block (Cohen
+    2008): how many triangles each undirected edge participates in.
+    Edges with support ≥ k-2 survive a k-truss peel; high-support edges
+    mark cohesive link clusters (mirror rings), zero-support edges are
+    bridges — the edge-granular complement to triangle_count's node
+    view. Reports support and the 4-truss candidate flag.
+
+    Scale shape: the same degree-oriented wedge plan as triangle_count
+    (arboricity-bounded fan-out), but each closed wedge credits its
+    THREE edges via one explode; the (a,b) groupBy is the only
+    data-sized shuffle. One peel ROUND is emitted, not the full
+    iterative truss decomposition — at scale the peel loops this exact
+    plan to fixpoint."""
+    und = (
+        _pagerank_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    o = (
+        und.join(F.broadcast(deg).withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(F.broadcast(deg).withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("deg", "deg_b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1, w2 = o.alias("w1"), o.alias("w2")
+    tri = (
+        w1.join(w2, "u")
+        .filter(F.col("w1.v") < F.col("w2.v"))
+        .select("u", F.col("w1.v").alias("x"), F.col("w2.v").alias("y"))
+        .join(und, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")))
+        .select("u", "x", "y")
+    )
+    tri_edges = tri.select(
+        F.explode(
+            F.expr(
+                "array(struct(least(u, x) as a, greatest(u, x) as b), "
+                "struct(least(u, y) as a, greatest(u, y) as b), "
+                "struct(least(x, y) as a, greatest(x, y) as b))"
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = tri_edges.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("support"))
+    return (
+        und.join(sup, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+            (F.coalesce("support", F.lit(0)) >= 2).alias("in_4truss"),
+        )
+    )
+
+
+SQL_EDGE_TRIANGLE_SUPPORT = f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) t GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node
+),
+tri AS (
+  SELECT w1.u AS u, w1.v AS x, w2.v AS y
+  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v
+  JOIN und e ON w1.v = e.a AND w2.v = e.b
+),
+tri_edges AS (
+  SELECT least(u, x) AS a, greatest(u, x) AS b FROM tri
+  UNION ALL SELECT least(u, y), greatest(u, y) FROM tri
+  UNION ALL SELECT least(x, y), greatest(x, y) FROM tri
+),
+sup AS (SELECT a, b, count(*)::BIGINT AS support FROM tri_edges GROUP BY a, b)
+SELECT u.a, u.b, coalesce(s.support, 0)::BIGINT AS support,
+       coalesce(s.support, 0) >= 2 AS in_4truss
+FROM und u LEFT JOIN sup s USING (a, b)
+"""
+
+
 # -- URL path-prefix rollup ------------------------------------------------------------
 
 _UPR_DEPTH = 3
@@ -12386,6 +12706,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
     "attack_robustness": (q_attack_robustness, SQL_ATTACK_ROBUSTNESS),
     "url_path_rollup": (q_url_path_rollup, SQL_URL_PATH_ROLLUP),
+    "landmark_closeness": (q_landmark_closeness, SQL_LANDMARK_CLOSENESS),
+    "host_reputation_ewma": (q_host_reputation_ewma, SQL_HOST_REPUTATION_EWMA),
+    "edge_triangle_support": (q_edge_triangle_support, SQL_EDGE_TRIANGLE_SUPPORT),
     "histogram_quantiles": (q_histogram_quantiles, SQL_HISTOGRAM_QUANTILES),
     "bowtie_structure": (q_bowtie_structure, SQL_BOWTIE_STRUCTURE),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
