@@ -156,6 +156,9 @@ HEADLINE = [
     "landmark_closeness",
     "host_reputation_ewma",
     "edge_triangle_support",
+    "crawl_trap_score",
+    "frontier_branching",
+    "bbit_minhash",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

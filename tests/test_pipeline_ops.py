@@ -1707,3 +1707,96 @@ def test_edge_triangle_support_python_recount(spark):
         total_support += sup
     # each triangle contributes support 1 to exactly 3 edges
     assert total_support % 3 == 0
+
+
+def test_crawl_trap_score_planted_hosts(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _TRAP_HOSTS, q_crawl_trap_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    agg: dict[str, tuple] = {}
+    from collections import defaultdict
+
+    urls = defaultdict(set)
+    digs = defaultdict(set)
+    for r in docs:
+        h = r.doc_id % 10
+        host = f"h{h}"
+        urls[host].add(f"/p{r.doc_id}")
+        if h in _TRAP_HOSTS:
+            digs[host].add(hashlib.md5(str(r.doc_id % 3).encode()).hexdigest())
+        else:
+            digs[host].add(hashlib.md5(r.text.encode()).hexdigest())
+    got = {r.host: r for r in q_crawl_trap_score(spark, SF).collect()}
+    assert set(got) == set(urls)
+    for host in urls:
+        r = got[host]
+        assert r.n_urls == len(urls[host])
+        assert r.n_digests == len(digs[host])
+        dup = 1.0 - len(digs[host]) / len(urls[host])
+        assert r.dup_ratio == round(dup, 6)
+        assert r.is_trap == (dup > 0.5)
+        # planted traps and only planted traps flag
+        assert r.is_trap == (int(host[1:]) in _TRAP_HOSTS)
+
+
+def test_frontier_branching_consistent_with_bfs(spark):
+    from collections import Counter
+
+    from webcrawler_spark.queries import q_bfs_levels, q_frontier_branching
+
+    levels = Counter(
+        r.level for r in q_bfs_levels(spark, SF).collect() if r.level >= 0
+    )
+    got = {r.level: r for r in q_frontier_branching(spark, SF).collect()}
+    assert set(got) == set(levels)
+    prev = None
+    for lv in sorted(levels):
+        r = got[lv]
+        assert r.n_nodes == levels[lv]
+        if prev is None:
+            assert r.branching is None
+        else:
+            assert r.branching == round(levels[lv] / prev, 6)
+        prev = levels[lv]
+
+
+def test_bbit_minhash_python_replication(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _BBIT_K, q_bbit_minhash
+
+    docs = {
+        r.doc_id: [t for t in re.split(r"\s+", r.text.lower()) if t]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    sh = {
+        d: set(" ".join(t[i : i + 3]) for i in range(len(t) - 2))
+        for d, t in docs.items()
+        if len(t) >= 3
+    }
+
+    def sig(shingles):
+        out = 0
+        for j in range(_BBIT_K):
+            mn = min(
+                int(hashlib.md5(f"{s}#{j}".encode()).hexdigest()[:15], 16)
+                for s in shingles
+            )
+            out |= (mn % 2) << j
+        return out
+
+    got = {(r.a_id, r.b_id): r for r in q_bbit_minhash(spark, SF).collect()}
+    expected_pairs = {(d, d + 1) for d in sh if d + 1 in sh}
+    assert set(got) == expected_pairs
+    import random
+
+    for a, b in sorted(expected_pairs)[:20]:
+        agree = (_BBIT_K - bin(sig(sh[a]) ^ sig(sh[b])).count("1")) / _BBIT_K
+        est = 2.0 * (agree - 0.5)
+        exact = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        r = got[(a, b)]
+        assert r.jaccard_exact == round(exact, 6)
+        assert r.jaccard_bbit == round(est, 6)
+        assert r.abs_err == round(abs(est - exact), 6)

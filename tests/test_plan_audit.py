@@ -701,3 +701,17 @@ def test_edge_triangle_support_broadcast_degrees(spark):
     p = plan_str(_q("edge_triangle_support", spark))
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_crawl_trap_score_partial_aggs_no_python(spark):
+    p = plan_str(_q("crawl_trap_score", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert plan_str(_q("crawl_trap_score", spark), "simple").count("HashAggregate") >= 2
+
+
+def test_bbit_minhash_mapside_sigs_no_python(spark):
+    """Signatures are map-side folds; the pair join is keyed (doc_id+1),
+    never cartesian."""
+    p = plan_str(_q("bbit_minhash", spark))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

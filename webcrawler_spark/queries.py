@@ -10450,6 +10450,191 @@ FROM s
 """
 
 
+# -- crawl-trap detection --------------------------------------------------------------
+
+_TRAP_HOSTS = (3, 9)  # hosts with planted duplicate-content URL families
+
+
+def q_crawl_trap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection by content-duplication rate: a trap host
+    (calendar pages, session-id URL families, infinite facet grids)
+    serves MANY distinct URLs with FEW distinct contents — the
+    url-to-digest ratio is the classic trap signal a frontier uses to
+    down-budget a host before wasting fetches. URLs follow the
+    url_path_rollup convention; hosts {_TRAP_HOSTS} get a planted trap:
+    their content digest collapses to doc_id % 3 (the deterministic
+    in-engine injection precedent), everyone else digests real text.
+
+    Scale shape: one map stage builds (host, url, digest); per-host
+    distinct counts are two partial-agg groupBys; the score is
+    integer/integer. At 10^10 urls this is the cheapest per-host
+    signal that exists — two approx_count_distinct at real scale, kept
+    exact here for the oracle."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    host_n = F.col("doc_id") % 10
+    digest = F.when(
+        host_n.isin(*_TRAP_HOSTS), F.md5((F.col("doc_id") % 3).cast("string"))
+    ).otherwise(F.md5("text"))
+    u = docs.select(
+        F.concat(F.lit("h"), host_n.cast("string")).alias("host"),
+        F.concat(F.lit("/p"), F.col("doc_id").cast("string")).alias("url"),
+        digest.alias("digest"),
+    )
+    per = u.groupBy("host").agg(
+        F.countDistinct("url").cast("bigint").alias("n_urls"),
+        F.countDistinct("digest").cast("bigint").alias("n_digests"),
+    )
+    dup = 1.0 - F.col("n_digests") / F.col("n_urls")
+    return per.select(
+        "host",
+        "n_urls",
+        "n_digests",
+        F.round(dup, 6).alias("dup_ratio"),
+        (dup > 0.5).alias("is_trap"),
+    )
+
+
+SQL_CRAWL_TRAP_SCORE = f"""
+WITH u AS (
+  SELECT 'h' || (doc_id % 10)::VARCHAR AS host,
+         '/p' || doc_id::VARCHAR AS url,
+         CASE WHEN doc_id % 10 IN ({", ".join(str(h) for h in _TRAP_HOSTS)})
+              THEN md5((doc_id % 3)::VARCHAR) ELSE md5(text) END AS digest
+  FROM documents
+),
+per AS (
+  SELECT host, count(DISTINCT url)::BIGINT AS n_urls,
+         count(DISTINCT digest)::BIGINT AS n_digests
+  FROM u GROUP BY host
+)
+SELECT host, n_urls, n_digests,
+       round(1.0 - n_digests * 1.0 / n_urls, 6) AS dup_ratio,
+       (1.0 - n_digests * 1.0 / n_urls) > 0.5 AS is_trap
+FROM per
+"""
+
+
+# -- frontier branching factor ---------------------------------------------------------
+
+
+def q_frontier_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-wave frontier growth from the multi-source BFS: node count at
+    each crawl depth and the branching factor level_k / level_{{k-1}} —
+    the quantity that decides whether a breadth crawl's next wave fits
+    the politeness budget (the reference's breadth mode grows exactly
+    this way). Unreached (-1) excluded.
+
+    Scale shape: composes q_bfs_levels (Pregel relaxation) with one
+    level-cardinality groupBy; the ratio window runs over <=
+    {_BFS_ROUNDS}+1 rows."""
+    lev = q_bfs_levels(spark, sf_dir).filter(F.col("level") >= 0)
+    per = lev.groupBy("level").agg(F.count("*").cast("bigint").alias("n_nodes"))
+    w = Window.orderBy("level")
+    return per.select(
+        "level",
+        "n_nodes",
+        F.round(
+            F.col("n_nodes") / F.lag("n_nodes").over(w), 6
+        ).alias("branching"),
+    )
+
+
+# SQL_FRONTIER_BRANCHING is defined after SQL_BFS_LEVELS (it embeds it).
+
+
+# -- b-bit minwise hashing -------------------------------------------------------------
+
+_BBIT_K = 24  # 1-bit minhash functions
+_BBIT_SHINGLE = 3
+
+
+def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing with b=1 (Li & König, WWW'10): store only
+    the LOWEST BIT of each of {_BBIT_K} minhashes — 64x smaller
+    signatures than 64-bit minhash at a quantifiable variance cost,
+    which is the storage regime a 10^10-document near-dup index
+    actually runs in. For documents paired by doc_id (i, i+1), reports
+    the exact 3-gram Jaccard, the b-bit estimate
+    J = 2*(agreement - 1/2) (the b=1 unbiasing for dense universes),
+    and the absolute error — the audit that sizes k before trusting
+    1-bit signatures at scale.
+
+    Scale shape: signatures are pure map-side (k minhash folds per doc,
+    bits packed into one int); pairing is a self-join on doc_id+1
+    (stand-in for any candidate generator — LSH buckets at scale); the
+    exact-Jaccard side exists only to grade the estimator and drops at
+    scale."""
+    docs = _tokens(_docs_parallel(spark, sf_dir)).filter(
+        F.expr(f"size(toks) >= {_BBIT_SHINGLE}")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(toks) - {_BBIT_SHINGLE - 1}), i -> "
+            f"concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])))"
+        ).alias("shingles"),
+    )
+    bits = " + ".join(
+        f"shiftleft(cast(pmod(aggregate(shingles, cast(9223372036854775807 as bigint), "
+        f"(acc, s) -> least(acc, cast(conv(substring(md5(concat(s, '#{j}')), 1, 15), 16, 10) as bigint))), 2) as bigint), {j})"
+        for j in range(_BBIT_K)
+    )
+    sig = sh.select("doc_id", "shingles", F.expr(bits).alias("sig"))
+    a = sig.alias("a")
+    b = sig.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("shingles").alias("b_shingles"),
+        F.col("sig").alias("b_sig"),
+    ).alias("b")
+    pairs = a.join(b, F.col("a.doc_id") == F.col("pair_id"))
+    agree = (
+        F.lit(_BBIT_K)
+        - F.expr(f"bit_count(a.sig ^ b_sig)")
+    ) / F.lit(float(_BBIT_K))
+    est = 2.0 * (agree - 0.5)
+    inter = F.expr("size(array_intersect(a.shingles, b_shingles))")
+    uni = F.expr("size(array_union(a.shingles, b_shingles))")
+    exact = inter / uni
+    return pairs.select(
+        F.col("a.doc_id").alias("a_id"),
+        (F.col("a.doc_id") + 1).alias("b_id"),
+        F.round(exact, 6).alias("jaccard_exact"),
+        F.round(est, 6).alias("jaccard_bbit"),
+        F.round(F.abs(est - exact), 6).alias("abs_err"),
+    )
+
+
+def _bbit_sql() -> str:
+    mins = " + ".join(
+        f"((list_min(list_transform(shingles, s -> ('0x' || substr(md5(s || '#{j}'), 1, 15))::BIGINT)) % 2) << {j})"
+        for j in range(_BBIT_K)
+    )
+    return f"""
+WITH toksT AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {_BBIT_SHINGLE - 2}, 1)),
+           i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1] || ' ' || toks[CAST(i AS INTEGER) + 2])) AS shingles
+  FROM toksT WHERE len(toks) >= {_BBIT_SHINGLE}
+),
+sig AS (SELECT doc_id, shingles, ({mins}) AS sig FROM sh),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.shingles AS sa, b.shingles AS sb, a.sig AS xa, b.sig AS xb
+  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+)
+SELECT a_id, b_id,
+       round(len(list_intersect(sa, sb)) * 1.0 / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard_exact,
+       round(2.0 * (({_BBIT_K} - bit_count(xor(xa, xb))) / {float(_BBIT_K)} - 0.5), 6) AS jaccard_bbit,
+       round(abs(2.0 * (({_BBIT_K} - bit_count(xor(xa, xb))) / {float(_BBIT_K)} - 0.5)
+                 - len(list_intersect(sa, sb)) * 1.0 / len(list_distinct(list_concat(sa, sb)))), 6) AS abs_err
+FROM pairs
+"""
+
+
+SQL_BBIT_MINHASH = _bbit_sql()
+
+
 # -- landmark closeness centrality -----------------------------------------------------
 
 _LC_LANDMARKS = 8
@@ -11992,6 +12177,16 @@ SELECT doc_id, coalesce(level, -1)::INTEGER AS level FROM l{_BFS_ROUNDS}"""
 
 SQL_BFS_LEVELS = _bfs_oracle_sql()
 
+SQL_FRONTIER_BRANCHING = f"""
+WITH bfs AS ({SQL_BFS_LEVELS}),
+per AS (
+  SELECT level, count(*)::BIGINT AS n_nodes FROM bfs WHERE level >= 0 GROUP BY level
+)
+SELECT level, n_nodes,
+       round(n_nodes * 1.0 / lag(n_nodes) OVER (ORDER BY level), 6) AS branching
+FROM per
+"""
+
 
 # -- rank-based quantile normalization -------------------------------------------------
 
@@ -12707,6 +12902,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "attack_robustness": (q_attack_robustness, SQL_ATTACK_ROBUSTNESS),
     "url_path_rollup": (q_url_path_rollup, SQL_URL_PATH_ROLLUP),
     "landmark_closeness": (q_landmark_closeness, SQL_LANDMARK_CLOSENESS),
+    "crawl_trap_score": (q_crawl_trap_score, SQL_CRAWL_TRAP_SCORE),
+    "frontier_branching": (q_frontier_branching, SQL_FRONTIER_BRANCHING),
+    "bbit_minhash": (q_bbit_minhash, SQL_BBIT_MINHASH),
     "host_reputation_ewma": (q_host_reputation_ewma, SQL_HOST_REPUTATION_EWMA),
     "edge_triangle_support": (q_edge_triangle_support, SQL_EDGE_TRIANGLE_SUPPORT),
     "histogram_quantiles": (q_histogram_quantiles, SQL_HISTOGRAM_QUANTILES),
