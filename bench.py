@@ -159,6 +159,9 @@ HEADLINE = [
     "crawl_trap_score",
     "frontier_branching",
     "bbit_minhash",
+    "kmv_distinct",
+    "graph_modularity",
+    "skew_salt_plan",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

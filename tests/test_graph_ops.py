@@ -144,3 +144,59 @@ def test_trust_rank_unreachable_spam_gets_zero(spark, monkeypatch):
     got = {r.node: r.trust for r in q_trust_rank(spark, SF).collect()}
     assert got[21] == 0.0 and got[22] == 0.0
     assert got[0] > 0.0 and got[1] > 0.0
+
+
+def test_graph_modularity_python_recount(spark):
+    """Exact integer recount of e_c / deg_c / m on the real derived graph,
+    plus the closed-form Q contribution per community."""
+    from webcrawler_spark.queries import _MOD_COMMS, q_graph_modularity
+
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in _pagerank_edges(spark, SF).collect()
+    }
+    m = len(edges)
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    rows = {r.comm: r for r in q_graph_modularity(spark, SF).collect()}
+    assert set(rows) == set(range(_MOD_COMMS))
+    total_q = 0.0
+    for c, r in rows.items():
+        ec = sum(1 for a, b in edges if a % _MOD_COMMS == c and b % _MOD_COMMS == c)
+        dc = sum(d for n, d in deg.items() if n % _MOD_COMMS == c)
+        nn = sum(1 for n in deg if n % _MOD_COMMS == c)
+        assert r.internal_edges == ec
+        assert r.deg_sum == dc
+        assert r.n_nodes == nn
+        assert r.q_contrib == round(ec / m - (dc * dc) / (4.0 * m * m), 8)
+        total_q += r.q_contrib
+    # a hash partition of a hash graph is ~random: |Q| stays far from 1
+    assert -0.5 < total_q < 0.5
+
+
+def test_graph_modularity_perfect_partition(spark, monkeypatch):
+    """Two disjoint cliques split exactly by comm = node % _MOD_COMMS
+    (nodes chosen so each clique lands in one community) => each
+    community's contribution is e_c/m - (deg_c/2m)^2 with zero
+    cross edges, and total Q = 1/2 - sum (deg_c/2m)^2 > 0."""
+    from webcrawler_spark.queries import _MOD_COMMS, q_graph_modularity
+
+    assert _MOD_COMMS == 4
+    # clique A on {0,4,8} (all % 4 == 0), clique B on {1,5,9} (% 4 == 1)
+    a_nodes, b_nodes = [0, 4, 8], [1, 5, 9]
+    pairs = list(itertools.combinations(a_nodes, 2)) + list(
+        itertools.combinations(b_nodes, 2)
+    )
+    monkeypatch.setattr(
+        "webcrawler_spark.queries._pagerank_edges",
+        lambda s, d: _fake_edges(spark, pairs),
+    )
+    rows = {r.comm: r for r in q_graph_modularity(spark, SF).collect()}
+    m = len(pairs)
+    for comm in (0, 1):
+        r = rows[comm]
+        assert r.internal_edges == 3 and r.deg_sum == 6 and r.n_nodes == 3
+        assert r.q_contrib == round(3 / m - 36 / (4.0 * m * m), 8)
+    assert sum(r.q_contrib for r in rows.values()) > 0.4

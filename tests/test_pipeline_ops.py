@@ -1800,3 +1800,57 @@ def test_bbit_minhash_python_replication(spark):
         assert r.jaccard_exact == round(exact, 6)
         assert r.jaccard_bbit == round(est, 6)
         assert r.abs_err == round(abs(est - exact), 6)
+
+
+def test_kmv_distinct_python_replication(spark):
+    """Exact replication of the KMV estimator: 48-bit md5 draws, k-th
+    minimum, (k-1)/h_k estimate, with the below-k lossless fallback."""
+    import hashlib
+
+    from webcrawler_spark.queries import _KMV_K, _KMV_SCALE, q_kmv_distinct
+
+    toks: dict[str, set] = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        toks.setdefault(r.lang, set()).update(
+            t for t in re.split(r"\s+", r.text.lower()) if t
+        )
+    got = {r.lang: r for r in q_kmv_distinct(spark, SF).collect()}
+    assert set(got) == set(toks)
+    for lang, ts in toks.items():
+        hs = sorted(int(hashlib.md5(t.encode()).hexdigest()[:12], 16) for t in ts)
+        r = got[lang]
+        assert r.exact_distinct == len(ts)
+        if len(hs) < _KMV_K:
+            est = float(len(hs))
+        else:
+            est = (_KMV_K - 1) * _KMV_SCALE / hs[_KMV_K - 1]
+        assert r.kmv_est == round(est, 4)
+        assert r.rel_err == round((est - len(ts)) / len(ts), 6)
+        # the k=64 sketch should land within 35% at these cardinalities
+        assert abs(r.rel_err) < 0.35
+
+
+def test_skew_salt_plan_python_recount(spark):
+    import math
+
+    from webcrawler_spark.queries import _SALT_CAP, q_skew_salt_plan
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    counts: dict[int, int] = {}
+    for r in ev:
+        h = int(math.floor(math.sqrt(r.user_id)))
+        counts[h] = counts.get(h, 0) + 1
+    total, n_hosts = sum(counts.values()), len(counts)
+    rows = {r.host: r for r in q_skew_salt_plan(spark, SF).collect()}
+    assert set(rows) == set(counts)
+    assert sum(r.cnt for r in rows.values()) == total  # mass conservation
+    for h, c in counts.items():
+        r = rows[h]
+        assert r.cnt == c
+        assert r.share_ppm == c * 1000000 // total
+        assert r.salt_k == (c + _SALT_CAP - 1) // _SALT_CAP
+        assert r.heavy == int(c * n_hosts > 2 * total)
+    # the sqrt collapse genuinely plants skew: top host must need salting
+    top = max(counts.values())
+    assert rows[max(counts, key=counts.get)].salt_k == (top + _SALT_CAP - 1) // _SALT_CAP
+    assert any(r.salt_k > 1 for r in rows.values())

@@ -715,3 +715,24 @@ def test_bbit_minhash_mapside_sigs_no_python(spark):
     p = plan_str(_q("bbit_minhash", spark))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kmv_distinct_no_python_single_token_pass(spark):
+    p = plan_str(_q("kmv_distinct", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the k-smallest selection is a bounded per-group window, not a global sort
+    assert "rangepartitioning" not in p.lower() or "Window" in p
+
+
+def test_graph_modularity_integer_aggs_broadcast_m(spark):
+    p = plan_str(_q("graph_modularity", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_skew_salt_plan_two_aggregates_only(spark):
+    p = plan_str(_q("skew_salt_plan", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # ONE groupBy(host) + ONE 1-row totals agg, each with map-side partials
+    simple = plan_str(_q("skew_salt_plan", spark), "simple")
+    assert simple.count("HashAggregate") >= 4

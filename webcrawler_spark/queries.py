@@ -12724,12 +12724,249 @@ FROM embeddings, mm
 """
 
 
+# -- KMV (theta-style) distinct sketch audit -------------------------------------------
+
+_KMV_K = 64
+_KMV_SCALE = 281474976710656.0  # 2^48: md5 first-12-hex as a uniform 48-bit draw
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-style distinct sketch (Bar-Yossef et al., RANDOM'02;
+    the DataSketches theta family): keep the {_KMV_K} smallest 48-bit
+    hashes of the per-language token universe and estimate
+    D = (k-1) / h_(k) where h_(k) is the k-th minimum as a fraction of
+    2^48. The exact per-language distinct count rides alongside so the
+    row IS the estimator audit (rel_err) — the check you run before
+    trusting sketched cardinalities to plan shuffle widths at 100 TB.
+
+    Scale shape: one (lang, tok) distinct pass, then the k-smallest
+    selection — here a per-lang window (group count is tiny); at real
+    scale the k-minimum set is a mergeable partial aggregate (per
+    partition keep k smallest, merge = k smallest of the union), which
+    is exactly why KMV beats exact count-distinct there. Groups with
+    fewer than k values degrade to the exact count (sketch is lossless
+    below k). Ref: the reference counts vocabulary exactly
+    (TuneVocabulary.scala:30-44) — this is its web-scale estimator."""
+    toks = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select("lang", F.explode("toks").alias("tok"))
+        .distinct()
+    )
+    h = toks.withColumn(
+        "h", F.expr("cast(conv(substring(md5(tok), 1, 12), 16, 10) as bigint)")
+    )
+    w = Window.partitionBy("lang").orderBy("h", "tok")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("lang")
+        .agg(F.max("h").alias("hk"), F.count("*").alias("kk"))
+    )
+    exact = h.groupBy("lang").agg(F.count("*").alias("exact_distinct"))
+    est = F.when(F.col("kk") < _KMV_K, F.col("kk").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SCALE) / F.col("hk")
+    )
+    return (
+        exact.join(sk, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            F.round(est, 4).alias("kmv_est"),
+            F.round((est - F.col("exact_distinct")) / F.col("exact_distinct"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_KMV_EST_SQL = (
+    f"CASE WHEN kk < {_KMV_K} THEN kk::DOUBLE "
+    f"ELSE {float(_KMV_K - 1)} * {_KMV_SCALE} / hk END"
+)
+SQL_KMV_DISTINCT = f"""
+WITH toks AS (
+  SELECT DISTINCT lang, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+h AS (SELECT lang, tok, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM toks),
+kept AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h, tok) AS rn FROM h
+),
+sk AS (SELECT lang, max(h) AS hk, count(*)::BIGINT AS kk FROM kept WHERE rn <= {_KMV_K} GROUP BY lang),
+ex AS (SELECT lang, count(*)::BIGINT AS exact_distinct FROM h GROUP BY lang)
+SELECT ex.lang, exact_distinct,
+       round({_KMV_EST_SQL}, 4) AS kmv_est,
+       round(({_KMV_EST_SQL} - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM ex JOIN sk USING (lang)
+ORDER BY lang
+"""
+
+
+# -- Newman modularity of a host-graph partition ----------------------------------------
+
+_MOD_COMMS = 4
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity Q = sum_c [ e_c/m - (deg_c/2m)^2 ] of a
+    deterministic {_MOD_COMMS}-way partition (comm = node mod
+    {_MOD_COMMS}) of the undirected host graph — the objective every
+    community detector (Louvain, LP refinement) climbs, and the score
+    you audit a partition with before sharding a crawl by community.
+
+    Scale shape: edge canonicalization (least/greatest + distinct), ONE
+    groupBy(comm) over internal edges + one over endpoint degrees; m is
+    a 1-row aggregate broadcast in. Every term integer until the final
+    closed form => zero float-order surface. Ref: host-graph surface
+    GMLStorage.scala:56-60; partition quality is the batch cousin of
+    the reference's cluster sigma-criterion (NetworkEstimator.scala)."""
+    e = _pagerank_edges(spark, sf_dir)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = und.agg(F.count("*").alias("m"))
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .withColumn("comm", F.col("node") % _MOD_COMMS)
+    )
+    comm_deg = deg.groupBy("comm").agg(
+        F.count("*").alias("n_nodes"), F.sum("deg").alias("deg_sum")
+    )
+    internal = (
+        und.filter(F.col("a") % _MOD_COMMS == F.col("b") % _MOD_COMMS)
+        .groupBy((F.col("a") % _MOD_COMMS).alias("comm"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    return (
+        comm_deg.join(internal, "comm", "left")
+        .withColumn("internal_edges", F.coalesce("internal_edges", F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "comm",
+            "n_nodes",
+            "internal_edges",
+            "deg_sum",
+            F.round(
+                F.col("internal_edges") / F.col("m").cast("double")
+                - (F.col("deg_sum") * F.col("deg_sum"))
+                / (F.lit(4.0) * F.col("m") * F.col("m")),
+                8,
+            ).alias("q_contrib"),
+        )
+        .orderBy("comm")
+    )
+
+
+SQL_GRAPH_MODULARITY = f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+m AS (SELECT count(*)::BIGINT AS m FROM und),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg, node % {_MOD_COMMS} AS comm
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node
+),
+cd AS (
+  SELECT comm, count(*)::BIGINT AS n_nodes, sum(deg)::BIGINT AS deg_sum
+  FROM deg GROUP BY comm
+),
+intra AS (
+  SELECT a % {_MOD_COMMS} AS comm, count(*)::BIGINT AS internal_edges
+  FROM und WHERE a % {_MOD_COMMS} = b % {_MOD_COMMS} GROUP BY 1
+)
+SELECT cd.comm, n_nodes,
+       coalesce(internal_edges, 0)::BIGINT AS internal_edges, deg_sum,
+       round(coalesce(internal_edges, 0) / m::DOUBLE
+             - (deg_sum * deg_sum) / (4.0 * m * m), 8) AS q_contrib
+FROM cd LEFT JOIN intra ON cd.comm = intra.comm, m
+ORDER BY cd.comm
+"""
+
+
+# -- hot-host salting plan ---------------------------------------------------------------
+
+_SALT_CAP = 128
+
+
+def q_skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware salting plan: per-host row counts -> the salt factor
+    ceil(cnt / {_SALT_CAP}) each hot host needs so no single fetch task
+    exceeds the cap — the batch audit of exactly the salted-window trick
+    the crawl engine uses live (crawler.py politeness salting, F5;
+    reference politeness window EvaluatePriorityMatrix.scala:120-138).
+    Hosts are a deterministic skewed collapse host = floor(sqrt(user_id))
+    (host h absorbs ~2h+1 uniform users => zipf-ish tail) so the plan
+    genuinely exercises heavy hitters. heavy flags hosts above 2x the
+    mean by integer cross-multiplication (cnt * n_hosts > 2 * total).
+
+    Scale shape: ONE groupBy(host) count with map-side partials + a
+    1-row totals aggregate broadcast back — the same two-job shape at
+    10^10 frontier rows; share_ppm is integer micro-share."""
+    ev = _read(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            F.expr("cast(floor(sqrt(cast(user_id as double))) as bigint)").alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_hosts")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "cnt",
+            F.floor(F.col("cnt") * 1000000 / F.col("total"))
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.floor((F.col("cnt") + _SALT_CAP - 1) / _SALT_CAP)
+            .cast("bigint")
+            .alias("salt_k"),
+            (F.col("cnt") * F.col("n_hosts") > 2 * F.col("total"))
+            .cast("int")
+            .alias("heavy"),
+        )
+        .orderBy(F.desc("cnt"), "host")
+    )
+
+
+SQL_SKEW_SALT_PLAN = f"""
+WITH counts AS (
+  SELECT floor(sqrt(user_id::DOUBLE))::BIGINT AS host, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_hosts FROM counts)
+SELECT host, cnt,
+       floor(cnt * 1000000 / total)::BIGINT AS share_ppm,
+       floor((cnt + {_SALT_CAP - 1}) / {_SALT_CAP})::BIGINT AS salt_k,
+       (cnt * n_hosts > 2 * total)::INTEGER AS heavy
+FROM counts, tot
+ORDER BY cnt DESC, host
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
     "breadth_fifo": (q_breadth_fifo, SQL_BREADTH_FIFO),
     "politeness_window": (q_politeness_window, SQL_POLITENESS_WINDOW),
     "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
+    "skew_salt_plan": (q_skew_salt_plan, SQL_SKEW_SALT_PLAN),
     "warc_revisit": (q_warc_revisit, SQL_WARC_REVISIT),
     "first_seen_ids": (q_first_seen_ids, SQL_FIRST_SEEN_IDS),
     # dedup / membership (§2.4 + training-data surface)
@@ -12755,6 +12992,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash": (q_simhash, SQL_SIMHASH),
     # scoring / aggregation / graph (§2.6-2.7)
     "score_propagation": (q_score_propagation, SQL_SCORE_PROPAGATION),
+    "graph_modularity": (q_graph_modularity, SQL_GRAPH_MODULARITY),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "cocitation_selfjoin": (q_cocitation_selfjoin, SQL_COCITATION_SELFJOIN),
     "density_net": (q_density_net, SQL_DENSITY_NET),
     "deviation_central": (q_deviation_central, SQL_DEVIATION_CENTRAL),
