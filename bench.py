@@ -162,6 +162,9 @@ HEADLINE = [
     "kmv_distinct",
     "graph_modularity",
     "skew_salt_plan",
+    "hyperanf_neighborhood",
+    "weighted_minhash",
+    "edge_reciprocity",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

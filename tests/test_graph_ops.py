@@ -200,3 +200,98 @@ def test_graph_modularity_perfect_partition(spark, monkeypatch):
         assert r.internal_edges == 3 and r.deg_sum == 6 and r.n_nodes == 3
         assert r.q_contrib == round(3 / m - 36 / (4.0 * m * m), 8)
     assert sum(r.q_contrib for r in rows.values()) > 0.4
+
+
+def test_hyperanf_python_replication_and_bfs_tracking(spark):
+    """Replicate the register max-merge + estimate in python exactly;
+    assert estimates are exact-HLL-identical and track BFS ball growth."""
+    import hashlib
+    import math
+
+    from webcrawler_spark.queries import (
+        _ANF_LOW,
+        _ANF_P,
+        _ANF_ROUNDS,
+        q_hyperanf_neighborhood,
+    )
+
+    m = 1 << _ANF_P
+    edges = [(r.src, r.dst) for r in _pagerank_edges(spark, SF).collect()]
+    nodes = sorted({n for e in edges for n in e})
+    out: dict[int, list] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+
+    def sketch(n):
+        hv = int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
+        bucket, w = hv >> _ANF_LOW, hv & ((1 << _ANF_LOW) - 1)
+        rho = _ANF_LOW + 1 if w == 0 else _ANF_LOW - w.bit_length() + 1
+        return {bucket: rho}
+
+    def estimate(regs):
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        s_total = float(
+            sum(1 << (52 - r) for r in regs.values()) + (m - len(regs)) * (1 << 52)
+        )
+        raw = alpha * m * m * float(1 << 52) / s_total
+        zeros = m - len(regs)
+        if raw <= 2.5 * m and zeros > 0:
+            return float(m) * math.log(float(m) / zeros)
+        return raw
+
+    state = {n: sketch(n) for n in nodes}
+    got = {(r.t, r.node): r.ball_est for r in q_hyperanf_neighborhood(spark, SF).collect()}
+    # exact BFS balls for the tracking assertion
+    for t in range(1, _ANF_ROUNDS + 1):
+        new = {}
+        for n in nodes:
+            regs = dict(state[n])
+            for nb in out.get(n, []):
+                for b, r in state[nb].items():
+                    regs[b] = max(regs.get(b, 0), r)
+            new[n] = regs
+        state = new
+        for n in nodes:
+            assert got[(t, n)] == round(estimate(state[n]), 4)
+    # monotone: ball estimates never shrink round-over-round per node
+    for n in nodes:
+        for t in range(2, _ANF_ROUNDS + 1):
+            assert got[(t, n)] >= got[(t - 1, n)]
+
+
+def test_edge_reciprocity_known_graph_and_recount(spark, monkeypatch):
+    from webcrawler_spark.queries import q_edge_reciprocity
+
+    # directed: 0<->1 mutual, 0->2 one-way, 2->3 one-way
+    def _directed(s, d):
+        return spark.createDataFrame(
+            [(0, 1), (1, 0), (0, 2), (2, 3)], "src long, dst long"
+        )
+
+    monkeypatch.setattr("webcrawler_spark.queries._pagerank_edges", _directed)
+    rows = {r.node: r for r in q_edge_reciprocity(spark, SF).collect()}
+    assert rows[0].out_deg == 2 and rows[0].reciprocated == 1
+    assert rows[0].recip_ppm == 500000
+    assert rows[1].out_deg == 1 and rows[1].reciprocated == 1
+    assert rows[1].recip_ppm == 1000000
+    assert rows[2].out_deg == 1 and rows[2].reciprocated == 0
+    assert rows[2].recip_ppm == 0
+    assert 3 not in rows  # no out-edges => no row (out-degree table drives)
+
+
+def test_edge_reciprocity_real_graph_recount(spark):
+    from webcrawler_spark.queries import q_edge_reciprocity
+
+    edges = {(r.src, r.dst) for r in _pagerank_edges(spark, SF).collect()}
+    rows = {r.node: r for r in q_edge_reciprocity(spark, SF).collect()}
+    outs: dict[int, int] = {}
+    recs: dict[int, int] = {}
+    for s, d in edges:
+        outs[s] = outs.get(s, 0) + 1
+        if (d, s) in edges:
+            recs[s] = recs.get(s, 0) + 1
+    assert set(rows) == set(outs)
+    for n, r in rows.items():
+        assert r.out_deg == outs[n]
+        assert r.reciprocated == recs.get(n, 0)
+        assert r.recip_ppm == recs.get(n, 0) * 1000000 // outs[n]

@@ -1854,3 +1854,53 @@ def test_skew_salt_plan_python_recount(spark):
     top = max(counts.values())
     assert rows[max(counts, key=counts.get)].salt_k == (top + _SALT_CAP - 1) // _SALT_CAP
     assert any(r.salt_k > 1 for r in rows.values())
+
+
+def test_weighted_minhash_python_replication(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _WMH_CAP, _WMH_K, q_weighted_minhash
+
+    docs = {
+        r.doc_id: [t for t in re.split(r"\s+", r.text.lower()) if t]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    exp = {}
+    for d, toks in docs.items():
+        if not toks:
+            continue
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        exp[d] = {f"{t}#{i}" for t, c in tf.items() for i in range(1, min(c, _WMH_CAP) + 1)}
+
+    def mins(es):
+        return [
+            min(int(hashlib.md5(f"{s}@{j}".encode()).hexdigest()[:15], 16) for s in es)
+            for j in range(_WMH_K)
+        ]
+
+    got = {(r.a_id, r.b_id): r for r in q_weighted_minhash(spark, SF).collect()}
+    expected_pairs = {(d, d + 1) for d in exp if d + 1 in exp}
+    assert set(got) == expected_pairs
+    for a, b in sorted(expected_pairs)[:15]:
+        ma, mb = mins(exp[a]), mins(exp[b])
+        est = sum(1 for x, y in zip(ma, mb) if x == y) / _WMH_K
+        exact = len(exp[a] & exp[b]) / len(exp[a] | exp[b])
+        r = got[(a, b)]
+        assert r.wjac_exact == round(exact, 6)
+        assert r.wjac_est == round(est, 6)
+        assert r.abs_err == round(abs(est - exact), 6)
+
+
+def test_weighted_minhash_weight_sensitivity(spark):
+    """The defining property plain Jaccard lacks: same vocabulary,
+    different term emphasis => weighted Jaccard < 1 while set Jaccard = 1."""
+    from webcrawler_spark.queries import _WMH_CAP
+
+    # capped-tf expansion of 'x x x y' vs 'x y y y': set Jaccard is 1.0,
+    # capped weighted Jaccard is |{x1,y1} u partial|: min-sum/max-sum = (1+1)/(3+3)
+    a = {"x#1", "x#2", "x#3", "y#1"}
+    b = {"x#1", "y#1", "y#2", "y#3"}
+    assert _WMH_CAP >= 3
+    assert len(a & b) / len(a | b) == 2 / 6

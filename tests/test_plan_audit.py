@@ -736,3 +736,21 @@ def test_skew_salt_plan_two_aggregates_only(spark):
     # ONE groupBy(host) + ONE 1-row totals agg, each with map-side partials
     simple = plan_str(_q("skew_salt_plan", spark), "simple")
     assert simple.count("HashAggregate") >= 4
+
+
+def test_hyperanf_pregel_rounds_no_python(spark):
+    p = plan_str(_q("hyperanf_neighborhood", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_weighted_minhash_mapside_no_cartesian(spark):
+    p = plan_str(_q("weighted_minhash", spark))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_edge_reciprocity_semi_join_no_python(spark):
+    p = plan_str(_q("edge_reciprocity", spark))
+    assert "LeftSemi" in p or "ExistenceJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -12896,6 +12896,296 @@ ORDER BY cd.comm
 """
 
 
+# -- HyperANF neighborhood function -----------------------------------------------------
+
+_ANF_P = 4  # 16 registers per node — the per-node state is O(16), never O(ball)
+_ANF_LOW = 60 - _ANF_P
+_ANF_ROUNDS = 3
+
+
+def q_hyperanf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF (Boldi-Vigna-Rosa, WWW'11): per-node HLL counters
+    max-merged along out-edges for {_ANF_ROUNDS} rounds estimate
+    |ball(v,t)| = #nodes within t hops — the neighborhood function /
+    effective-diameter machinery that runs on billion-node web graphs
+    precisely BECAUSE per-node state is m registers, not the ball
+    itself. Registers follow the repo HLL idiom (md5 60-bit draw,
+    2^-rho harmonic sum as exact integers scaled 2^52, linear-counting
+    correction) so the only floats are the final closed forms.
+
+    Scale shape: state is (node, bucket, rho) rows — O(nodes x m); one
+    round = one edge join + one max groupBy + localCheckpoint (lineage
+    truncation), the identical Pregel-as-DataFrames shape as bfs_levels
+    but with MERGEABLE sketch state instead of exact labels. Ref: graph
+    surface GMLStorage.scala:56-60; the crawl's wave expansion is this
+    op's exact-set twin."""
+    m = 1 << _ANF_P
+    edges = _pagerank_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hashed = nodes.withColumn(
+        "hv",
+        F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    state = hashed.select(
+        "node",
+        F.shiftright("hv", _ANF_LOW).alias("bucket"),
+        F.when(F.col("hv").bitwiseAND(F.lit((1 << _ANF_LOW) - 1)) == 0, _ANF_LOW + 1)
+        .otherwise(
+            F.lit(_ANF_LOW)
+            - F.length(F.bin(F.col("hv").bitwiseAND(F.lit((1 << _ANF_LOW) - 1))))
+            + 1
+        )
+        .alias("rho"),
+    ).localCheckpoint(eager=True)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    outs = []
+    for t in range(1, _ANF_ROUNDS + 1):
+        prop = state.join(edges, state["node"] == edges["dst"]).select(
+            edges["src"].alias("node"), "bucket", "rho"
+        )
+        state = (
+            state.union(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        stats = state.groupBy("node").agg(
+            F.count("*").cast("bigint").alias("n_present"),
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 52 - cast(rho as int))"))
+            .cast("bigint")
+            .alias("s_present"),
+        )
+        s_total = (
+            F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(1 << 52)
+        ).cast("double")
+        raw = F.lit(alpha * m * m * float(1 << 52)) / s_total
+        zeros = F.lit(m) - F.col("n_present")
+        est = F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(raw)
+        outs.append(
+            stats.select(
+                F.lit(t).alias("t"), "node", F.round(est, 4).alias("ball_est")
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res.orderBy("t", "node")
+
+
+def _anf_sql() -> str:
+    m = 1 << _ANF_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rounds = []
+    prev = "s0"
+    for t in range(1, _ANF_ROUNDS + 1):
+        rounds.append(
+            f"s{t} AS MATERIALIZED (\n"
+            f"  SELECT node, bucket, max(rho) AS rho FROM (\n"
+            f"    SELECT node, bucket, rho FROM {prev}\n"
+            f"    UNION ALL\n"
+            f"    SELECT e.src AS node, s.bucket, s.rho FROM {prev} s JOIN edges e ON s.node = e.dst\n"
+            f"  ) GROUP BY node, bucket\n"
+            f")"
+        )
+        prev = f"s{t}"
+    est = (
+        f"CASE WHEN {alpha * m * m * float(1 << 52)} / s_total <= {2.5 * m} AND n_present < {m} "
+        f"THEN {float(m)} * ln({float(m)} / ({m} - n_present)::DOUBLE) "
+        f"ELSE {alpha * m * m * float(1 << 52)} / s_total END"
+    )
+    ests = "\nUNION ALL\n".join(
+        f"SELECT {t} AS t, node, round({est}, 4) AS ball_est FROM (\n"
+        f"  SELECT node, count(*)::BIGINT AS n_present,\n"
+        f"         (sum(1::BIGINT << (52 - rho))::BIGINT\n"
+        f"          + ({m} - count(*)) * {1 << 52})::DOUBLE AS s_total\n"
+        f"  FROM s{t} GROUP BY node\n"
+        f")"
+        for t in range(1, _ANF_ROUNDS + 1)
+    )
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+hv AS (SELECT node, ('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT AS hv FROM nodes),
+s0 AS MATERIALIZED (
+  SELECT node, hv >> {_ANF_LOW} AS bucket,
+         CASE WHEN hv & {(1 << _ANF_LOW) - 1} = 0 THEN {_ANF_LOW + 1}
+              ELSE {_ANF_LOW} - length(bin(hv & {(1 << _ANF_LOW) - 1})::VARCHAR) + 1 END AS rho
+  FROM hv
+),
+{",".join(rounds)}
+{ests}
+ORDER BY t, node
+"""
+
+
+SQL_HYPERANF_NEIGHBORHOOD = _anf_sql()
+
+
+# -- weighted minhash (capped-tf replication) --------------------------------------------
+
+_WMH_K = 16
+_WMH_CAP = 4
+
+
+def q_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Jaccard minhash via integer replication (the CWS
+    family's exact small-weight specialization): each term is expanded
+    into min(tf, {_WMH_CAP}) distinct elements t#i, so plain set
+    minhash over the expansion IS an unbiased weighted-Jaccard
+    estimator for capped term frequencies — near-dup detection that
+    sees 'same words, very different emphasis'. Adjacent doc pairs
+    carry the exact capped weighted Jaccard (= set Jaccard of the
+    expansions) alongside the {_WMH_K}-hash estimate and its error.
+
+    Scale shape: expansion + all {_WMH_K} min-folds are ONE map-side
+    array expression per doc (no explode, no shuffle); the pair join is
+    keyed doc_id+1 (stand-in for LSH buckets at scale); the exact side
+    exists only to grade the estimator and drops at 100 TB."""
+    docs = _tokens(_docs_parallel(spark, sf_dir)).filter(F.expr("size(toks) >= 1"))
+    exp = docs.select(
+        "doc_id",
+        F.expr(
+            f"flatten(transform(array_distinct(toks), t -> "
+            f"transform(sequence(1, least(size(filter(toks, x -> x = t)), {_WMH_CAP})), "
+            f"i -> concat(t, '#', i))))"
+        ).alias("exp"),
+    )
+    mins = exp.select(
+        "doc_id",
+        "exp",
+        F.expr(
+            f"transform(sequence(0, {_WMH_K - 1}), j -> "
+            f"aggregate(exp, cast(9223372036854775807 as bigint), (acc, s) -> "
+            f"least(acc, cast(conv(substring(md5(concat(s, '@', j)), 1, 15), 16, 10) as bigint))))"
+        ).alias("mins"),
+    ).localCheckpoint(eager=True)
+    a = mins.alias("a")
+    b = mins.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("exp").alias("b_exp"),
+        F.col("mins").alias("b_mins"),
+    ).alias("b")
+    pairs = a.join(b, F.col("a.doc_id") == F.col("pair_id"))
+    agree = F.expr(
+        "size(filter(zip_with(a.mins, b_mins, (x, y) -> x = y), z -> z))"
+    )
+    est = agree / F.lit(float(_WMH_K))
+    exact = F.expr("size(array_intersect(a.exp, b_exp))") / F.expr(
+        "size(array_union(a.exp, b_exp))"
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("a_id"),
+        (F.col("a.doc_id") + 1).alias("b_id"),
+        F.round(exact, 6).alias("wjac_exact"),
+        F.round(est, 6).alias("wjac_est"),
+        F.round(F.abs(est - exact), 6).alias("abs_err"),
+    )
+
+
+SQL_WEIGHTED_MINHASH = f"""
+WITH toksT AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+expT AS (
+  SELECT doc_id,
+         flatten(list_transform(list_distinct(toks), t ->
+           list_transform(range(1, least(len(list_filter(toks, x -> x = t)), {_WMH_CAP}) + 1),
+             i -> t || '#' || i))) AS exp
+  FROM toksT WHERE len(toks) >= 1
+),
+mins AS (
+  SELECT doc_id, exp,
+         list_transform(range(0, {_WMH_K}), j ->
+           list_min(list_transform(exp, s -> ('0x' || substr(md5(s || '@' || j), 1, 15))::BIGINT))) AS mins
+  FROM expT
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.exp AS ea, b.exp AS eb, a.mins AS ma, b.mins AS mb
+  FROM mins a JOIN mins b ON b.doc_id = a.doc_id + 1
+)
+SELECT a_id, b_id,
+       round(len(list_intersect(ea, eb)) / len(list_distinct(list_concat(ea, eb))), 6) AS wjac_exact,
+       round(len(list_filter(list_zip(ma, mb), z -> z[1] = z[2])) / {float(_WMH_K)}, 6) AS wjac_est,
+       round(abs(len(list_filter(list_zip(ma, mb), z -> z[1] = z[2])) / {float(_WMH_K)}
+                 - len(list_intersect(ea, eb)) / len(list_distinct(list_concat(ea, eb)))), 6) AS abs_err
+FROM pairs
+"""
+
+
+# -- directed-graph reciprocity ----------------------------------------------------------
+
+
+def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node link reciprocity (Broder WWW'00 web-graph stat family):
+    for each host, the fraction of out-links whose reverse edge exists —
+    mutual-link mass separates genuine hub communities from link farms
+    that only point one way (cf. link_farm_score). Integer micro-units
+    (recip_ppm = floor(1e6 * reciprocated / out_deg)).
+
+    Scale shape: one self-semi-join on the reversed key (shuffle on
+    (src,dst) — the canonical edge-orientation join every triangle/
+    truss op here reuses) + one groupBy(src); nothing is collected."""
+    e = _pagerank_edges(spark, sf_dir).localCheckpoint(eager=True)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .groupBy("src")
+        .agg(F.count("*").alias("reciprocated"))
+    )
+    out = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    return (
+        out.join(recip, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "out_deg",
+            F.coalesce("reciprocated", F.lit(0)).cast("bigint").alias("reciprocated"),
+            F.floor(
+                F.coalesce("reciprocated", F.lit(0)) * 1000000 / F.col("out_deg")
+            )
+            .cast("bigint")
+            .alias("recip_ppm"),
+        )
+        .orderBy("node")
+    )
+
+
+SQL_EDGE_RECIPROCITY = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+recip AS (
+  SELECT e.src, count(*)::BIGINT AS reciprocated
+  FROM edges e WHERE EXISTS (
+    SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src
+  ) GROUP BY e.src
+),
+outd AS (SELECT src, count(*)::BIGINT AS out_deg FROM edges GROUP BY src)
+SELECT o.src AS node, out_deg,
+       coalesce(reciprocated, 0)::BIGINT AS reciprocated,
+       floor(coalesce(reciprocated, 0) * 1000000 / out_deg)::BIGINT AS recip_ppm
+FROM outd o LEFT JOIN recip r ON o.src = r.src
+ORDER BY node
+"""
+
+
 # -- hot-host salting plan ---------------------------------------------------------------
 
 _SALT_CAP = 128
@@ -12994,6 +13284,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "score_propagation": (q_score_propagation, SQL_SCORE_PROPAGATION),
     "graph_modularity": (q_graph_modularity, SQL_GRAPH_MODULARITY),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "hyperanf_neighborhood": (q_hyperanf_neighborhood, SQL_HYPERANF_NEIGHBORHOOD),
+    "edge_reciprocity": (q_edge_reciprocity, SQL_EDGE_RECIPROCITY),
+    "weighted_minhash": (q_weighted_minhash, SQL_WEIGHTED_MINHASH),
     "cocitation_selfjoin": (q_cocitation_selfjoin, SQL_COCITATION_SELFJOIN),
     "density_net": (q_density_net, SQL_DENSITY_NET),
     "deviation_central": (q_deviation_central, SQL_DEVIATION_CENTRAL),
