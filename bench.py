@@ -165,6 +165,9 @@ HEADLINE = [
     "hyperanf_neighborhood",
     "weighted_minhash",
     "edge_reciprocity",
+    "unseen_mass_gt",
+    "term_burstiness",
+    "politeness_compliance",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -1904,3 +1904,80 @@ def test_weighted_minhash_weight_sensitivity(spark):
     b = {"x#1", "y#1", "y#2", "y#3"}
     assert _WMH_CAP >= 3
     assert len(a & b) / len(a | b) == 2 / 6
+
+
+def test_unseen_mass_gt_python_recount(spark):
+    from webcrawler_spark.queries import q_unseen_mass_gt
+
+    tf: dict[str, dict[str, int]] = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        d = tf.setdefault(r.lang, {})
+        for t in re.split(r"\s+", r.text.lower()):
+            if t:
+                d[t] = d.get(t, 0) + 1
+    rows = {r.lang: r for r in q_unseen_mass_gt(spark, SF).collect()}
+    assert set(rows) == set(tf)
+    for lang, d in tf.items():
+        n = sum(d.values())
+        v = len(d)
+        n1 = sum(1 for c in d.values() if c == 1)
+        n2 = sum(1 for c in d.values() if c == 2)
+        r = rows[lang]
+        assert (r.n_tokens, r.vocab, r.hapax, r.dis) == (n, v, n1, n2)
+        assert r.p0_unseen == round(n1 / n, 6)
+        assert r.chao1 == round(v + (n1 * (n1 - 1)) / (2.0 * (n2 + 1)), 4)
+        # estimator sanity: chao1 never below observed vocabulary
+        assert r.chao1 >= v
+
+
+def test_term_burstiness_python_recount(spark):
+    from webcrawler_spark.queries import _BURST_TOP, q_term_burstiness
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    d_total = len(docs)
+    per: dict[str, dict[int, int]] = {}
+    for r in docs:
+        for t in re.split(r"\s+", r.text.lower()):
+            if t:
+                per.setdefault(t, {}).setdefault(r.doc_id, 0)
+                per[t][r.doc_id] += 1
+    stats = {
+        t: (len(cs), sum(cs.values()), sum(c * c for c in cs.values()))
+        for t, cs in per.items()
+    }
+    top = sorted(stats.items(), key=lambda kv: (-kv[1][1], kv[0]))[:_BURST_TOP]
+    got = q_term_burstiness(spark, SF).collect()
+    assert [r.term for r in got] == [t for t, _ in top]
+    for r, (t, (df, cnt, sumsq)) in zip(got, top):
+        assert (r.df, r.cnt) == (df, cnt)
+        assert r.vmr == round(sumsq / cnt - cnt / d_total, 6)
+    # function words dominate the top-count list; a Poisson-ish term has
+    # VMR near 1 while the most bursty term must exceed it
+    assert max(r.vmr for r in got) > min(r.vmr for r in got)
+
+
+def test_politeness_compliance_python_recount(spark):
+    from webcrawler_spark.queries import _PC_HOSTS, q_politeness_compliance
+
+    ev = sorted(
+        spark.read.parquet(f"{SF}/events.parquet").collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    by_host: dict[int, list] = {}
+    for r in ev:
+        by_host.setdefault(r.user_id % _PC_HOSTS, []).append(r.ts)
+    rows = {r.host: r for r in q_politeness_compliance(spark, SF).collect()}
+    assert set(rows) == set(by_host)
+    for h, tss in by_host.items():
+        delay_us = (1 + h % 5) * 1_000_000
+        gaps = [
+            int((b - a).total_seconds() * 1_000_000)
+            for a, b in zip(tss, tss[1:])
+        ]
+        viol = sum(1 for g in gaps if g < delay_us)
+        r = rows[h]
+        assert r.delay_us == delay_us
+        assert r.fetches == len(tss)
+        assert r.violations == viol
+        assert r.violation_ppm == viol * 1_000_000 // max(len(tss) - 1, 1)
+        assert r.min_gap_us == (min(gaps) if gaps else -1)

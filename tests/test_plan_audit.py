@@ -754,3 +754,25 @@ def test_edge_reciprocity_semi_join_no_python(spark):
     p = plan_str(_q("edge_reciprocity", spark))
     assert "LeftSemi" in p or "ExistenceJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_unseen_mass_gt_two_groupbys_no_python(spark):
+    p = plan_str(_q("unseen_mass_gt", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    simple = plan_str(_q("unseen_mass_gt", spark), "simple")
+    assert simple.count("HashAggregate") >= 4  # map-side partials both folds
+
+
+def test_term_burstiness_takeordered_broadcast_total(spark):
+    p = plan_str(_q("term_burstiness", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    simple = plan_str(_q("term_burstiness", spark), "simple")
+    assert "TakeOrderedAndProject" in simple  # top-K, never a global sort
+
+
+def test_politeness_compliance_single_exchange(spark):
+    p = plan_str(_q("politeness_compliance", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # window and groupBy share the host hash partitioning: ONE exchange
+    simple = plan_str(_q("politeness_compliance", spark), "simple")
+    assert simple.count("Exchange") <= 2

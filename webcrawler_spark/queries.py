@@ -13186,6 +13186,198 @@ ORDER BY node
 """
 
 
+# -- Good-Turing unseen mass / Chao1 richness --------------------------------------------
+
+
+def q_unseen_mass_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-probability mass (Gale-Sampson 1995) + Chao1
+    richness per language: p0 = N1/N (hapax share of token mass) says
+    how much of the language the crawl has NOT seen yet — the signal
+    that tells a 100 TB pipeline whether more crawling still buys new
+    vocabulary; chao1 = V + N1(N1-1)/(2(N2+1)) (bias-corrected)
+    estimates the total vocabulary size the corpus is converging to.
+
+    Scale shape: one (lang, term) count groupBy (map-side partials) +
+    one per-lang fold of four integer sums; the closed forms are the
+    only floats. Ref: the reference's exact vocabulary counting
+    (TuneVocabulary.scala:30-44) — this is what you consult before
+    paying for the next billion pages."""
+    counts = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select("lang", F.explode("toks").alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint").alias("dis"),
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "dis",
+        F.round(F.col("hapax") / F.col("n_tokens").cast("double"), 6).alias("p0_unseen"),
+        F.round(
+            F.col("vocab")
+            + (F.col("hapax") * (F.col("hapax") - 1))
+            / (F.lit(2.0) * (F.col("dis") + 1)),
+            4,
+        ).alias("chao1"),
+    ).orderBy("lang")
+
+
+SQL_UNSEEN_MASS_GT = f"""
+WITH toks AS (SELECT lang, unnest({_SQL_TOKS}) AS term FROM documents),
+counts AS (SELECT lang, term, count(*)::BIGINT AS c FROM toks GROUP BY lang, term),
+agg AS (
+  SELECT lang, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS dis
+  FROM counts GROUP BY lang
+)
+SELECT lang, n_tokens, vocab, hapax, dis,
+       round(hapax / n_tokens::DOUBLE, 6) AS p0_unseen,
+       round(vocab + (hapax * (hapax - 1)) / (2.0 * (dis + 1)), 4) AS chao1
+FROM agg ORDER BY lang
+"""
+
+
+# -- term burstiness (variance-to-mean ratio) ---------------------------------------------
+
+_BURST_TOP = 20
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church-Gale dispersion): variance-to-mean ratio
+    of per-document counts over ALL documents — VMR >> 1 marks bursty
+    topical terms (concentrated in few docs), VMR ~ 1 Poisson-like
+    function words. The closed form VMR = sumsq/cnt - cnt/D needs only
+    three integer partial sums, so docs that never mention the term
+    cost nothing — the trick that makes corpus-wide dispersion feasible
+    at 10^10 documents. Top {_BURST_TOP} terms by total count.
+
+    Scale shape: (doc, term) count groupBy -> (term) fold of integer
+    (df, cnt, sumsq) partials -> TakeOrdered {_BURST_TOP}; the doc
+    total is a 1-row broadcast."""
+    per_doc = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("cnt"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+    )
+    d = _read(spark, sf_dir, "documents").agg(F.count("*").cast("bigint").alias("d"))
+    return (
+        stats.crossJoin(F.broadcast(d))
+        .select(
+            "term",
+            "df",
+            "cnt",
+            F.round(
+                F.col("sumsq") / F.col("cnt").cast("double")
+                - F.col("cnt") / F.col("d").cast("double"),
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("cnt"), "term")
+        .limit(_BURST_TOP)
+    )
+
+
+SQL_TERM_BURSTINESS = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+per_doc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, term),
+stats AS (
+  SELECT term, count(*)::BIGINT AS df, sum(c)::BIGINT AS cnt,
+         sum(c * c)::BIGINT AS sumsq
+  FROM per_doc GROUP BY term
+),
+d AS (SELECT count(*)::BIGINT AS d FROM documents)
+SELECT term, df, cnt,
+       round(sumsq / cnt::DOUBLE - cnt / d::DOUBLE, 6) AS vmr
+FROM stats, d
+ORDER BY cnt DESC, term
+LIMIT {_BURST_TOP}
+"""
+
+
+# -- politeness compliance audit ----------------------------------------------------------
+
+_PC_HOSTS = 32
+
+
+def q_politeness_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay compliance audit over the fetch log: per host, the
+    inter-fetch gaps in (ts, event_id) total order vs that host's
+    required delay (deterministic 1 + host%5 seconds, standing in for
+    robots.txt Crawl-delay) — violations counted in integer micro-share.
+    This is the post-hoc check on exactly the politeness window the
+    engine enforces live (crawler.py F5; reference politeness
+    EvaluatePriorityMatrix.scala:120-138): at 100 TB you audit the
+    fetch LOG, because no scheduler proof survives repartitioning bugs.
+
+    Scale shape: one window (lag) + one groupBy, both on the same host
+    hash partitioning — a single exchange end-to-end."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "host", F.col("user_id") % _PC_HOSTS
+    )
+    wo = Window.partitionBy("host").orderBy("ts", "event_id")
+    delay_us = (F.lit(1) + F.col("host") % 5) * 1000000
+    gap = _us("ts") - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(wo))
+    g = ev.withColumn("gap_us", gap).withColumn(
+        "viol", F.when(F.col("gap_us") < delay_us, 1).otherwise(0)
+    )
+    return (
+        g.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("fetches"),
+            F.sum("viol").cast("bigint").alias("violations"),
+            F.coalesce(F.min("gap_us"), F.lit(-1)).cast("bigint").alias("min_gap_us"),
+        )
+        .select(
+            "host",
+            ((F.col("host") % 5 + 1) * 1000000).cast("bigint").alias("delay_us"),
+            "fetches",
+            "violations",
+            F.floor(
+                F.col("violations") * 1000000
+                / F.greatest(F.col("fetches") - 1, F.lit(1))
+            )
+            .cast("bigint")
+            .alias("violation_ppm"),
+            "min_gap_us",
+        )
+        .orderBy("host")
+    )
+
+
+SQL_POLITENESS_COMPLIANCE = f"""
+WITH ev AS (SELECT user_id % {_PC_HOSTS} AS host, ts, event_id FROM events),
+g AS (
+  SELECT host,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   < (1 + host % 5) * 1000000 THEN 1 ELSE 0 END AS viol
+  FROM ev
+  WINDOW w AS (PARTITION BY host ORDER BY ts, event_id)
+)
+SELECT host, ((host % 5 + 1) * 1000000)::BIGINT AS delay_us,
+       count(*)::BIGINT AS fetches,
+       sum(viol)::BIGINT AS violations,
+       floor(sum(viol) * 1000000 / greatest(count(*) - 1, 1))::BIGINT AS violation_ppm,
+       coalesce(min(gap_us), -1)::BIGINT AS min_gap_us
+FROM g GROUP BY host ORDER BY host
+"""
+
+
 # -- hot-host salting plan ---------------------------------------------------------------
 
 _SALT_CAP = 128
@@ -13257,6 +13449,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "politeness_window": (q_politeness_window, SQL_POLITENESS_WINDOW),
     "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
     "skew_salt_plan": (q_skew_salt_plan, SQL_SKEW_SALT_PLAN),
+    "politeness_compliance": (q_politeness_compliance, SQL_POLITENESS_COMPLIANCE),
+    "unseen_mass_gt": (q_unseen_mass_gt, SQL_UNSEEN_MASS_GT),
+    "term_burstiness": (q_term_burstiness, SQL_TERM_BURSTINESS),
     "warc_revisit": (q_warc_revisit, SQL_WARC_REVISIT),
     "first_seen_ids": (q_first_seen_ids, SQL_FIRST_SEEN_IDS),
     # dedup / membership (§2.4 + training-data surface)
