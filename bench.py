@@ -168,6 +168,9 @@ HEADLINE = [
     "unseen_mass_gt",
     "term_burstiness",
     "politeness_compliance",
+    "effective_diameter",
+    "ktruss_peel",
+    "rendezvous_sharding",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -295,3 +295,74 @@ def test_edge_reciprocity_real_graph_recount(spark):
         assert r.out_deg == outs[n]
         assert r.reciprocated == recs.get(n, 0)
         assert r.recip_ppm == recs.get(n, 0) * 1000000 // outs[n]
+
+
+def test_ktruss_peel_known_graph(spark, monkeypatch):
+    """K5 on {0..4} plus a triangle {10,11,12} plus a pendant edge:
+    every K5 edge has support 3 >= 2 and survives all peels; the lone
+    triangle's edges (support 1) and the pendant (0) peel away in
+    round 1."""
+    from webcrawler_spark.queries import q_ktruss_peel
+
+    k5 = list(itertools.combinations(range(5), 2))
+    tri = [(10, 11), (10, 12), (11, 12)]
+    pend = [(0, 20)]
+    monkeypatch.setattr(
+        "webcrawler_spark.queries._pagerank_edges",
+        lambda s, d: _fake_edges(spark, k5 + tri + pend),
+    )
+    rows = {(r.a, r.b): r.support for r in q_ktruss_peel(spark, SF).collect()}
+    assert set(rows) == set(k5)
+    assert all(s == 3 for s in rows.values())
+
+
+def test_ktruss_peel_python_fixpoint_recount(spark):
+    """Replicate the bounded peel in python on the real graph; assert the
+    surviving edge set and final supports match exactly."""
+    from webcrawler_spark.queries import _KTRUSS_K, _KTRUSS_ROUNDS, q_ktruss_peel
+
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in _pagerank_edges(spark, SF).collect()
+    }
+
+    def supports(es):
+        sup = {e: 0 for e in es}
+        nodes = sorted({n for e in es for n in e})
+        es_set = set(es)
+        for a, b, c in itertools.combinations(nodes, 3):
+            if (a, b) in es_set and (a, c) in es_set and (b, c) in es_set:
+                sup[(a, b)] += 1
+                sup[(a, c)] += 1
+                sup[(b, c)] += 1
+        return sup
+
+    cur = set(edges)
+    for _ in range(_KTRUSS_ROUNDS):
+        sup = supports(cur)
+        cur = {e for e in cur if sup.get(e, 0) >= _KTRUSS_K - 2}
+    final_sup = supports(cur)
+    got = {(r.a, r.b): r.support for r in q_ktruss_peel(spark, SF).collect()}
+    assert got == {e: final_sup[e] for e in cur}
+
+
+def test_effective_diameter_monotone_and_final(spark):
+    from webcrawler_spark.queries import (
+        _ANF_ROUNDS,
+        q_effective_diameter,
+        q_hyperanf_neighborhood,
+    )
+
+    rows = sorted(q_effective_diameter(spark, SF).collect(), key=lambda r: r.t)
+    assert [r.t for r in rows] == list(range(1, _ANF_ROUNDS + 1))
+    # N(t) is monotone nondecreasing and the final round is 100% of itself
+    for a, b in zip(rows, rows[1:]):
+        assert b.nf_micro >= a.nf_micro
+    assert rows[-1].frac_of_final == 1.0 and rows[-1].reached90 == 1
+    # cross-check nf against the hyperanf rows it aggregates
+    anf = q_hyperanf_neighborhood(spark, SF).collect()
+    nf = {}
+    for r in anf:
+        nf[r.t] = nf.get(r.t, 0) + round(r.ball_est * 10000)
+    for r in rows:
+        assert r.nf_micro == nf[r.t]

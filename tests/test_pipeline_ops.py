@@ -1981,3 +1981,43 @@ def test_politeness_compliance_python_recount(spark):
         assert r.violations == viol
         assert r.violation_ppm == viol * 1_000_000 // max(len(tss) - 1, 1)
         assert r.min_gap_us == (min(gaps) if gaps else -1)
+
+
+def test_rendezvous_sharding_python_replication_and_minimal_movement(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _HRW_SHARDS, q_rendezvous_sharding
+
+    doc_ids = [
+        r.doc_id for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    urls = [f"h{d % 10}/s{d % 5}/p{d}" for d in doc_ids]
+
+    def owner(url, n):
+        hs = [
+            int(hashlib.md5(f"{url}|{s}".encode()).hexdigest()[:15], 16)
+            for s in range(n)
+        ]
+        return hs.index(max(hs))
+
+    per_shard: dict[int, int] = {}
+    moved: dict[int, int] = {}
+    for u in urls:
+        s8 = owner(u, _HRW_SHARDS)
+        s9 = owner(u, _HRW_SHARDS + 1)
+        per_shard[s8] = per_shard.get(s8, 0) + 1
+        if s9 == _HRW_SHARDS:
+            moved[s8] = moved.get(s8, 0) + 1
+        else:
+            # HRW's defining property: keys that don't go to the NEW
+            # shard never move at all
+            assert s9 == s8
+    rows = {r.shard: r for r in q_rendezvous_sharding(spark, SF).collect()}
+    assert set(rows) == set(per_shard)
+    for s, r in rows.items():
+        assert r.n_keys == per_shard[s]
+        assert r.moved_out == moved.get(s, 0)
+    # expansion steals ~1/9 of keys (binomial slack for the small corpus)
+    total = sum(per_shard.values())
+    total_moved = sum(moved.values())
+    assert 0.02 < total_moved / total < 0.30

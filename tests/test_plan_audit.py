@@ -776,3 +776,16 @@ def test_politeness_compliance_single_exchange(spark):
     # window and groupBy share the host hash partitioning: ONE exchange
     simple = plan_str(_q("politeness_compliance", spark), "simple")
     assert simple.count("Exchange") <= 2
+
+
+def test_ktruss_peel_no_python_no_cartesian(spark):
+    p = plan_str(_q("ktruss_peel", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_rendezvous_sharding_mapside_argmax_one_groupby(spark):
+    p = plan_str(_q("rendezvous_sharding", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    simple = plan_str(_q("rendezvous_sharding", spark), "simple")
+    assert simple.count("Exchange") <= 2  # one agg shuffle + ordering

@@ -13036,6 +13036,265 @@ ORDER BY t, node
 SQL_HYPERANF_NEIGHBORHOOD = _anf_sql()
 
 
+# -- effective diameter from HyperANF ----------------------------------------------------
+
+
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-diameter view of the HyperANF run: the neighborhood
+    function N(t) = sum over nodes of |ball(v,t)| per round, its share
+    of the final round's mass, and the 90%-reached flag — the classic
+    'four degrees of separation' readout (Backstrom et al., the
+    Facebook diameter study, ran exactly this). Ball estimates are
+    folded as integer ten-thousandths so the cross-node sum has zero
+    float-order surface; the 90% test is an integer cross-
+    multiplication.
+
+    Scale shape: a 3-row aggregate over hyperanf's (t, node) output —
+    everything heavy is the shared HyperANF rounds."""
+    anf = q_hyperanf_neighborhood(spark, sf_dir)
+    nf = anf.groupBy("t").agg(
+        F.sum(F.expr("cast(round(ball_est * 10000) as bigint)"))
+        .cast("bigint")
+        .alias("nf_micro")
+    )
+    last = nf.agg(F.max("nf_micro").alias("last_micro"))
+    return (
+        nf.crossJoin(F.broadcast(last))
+        .select(
+            "t",
+            "nf_micro",
+            F.round(F.col("nf_micro") / F.col("last_micro").cast("double"), 6).alias(
+                "frac_of_final"
+            ),
+            (F.col("nf_micro") * 10 >= F.col("last_micro") * 9)
+            .cast("int")
+            .alias("reached90"),
+        )
+        .orderBy("t")
+    )
+
+
+SQL_EFFECTIVE_DIAMETER = f"""
+WITH anf AS ({SQL_HYPERANF_NEIGHBORHOOD}),
+nf AS (
+  SELECT t, sum(round(ball_est * 10000)::BIGINT)::BIGINT AS nf_micro
+  FROM anf GROUP BY t
+),
+last AS (SELECT max(nf_micro) AS last_micro FROM nf)
+SELECT t, nf_micro,
+       round(nf_micro / last_micro::DOUBLE, 6) AS frac_of_final,
+       (nf_micro * 10 >= last_micro * 9)::INTEGER AS reached90
+FROM nf, last
+ORDER BY t
+"""
+
+
+# -- k-truss peel ------------------------------------------------------------------------
+
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 3
+
+
+def _truss_support(und: DataFrame) -> DataFrame:
+    """Support (triangle count) per canonical edge of `und` (a < b)."""
+    e1, e2 = und.alias("e1"), und.alias("e2")
+    wedge = (
+        e1.join(e2, F.col("e1.a") == F.col("e2.a"))
+        .filter(F.col("e1.b") < F.col("e2.b"))
+        .select(
+            F.col("e1.a").alias("u"),
+            F.col("e1.b").alias("x"),
+            F.col("e2.b").alias("y"),
+        )
+    )
+    tri = wedge.join(
+        und, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b"))
+    ).select("u", "x", "y")
+    tri_edges = tri.select(
+        F.explode(
+            F.expr(
+                "array(struct(u as a, x as b), struct(u as a, y as b), "
+                "struct(x as a, y as b))"
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return tri_edges.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("support")
+    )
+
+
+def q_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition, k={_KTRUSS_K} (Cohen 2008), via
+    {_KTRUSS_ROUNDS} unrolled peel rounds: recompute per-edge triangle
+    support, drop edges with support < k-2, repeat — removing a weak
+    edge can break the triangles holding its neighbors, so the loop is
+    essential (one round, the edge_triangle_support op, over-keeps).
+    Surviving edges are the cohesive link-cluster cores (mirror rings,
+    tight communities) that a single-pass filter cannot certify.
+
+    Scale shape: one round = one wedge self-join + one triangle-close
+    join + one (a,b) groupBy + localCheckpoint — the identical
+    iterative-DataFrame shape as the Pregel ops; at web scale the loop
+    runs to fixpoint with delta detection instead of a fixed unroll.
+    Support here uses the plain a<b<c enumeration (orientation is a
+    constant-factor optimization the graph sizes in play don't need;
+    edge_triangle_support demonstrates the oriented plan)."""
+    und = (
+        _pagerank_edges(spark, sf_dir)
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    thresh = _KTRUSS_K - 2
+    for _ in range(_KTRUSS_ROUNDS):
+        sup = _truss_support(und)
+        und = (
+            und.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= thresh)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    final = und.join(_truss_support(und), ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
+    )
+    return final.orderBy("a", "b")
+
+
+def _ktruss_sql() -> str:
+    thresh = _KTRUSS_K - 2
+    sup_of = (
+        "SELECT a, b, count(*)::BIGINT AS support FROM (\n"
+        "  SELECT least(u, x) AS a, greatest(u, x) AS b FROM {tri}\n"
+        "  UNION ALL SELECT u, y FROM {tri}\n"
+        "  UNION ALL SELECT x, y FROM {tri}\n"
+        ") GROUP BY a, b"
+    )
+    parts = []
+    prev = "e0"
+    for i in range(1, _KTRUSS_ROUNDS + 1):
+        parts.append(
+            f"tri{i} AS MATERIALIZED (\n"
+            f"  SELECT w1.a AS u, w1.b AS x, w2.b AS y\n"
+            f"  FROM {prev} w1 JOIN {prev} w2 ON w1.a = w2.a AND w1.b < w2.b\n"
+            f"  JOIN {prev} e ON w1.b = e.a AND w2.b = e.b\n"
+            f"),\n"
+            f"sup{i} AS MATERIALIZED ({sup_of.format(tri=f'tri{i}')}),\n"
+            f"e{i} AS MATERIALIZED (\n"
+            f"  SELECT e.a, e.b FROM {prev} e JOIN sup{i} s ON e.a = s.a AND e.b = s.b\n"
+            f"  WHERE s.support >= {thresh}\n"
+            f")"
+        )
+        prev = f"e{i}"
+    n = _KTRUSS_ROUNDS
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+{",".join(parts)},
+trif AS (
+  SELECT w1.a AS u, w1.b AS x, w2.b AS y
+  FROM e{n} w1 JOIN e{n} w2 ON w1.a = w2.a AND w1.b < w2.b
+  JOIN e{n} e ON w1.b = e.a AND w2.b = e.b
+),
+supf AS ({sup_of.format(tri='trif')})
+SELECT e.a, e.b, coalesce(s.support, 0)::BIGINT AS support
+FROM e{n} e LEFT JOIN supf s ON e.a = s.a AND e.b = s.b
+ORDER BY e.a, e.b
+"""
+
+
+SQL_KTRUSS_PEEL = _ktruss_sql()
+
+
+# -- rendezvous (HRW) sharding audit ------------------------------------------------------
+
+_HRW_SHARDS = 8
+
+
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding audit (Thaler-Ravishankar
+    '98 — what frontier routers and cache meshes use instead of mod-N):
+    every url goes to argmax_s md5(url|s) over {_HRW_SHARDS} shards;
+    adding shard {_HRW_SHARDS} moves ONLY the keys the new shard wins
+    (~1/{_HRW_SHARDS + 1} of them), while mod-N resharding would move
+    ~{_HRW_SHARDS}/{_HRW_SHARDS + 1}. Reports, per original shard, the
+    key count and how many keys the expansion steals — the migration
+    bill for growing the fleet.
+
+    Scale shape: both assignments are ONE map-side array expression per
+    url (build {_HRW_SHARDS + 1} hashes, argmax via array_position);
+    one groupBy(shard) ends it. Urls synthesized per doc_id (the
+    url_path_rollup convention)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("h"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("/s"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/p"),
+        F.col("doc_id").cast("string"),
+    )
+    def hs(n):
+        return (
+            f"transform(sequence(0, {n - 1}), s -> "
+            f"cast(conv(substring(md5(concat(url, '|', s)), 1, 15), 16, 10) as bigint))"
+        )
+    assigned = docs.select(url.alias("url")).select(
+        "url",
+        F.expr(f"array_position({hs(_HRW_SHARDS)}, array_max({hs(_HRW_SHARDS)})) - 1")
+        .cast("int")
+        .alias("shard"),
+        F.expr(
+            f"array_position({hs(_HRW_SHARDS + 1)}, array_max({hs(_HRW_SHARDS + 1)})) - 1"
+        )
+        .cast("int")
+        .alias("shard_after"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum((F.col("shard_after") == _HRW_SHARDS).cast("int"))
+            .cast("bigint")
+            .alias("moved_out"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _hrw_sql_hashes(n: int) -> str:
+    return (
+        f"list_transform(range(0, {n}), s -> "
+        f"('0x' || substr(md5(url || '|' || s), 1, 15))::BIGINT)"
+    )
+
+
+SQL_RENDEZVOUS_SHARDING = f"""
+WITH urls AS (
+  SELECT 'h' || (doc_id % 10) || '/s' || (doc_id % 5) || '/p' || doc_id AS url
+  FROM documents
+),
+assigned AS (
+  SELECT url,
+         (list_position({_hrw_sql_hashes(_HRW_SHARDS)},
+                        list_max({_hrw_sql_hashes(_HRW_SHARDS)})) - 1)::INTEGER AS shard,
+         (list_position({_hrw_sql_hashes(_HRW_SHARDS + 1)},
+                        list_max({_hrw_sql_hashes(_HRW_SHARDS + 1)})) - 1)::INTEGER AS shard_after
+  FROM urls
+)
+SELECT shard, count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN shard_after = {_HRW_SHARDS} THEN 1 ELSE 0 END)::BIGINT AS moved_out
+FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+
 # -- weighted minhash (capped-tf replication) --------------------------------------------
 
 _WMH_K = 16
@@ -13480,7 +13739,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "graph_modularity": (q_graph_modularity, SQL_GRAPH_MODULARITY),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "hyperanf_neighborhood": (q_hyperanf_neighborhood, SQL_HYPERANF_NEIGHBORHOOD),
+    "effective_diameter": (q_effective_diameter, SQL_EFFECTIVE_DIAMETER),
+    "ktruss_peel": (q_ktruss_peel, SQL_KTRUSS_PEEL),
     "edge_reciprocity": (q_edge_reciprocity, SQL_EDGE_RECIPROCITY),
+    "rendezvous_sharding": (q_rendezvous_sharding, SQL_RENDEZVOUS_SHARDING),
     "weighted_minhash": (q_weighted_minhash, SQL_WEIGHTED_MINHASH),
     "cocitation_selfjoin": (q_cocitation_selfjoin, SQL_COCITATION_SELFJOIN),
     "density_net": (q_density_net, SQL_DENSITY_NET),
