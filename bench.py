@@ -171,6 +171,9 @@ HEADLINE = [
     "effective_diameter",
     "ktruss_peel",
     "rendezvous_sharding",
+    "winnow_fingerprints",
+    "psi_drift",
+    "code_detect",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

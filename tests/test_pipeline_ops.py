@@ -2021,3 +2021,138 @@ def test_rendezvous_sharding_python_replication_and_minimal_movement(spark):
     total = sum(per_shard.values())
     total_moved = sum(moved.values())
     assert 0.02 < total_moved / total < 0.30
+
+
+# ------------------------------------------------------------ winnow_fingerprints
+
+
+def test_winnow_fingerprints_python_replication(spark):
+    import hashlib
+    import math
+
+    from webcrawler_spark.queries import _WIN_K, _WIN_W, q_winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    exp = {}
+    for d in docs:
+        toks = [t for t in re.split(r"\s+", d.text.lower()) if t]
+        if len(toks) < _WIN_K + _WIN_W - 1:
+            continue
+        kgrams = [
+            " ".join(toks[i : i + _WIN_K]) for i in range(len(toks) - _WIN_K + 1)
+        ]
+        hashes = [int(hashlib.md5(k.encode()).hexdigest()[:12], 16) for k in kgrams]
+        fps = sorted(
+            {min(hashes[j : j + _WIN_W]) for j in range(len(hashes) - _WIN_W + 1)}
+        )
+        exp[d.doc_id] = (
+            len(hashes),
+            len(fps),
+            math.floor(len(hashes) / len(fps)),
+            min(fps),
+        )
+    got = {
+        r.doc_id: (r.n_kgrams, r.n_selected, r.stride, r.min_fp)
+        for r in q_winnow_fingerprints(spark, SF).collect()
+    }
+    assert got == exp
+    # winnowing coverage: every window contributed a fingerprint, and a
+    # fingerprint covers <= w windows => n_selected >= n_windows / w
+    for n_kgrams, n_sel, _, _ in got.values():
+        n_windows = n_kgrams - _WIN_W + 1
+        assert n_sel * _WIN_W >= n_windows
+        assert n_sel <= n_windows
+
+
+def test_winnow_fingerprints_shared_prefix_shares_fps(spark):
+    """Two texts sharing a long prefix must share winnowed fingerprints
+    (the property doc_fingerprint's whole-doc md5 cannot give)."""
+    import hashlib
+
+    from webcrawler_spark.queries import _WIN_K, _WIN_W
+
+    def winnow(text):
+        toks = [t for t in text.lower().split() if t]
+        kgrams = [
+            " ".join(toks[i : i + _WIN_K]) for i in range(len(toks) - _WIN_K + 1)
+        ]
+        hashes = [int(hashlib.md5(k.encode()).hexdigest()[:12], 16) for k in kgrams]
+        return {min(hashes[j : j + _WIN_W]) for j in range(len(hashes) - _WIN_W + 1)}
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    a = winnow(base + "lambda mu nu xi")
+    b = winnow(base + "omicron pi rho sigma")
+    inter = len(a & b)
+    assert inter > 0
+    assert inter / max(len(a | b), 1) > 0.5
+
+
+# ------------------------------------------------------------------- psi_drift
+
+
+def test_psi_drift_python_replication(spark):
+    import math
+
+    from webcrawler_spark.queries import _PSI_BINS, q_psi_drift
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_type", "value").collect()
+    vals = [(r.event_type, float(r.value)) for r in ev]
+    lo = min(v for _, v in vals)
+    hi = max(v for _, v in vals)
+    n_all = len(vals)
+    width = (hi - lo) / _PSI_BINS
+    per: dict[tuple[str, int], int] = {}
+    for t, v in vals:
+        b = min(int(math.floor((v - lo) / width)), _PSI_BINS - 1)
+        per[(t, b)] = per.get((t, b), 0) + 1
+    types = sorted({t for t, _ in vals})
+    gbin = {b: sum(per.get((t, b), 0) for t in types) for b in range(_PSI_BINS)}
+    rows = {r.event_type: r for r in q_psi_drift(spark, SF).collect()}
+    assert set(rows) == set(types)
+    for t in types:
+        n_type = sum(per.get((t, b), 0) for b in range(_PSI_BINS))
+        psi = 0.0
+        for b in range(_PSI_BINS):
+            p = (per.get((t, b), 0) + 0.5) / (n_type + 0.5 * _PSI_BINS)
+            q = (gbin[b] + 0.5) / (n_all + 0.5 * _PSI_BINS)
+            psi += (p - q) * math.log(p / q)
+        r = rows[t]
+        assert r.n_type == n_type
+        assert abs(r.psi - psi) < 2e-6
+        # each PSI term (p-q)ln(p/q) is non-negative => PSI >= 0
+        assert r.psi >= 0
+
+
+# ----------------------------------------------------------------- code_detect
+
+
+def test_code_detect_python_recount(spark):
+    from webcrawler_spark.queries import q_code_detect
+
+    sym = re.compile(r"[{}();=<>\[\]]")
+    kw = re.compile(
+        r"\b(def|return|import|function|var|const|class|void|lambda)\b"
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    got = {r.doc_id: r for r in q_code_detect(spark, SF).collect()}
+    assert len(got) == len(docs)
+    for d in docs:
+        s = len(sym.findall(d.text))
+        k = len(kw.findall(d.text.lower()))
+        n = len(d.text)
+        r = got[d.doc_id]
+        assert (r.sym_cnt, r.kw_hits) == (s, k)
+        assert r.sym_ppm == s * 1_000_000 // max(n, 1)
+        assert r.is_code == int(s * 50 > n or k >= 3)
+
+
+def test_code_detect_flags_synthetic_code():
+    """The thresholds fire on real code and stay quiet on prose."""
+    code = "def f(x):\n    return [y*2 for y in range(x)];\nclass A: pass\nimport os\n"
+    prose = "the quick brown fox jumps over the lazy dog again and again today"
+    sym = re.compile(r"[{}();=<>\[\]]")
+    kw = re.compile(r"\b(def|return|import|function|var|const|class|void|lambda)\b")
+    s_code, k_code = len(sym.findall(code)), len(kw.findall(code.lower()))
+    s_pr, k_pr = len(sym.findall(prose)), len(kw.findall(prose.lower()))
+    assert s_code * 50 > len(code) or k_code >= 3
+    assert not (s_pr * 50 > len(prose) or k_pr >= 3)

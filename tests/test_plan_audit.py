@@ -789,3 +789,27 @@ def test_rendezvous_sharding_mapside_argmax_one_groupby(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     simple = plan_str(_q("rendezvous_sharding", spark), "simple")
     assert simple.count("Exchange") <= 2  # one agg shuffle + ordering
+
+
+def test_winnow_fingerprints_mapside_no_join_no_python(spark):
+    p = plan_str(_q("winnow_fingerprints", spark))
+    # the whole k-gram->window-min->distinct pipeline is one map expression
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_psi_drift_broadcast_grid_no_python(spark):
+    p = plan_str(_q("psi_drift", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # range/type-total/global-bin sides all broadcast; never a cartesian
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_code_detect_map_only_single_exchange(spark):
+    p = plan_str(_q("code_detect", spark))
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    simple = plan_str(_q("code_detect", spark), "simple")
+    # pure map + the output sort: exactly one exchange
+    assert simple.count("Exchange") <= 1

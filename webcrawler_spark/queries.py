@@ -13701,6 +13701,247 @@ ORDER BY cnt DESC, host
 """
 
 
+# -- winnowing fingerprints (MOSS) ---------------------------------------------------------
+
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 5  # winnowing window (k-gram hashes per window)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    SIGMOD'03 / MOSS): hash every {_WIN_K}-token k-gram, slide a window
+    of {_WIN_W} consecutive hashes, keep each window's minimum — the
+    selected set is a position-robust fingerprint whose density is
+    guaranteed in [1/w, 2/(w+1)], the property that makes it the
+    standard plagiarism/near-dup sketch when shingle sets are too big
+    to keep whole. (This implementation keeps the distinct selected
+    hash VALUES per doc — the value set drives the downstream
+    fingerprint join; window positions are not needed for that.)
+
+    Scale shape: entirely map-side — one expression builds k-gram
+    hashes, window minima and the distinct set per row; no shuffle
+    except the output sort. Complements `doc_fingerprint` (whole-doc
+    md5, exact dup only) with a partial-overlap-detecting sketch."""
+    docs = _tokens(_docs_parallel(spark, sf_dir)).filter(
+        F.expr(f"size(toks) >= {_WIN_K + _WIN_W - 1}")
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(toks) - {_WIN_K - 1}), i -> "
+            f"cast(conv(substring(md5(concat_ws(' ', slice(toks, i, {_WIN_K}))), 1, 12), 16, 10) as bigint))"
+        ).alias("hashes"),
+    )
+    sel = hashed.select(
+        "doc_id",
+        F.expr("size(hashes)").cast("bigint").alias("n_kgrams"),
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(hashes) - {_WIN_W - 1}), j -> "
+            f"array_min(slice(hashes, j, {_WIN_W}))))"
+        ).alias("fps"),
+    )
+    return sel.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").cast("bigint").alias("n_selected"),
+        F.floor(F.col("n_kgrams") / F.size("fps")).cast("bigint").alias("stride"),
+        F.array_min("fps").alias("min_fp"),
+    ).orderBy("doc_id")
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+ok AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= {_WIN_K + _WIN_W - 1}),
+hashed AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {_WIN_K - 1} + 1), i ->
+           ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {_WIN_K - 1}), ' ')), 1, 12))::BIGINT
+         ) AS hashes
+  FROM ok
+),
+sel AS (
+  SELECT doc_id, len(hashes)::BIGINT AS n_kgrams,
+         list_distinct(list_transform(range(1, len(hashes) - {_WIN_W - 1} + 1), j ->
+           list_min(list_slice(hashes, j, j + {_WIN_W - 1})))) AS fps
+  FROM hashed
+)
+SELECT doc_id, n_kgrams, len(fps)::BIGINT AS n_selected,
+       floor(n_kgrams / len(fps))::BIGINT AS stride,
+       list_min(fps)::BIGINT AS min_fp
+FROM sel ORDER BY doc_id
+"""
+
+
+# -- population stability index (PSI) drift -------------------------------------------------
+
+_PSI_BINS = 10
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type: bin `value` into
+    {_PSI_BINS} fixed-width bins spanning the GLOBAL [min, max], then
+    PSI(type) = sum_bins (p_b - q_b) * ln(p_b / q_b) where p is the
+    type's bin share and q the global share, both Laplace-smoothed
+    (+0.5 per bin) so empty bins stay finite. PSI is the standard
+    "did this segment's distribution drift from the corpus?" monitor
+    (credit-scoring lineage; PSI > 0.2 = action) — here it flags event
+    types whose value distribution diverges, the same shape a crawl
+    uses to flag hosts whose page-quality distribution shifted.
+
+    Scale shape: one 2-row-broadcast range scan, one (type, bin)
+    groupBy with map-side partials, a tiny type x bin grid join (all
+    broadcast), one fold per type. The full grid (distinct types x
+    {_PSI_BINS}) makes the smoothing exact even for bins a type never
+    hits."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    rng = ev.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("*").cast("bigint").alias("n_all"),
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "n_all",
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(float(_PSI_BINS)))
+            ),
+            F.lit(_PSI_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    per = binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    glob = per.groupBy("bin").agg(F.sum("c").cast("bigint").alias("g"))
+    tot_type = per.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("n_type"))
+    grid = tot_type.crossJoin(
+        F.broadcast(spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin")))
+    ).crossJoin(F.broadcast(rng.select("n_all")))
+    full = (
+        grid.join(per, ["event_type", "bin"], "left")
+        .join(F.broadcast(glob), "bin", "left")
+        .na.fill({"c": 0, "g": 0})
+    )
+    terms = full.select(
+        "event_type",
+        "n_type",
+        (
+            (
+                (F.col("c") + 0.5) / (F.col("n_type") + 0.5 * _PSI_BINS)
+                - (F.col("g") + 0.5) / (F.col("n_all") + 0.5 * _PSI_BINS)
+            )
+            * (
+                F.log(
+                    ((F.col("c") + 0.5) / (F.col("n_type") + 0.5 * _PSI_BINS))
+                    / ((F.col("g") + 0.5) / (F.col("n_all") + 0.5 * _PSI_BINS))
+                )
+            )
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.first("n_type").alias("n_type"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PSI_DRIFT = f"""
+WITH ev AS (SELECT event_type, value::DOUBLE AS v FROM events),
+rng AS (SELECT min(v) AS lo, max(v) AS hi, count(*)::BIGINT AS n_all FROM ev),
+binned AS (
+  SELECT event_type, n_all,
+         least(floor((v - lo) / ((hi - lo) / {float(_PSI_BINS)})), {_PSI_BINS - 1})::INTEGER AS bin
+  FROM ev, rng
+),
+per AS (SELECT event_type, bin, count(*)::BIGINT AS c, any_value(n_all) AS n_all
+        FROM binned GROUP BY event_type, bin),
+gbin AS (SELECT bin, sum(c)::BIGINT AS g FROM per GROUP BY bin),
+tot_type AS (SELECT event_type, sum(c)::BIGINT AS n_type FROM per GROUP BY event_type),
+grid AS (
+  SELECT t.event_type, t.n_type, a.n_all, b.bin
+  FROM tot_type t
+  CROSS JOIN (SELECT unnest(list_transform(range(0, {_PSI_BINS}), x -> x::INTEGER)) AS bin) b
+  CROSS JOIN (SELECT any_value(n_all) AS n_all FROM per) a
+),
+full_grid AS (
+  SELECT gr.event_type, gr.n_type, gr.n_all, gr.bin,
+         coalesce(p.c, 0)::BIGINT AS c, coalesce(gl.g, 0)::BIGINT AS g
+  FROM grid gr
+  LEFT JOIN per p ON p.event_type = gr.event_type AND p.bin = gr.bin
+  LEFT JOIN gbin gl ON gl.bin = gr.bin
+)
+SELECT event_type, any_value(n_type) AS n_type,
+       round(sum(
+         ((c + 0.5) / (n_type + {0.5 * _PSI_BINS}) - (g + 0.5) / (n_all + {0.5 * _PSI_BINS}))
+         * ln(((c + 0.5) / (n_type + {0.5 * _PSI_BINS})) / ((g + 0.5) / (n_all + {0.5 * _PSI_BINS})))
+       ), 6) AS psi
+FROM full_grid
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# -- code-vs-prose detection ----------------------------------------------------------------
+
+_CODE_SYM = r"[{}();=<>\[\]]"
+_CODE_KW = r"\b(def|return|import|function|var|const|class|void|lambda)\b"
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing heuristic: count code-ish symbols
+    (braces, parens, semicolons, comparison/assignment) and
+    programming keywords per document; flag as code when the symbol
+    density or keyword count clears a threshold. Training pipelines
+    route code and prose to different tokenizers/mixture buckets, so
+    this classification runs over every document of a 100 TB corpus —
+    it must be (and is) a pure map: two regexp counts per row, no
+    shuffle but the output sort, integer-exact on both engines.
+
+    Thresholds: is_code = sym_cnt * 50 > n_chars (>= 2% symbol
+    density) OR kw_hits >= 3."""
+    docs = _read(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_CODE_SYM)).cast("bigint").alias("sym_cnt"),
+        F.regexp_count(F.lower("text"), F.lit(_CODE_KW)).cast("bigint").alias("kw_hits"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return counted.select(
+        "doc_id",
+        "sym_cnt",
+        "kw_hits",
+        F.floor(F.col("sym_cnt") * 1000000 / F.greatest("n_chars", F.lit(1)))
+        .cast("bigint")
+        .alias("sym_ppm"),
+        ((F.col("sym_cnt") * 50 > F.col("n_chars")) | (F.col("kw_hits") >= 3))
+        .cast("int")
+        .alias("is_code"),
+    ).orderBy("doc_id")
+
+
+SQL_CODE_DETECT = r"""
+WITH counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[{}();=<>\[\]]'))::BIGINT AS sym_cnt,
+         len(regexp_extract_all(lower(text), '\b(def|return|import|function|var|const|class|void|lambda)\b'))::BIGINT AS kw_hits,
+         length(text)::BIGINT AS n_chars
+  FROM documents
+)
+SELECT doc_id, sym_cnt, kw_hits,
+       floor(sym_cnt * 1000000 / greatest(n_chars, 1))::BIGINT AS sym_ppm,
+       (sym_cnt * 50 > n_chars OR kw_hits >= 3)::INTEGER AS is_code
+FROM counted ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -13904,6 +14145,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stupid_backoff_score": (q_stupid_backoff_score, SQL_STUPID_BACKOFF_SCORE),
     "bfs_levels": (q_bfs_levels, SQL_BFS_LEVELS),
     "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "code_detect": (q_code_detect, SQL_CODE_DETECT),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
