@@ -174,6 +174,9 @@ HEADLINE = [
     "winnow_fingerprints",
     "psi_drift",
     "code_detect",
+    "salsa_scores",
+    "ams_f2_sketch",
+    "soft404_detect",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -366,3 +366,52 @@ def test_effective_diameter_monotone_and_final(spark):
         nf[r.t] = nf.get(r.t, 0) + round(r.ball_est * 10000)
     for r in rows:
         assert r.nf_micro == nf[r.t]
+
+
+# ------------------------------------------------------------------ salsa_scores
+
+
+def test_salsa_python_replication(spark):
+    """Integer-exact python replication of the 2-round SALSA propagation
+    (h div out_deg / a div in_deg edge shipping) over the derived host
+    graph — pins both the walk normalization and the nano-unit integer
+    division semantics."""
+    import hashlib
+
+    from webcrawler_spark.queries import (
+        _PR_NODES,
+        _SALSA_ITERS,
+        _SALSA_UNIT,
+        q_salsa_scores,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    edges = set()
+    for r in ev:
+        src = r.user_id % _PR_NODES
+        dst = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:4], 16) % _PR_NODES
+        if src != dst:
+            edges.add((src, dst))
+    og, ig = {}, {}
+    for s, d in edges:
+        og[s] = og.get(s, 0) + 1
+        ig[d] = ig.get(d, 0) + 1
+    h = {s: _SALSA_UNIT for s in og}
+    a = {}
+    for _ in range(_SALSA_ITERS):
+        a = {}
+        for s, d in edges:
+            if s in h:
+                a[d] = a.get(d, 0) + h[s] // og[s]
+        h = {}
+        for s, d in edges:
+            if d in a:
+                h[s] = h.get(s, 0) + a[d] // ig[d]
+    got = {r.node: (r.auth_nano, r.hub_nano) for r in q_salsa_scores(spark, SF).collect()}
+    want = {
+        n: (a.get(n, 0), h.get(n, 0)) for n in set(a) | set(h)
+    }
+    assert got == want
+    # walk conservation: integer division only sheds mass, never creates it
+    assert sum(v for v, _ in got.values()) <= len(og) * _SALSA_UNIT
+    assert sum(v for _, v in got.values()) <= sum(v for v, _ in got.values())

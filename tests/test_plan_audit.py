@@ -813,3 +813,26 @@ def test_code_detect_map_only_single_exchange(spark):
     simple = plan_str(_q("code_detect", spark), "simple")
     # pure map + the output sort: exactly one exchange
     assert simple.count("Exchange") <= 1
+
+
+def test_salsa_no_python_no_cartesian(spark):
+    p = plan_str(_q("salsa_scores", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ams_f2_mapside_partials_no_python(spark):
+    p = plan_str(_q("ams_f2_sketch", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    simple = plan_str(_q("ams_f2_sketch", spark), "simple")
+    # tf groupBy, (lang,k) re-agg, group sums, median + exact: partials everywhere
+    assert simple.count("HashAggregate") >= 6
+
+
+def test_soft404_map_only_single_exchange(spark):
+    p = plan_str(_q("soft404_detect", spark))
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    simple = plan_str(_q("soft404_detect", spark), "simple")
+    assert simple.count("Exchange") <= 1  # pure map + the output sort

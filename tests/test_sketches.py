@@ -95,3 +95,50 @@ def test_lsh_eval_reconciles_with_exact_pair_sets(spark):
     assert 0.0 <= row.precision <= 1.0 and 0.0 <= row.recall <= 1.0
     # 4 bands x 2 hashes at J>=0.5 catches most true pairs on this corpus
     assert row.recall >= 0.5
+
+
+# ------------------------------------------------------------------ ams_f2_sketch
+
+
+def test_ams_f2_python_replication_and_bound(spark):
+    """Integer-exact replication of the tug-of-war sketch: per-term md5
+    signs, Z sums, lower-median of 4 means-of-4; plus the estimator
+    sanity bound (median-of-means keeps the estimate within a small
+    constant factor of exact F2 on this corpus)."""
+    import hashlib
+
+    from webcrawler_spark.queries import _AMS_K, q_ams_f2_sketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    tf = {}
+    for r in docs:
+        for t in r.text.lower().split():
+            if t:
+                tf[(r.lang, t)] = tf.get((r.lang, t), 0) + 1
+    langs = sorted({lang for lang, _ in tf})
+    want = {}
+    for lang in langs:
+        z = [0] * _AMS_K
+        exact = 0
+        for (lg, term), f in tf.items():
+            if lg != lang:
+                continue
+            exact += f * f
+            for k in range(_AMS_K):
+                bit = int(hashlib.md5(f"{k}|{term}".encode()).hexdigest()[0], 16) % 2
+                z[k] += f if bit == 0 else -f
+        gs = sorted(
+            sum(z[k] * z[k] for k in range(g * 4, g * 4 + 4)) for g in range(4)
+        )
+        med4 = gs[1]  # lower median of 4
+        est = med4 // 4
+        want[lang] = (exact, est, abs(est - exact) * 1_000_000 // exact)
+    got = {
+        r.lang: (r.f2_exact, r.f2_est, r.err_ppm)
+        for r in q_ams_f2_sketch(spark, SF).collect()
+    }
+    assert got == want
+    for exact, est, err_ppm in got.values():
+        assert est > 0
+        # loose deterministic form of the AMS median-of-means guarantee
+        assert err_ppm <= 2_000_000, (exact, est)

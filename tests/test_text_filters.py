@@ -215,3 +215,28 @@ def test_gopher_rules_conjunction(spark):
     # the rule set must actually discriminate on this corpus
     kept = sum(r.keep for r in rows)
     assert 0 < kept < len(rows)
+
+
+# ------------------------------------------------------------------ soft404_detect
+
+
+def test_soft404_planted_recovery(spark):
+    """The detector recovers EXACTLY the planted error-body docs: every
+    doc_id % _S404_MOD == 0 flags with all three signal families, every
+    real doc has zero signals (the 2-signal threshold means one stray
+    token can never misroute a page)."""
+    from webcrawler_spark.queries import _S404_MOD, q_soft404_detect
+
+    rows = q_soft404_detect(spark, SF).collect()
+    assert rows
+    for r in rows:
+        planted = r.doc_id % _S404_MOD == 0
+        assert r.is_soft404 == int(planted), r
+        if planted:
+            assert r.hits_code >= 1 and r.hits_notfound >= 2 and r.hits_phrase >= 1
+            assert r.sig_cnt == 3
+        else:
+            assert r.sig_cnt == 0
+            assert (r.hits_code, r.hits_notfound, r.hits_phrase) == (0, 0, 0)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs

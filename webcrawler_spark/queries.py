@@ -13942,6 +13942,303 @@ FROM counted ORDER BY doc_id
 """
 
 
+# -- SALSA hub/authority scores -------------------------------------------------------------
+
+_SALSA_ITERS = 2
+_SALSA_UNIT = 1_000_000_000  # integer nano-units: h0 = 1.0
+
+
+def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores (Lempel & Moran, WWW'00; the random-walk
+    variant of HITS that powers Twitter's WTF recommender): authorities
+    receive each hub's mass split evenly over its OUT-degree, hubs receive
+    each authority's mass split over its IN-degree — the degree
+    normalization HITS lacks, which stops tightly-knit link farms from
+    absorbing all the score (TKC effect). {_SALSA_ITERS} unrolled rounds
+    over the derived 50-node host graph.
+
+    Engine parity: mass in integer nano-units, each edge ships
+    `h div out_deg` (integer division) so every propagation term is exact
+    and order-independent — zero float-sum surface on either engine.
+
+    Scale shape: degrees computed once and pinned to the edge list
+    (one join pair, then localCheckpoint), each round = one shuffle join
+    + one groupBy sum, the same Pregel-as-DataFrames shape as q_pagerank;
+    per-round localCheckpoint keeps plans flat. Reference analogue: the
+    mutual-reinforcement priority propagation (NetworkEstimator.scala:
+    101-124) that SALSA degree-normalizes."""
+    edges = _pagerank_edges(spark, sf_dir).localCheckpoint()
+    outd = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("og"))
+    ind = edges.groupBy("dst").agg(F.count("*").cast("bigint").alias("ig"))
+    de = edges.join(outd, "src").join(ind, "dst").localCheckpoint()
+    h = outd.select(
+        F.col("src").alias("node"), F.lit(_SALSA_UNIT).cast("bigint").alias("h")
+    )
+    a = None
+    for _ in range(_SALSA_ITERS):
+        a = (
+            de.join(h, de.src == h.node)
+            .select("dst", F.expr("h div og").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("a"))
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint()
+        )
+        h = (
+            de.join(a, de.dst == a.node)
+            .select("src", F.expr("a div ig").alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").cast("bigint").alias("h"))
+            .withColumnRenamed("src", "node")
+            .localCheckpoint()
+        )
+    return (
+        a.join(h, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("auth_nano"),
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_nano"),
+        )
+        .orderBy("node")
+    )
+
+
+def _sql_salsa_iter(h_prev: str, a_cur: str, h_cur: str) -> str:
+    return f"""
+{a_cur} AS (
+  SELECT de.dst AS node, sum(h.h // de.og)::BIGINT AS a
+  FROM de JOIN {h_prev} h ON de.src = h.node GROUP BY de.dst
+),
+{h_cur} AS (
+  SELECT de.src AS node, sum(a.a // de.ig)::BIGINT AS h
+  FROM de JOIN {a_cur} a ON de.dst = a.node GROUP BY de.src
+)"""
+
+
+SQL_SALSA_SCORES = f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+outd AS (SELECT src, count(*)::BIGINT AS og FROM edges GROUP BY src),
+ind  AS (SELECT dst, count(*)::BIGINT AS ig FROM edges GROUP BY dst),
+de AS (
+  SELECT e.src, e.dst, o.og, i.ig
+  FROM edges e JOIN outd o ON e.src = o.src JOIN ind i ON e.dst = i.dst
+),
+h0 AS (SELECT src AS node, {_SALSA_UNIT}::BIGINT AS h FROM outd),
+{_sql_salsa_iter('h0', 'a1', 'h1')},
+{_sql_salsa_iter('h1', 'a2', 'h2')}
+SELECT coalesce(a2.node, h2.node) AS node,
+       coalesce(a2.a, 0)::BIGINT AS auth_nano,
+       coalesce(h2.h, 0)::BIGINT AS hub_nano
+FROM a2 FULL JOIN h2 ON a2.node = h2.node
+ORDER BY node
+"""
+
+
+# -- AMS / tug-of-war F2 sketch --------------------------------------------------------------
+
+_AMS_K = 16  # sketch copies: 4 groups x 4 (median of means)
+
+
+def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS "tug-of-war" second-frequency-moment sketch (Alon-Matias-
+    Szegedy, STOC'96) per language: each of {_AMS_K} sketches keeps
+    Z_k = sum_t f_t * sign_k(t) with a md5-derived +/-1 sign per term;
+    E[Z^2] = F2 = sum_t f_t^2 — the self-join size of the term stream,
+    which is exactly what a planner needs to size the shuffle of a
+    skewed join before running it. Estimate = lower-median of 4
+    means-of-4 of Z_k^2 (the classic median-of-means variance kill).
+
+    Everything stays integer: signed contributions, Z sums, squares,
+    the rank-picked median and the `div 4` mean — zero float surface,
+    bit-identical on both engines. Exact F2 and the error in ppm ride
+    alongside as the estimator audit.
+
+    Scale shape: one (lang, term) groupBy with map-side partials, a
+    16-wide map-side sign array per term row, one tiny (lang, k)
+    re-agg (5 langs x 16 rows after partials), closed-form finish. At
+    10^10 docs the sketch replaces the exact per-key count join-size
+    probe the optimizer can't afford."""
+    docs = _tokens(_docs_parallel(spark, sf_dir))
+    tf = (
+        docs.select("lang", F.explode("toks").alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    contrib = tf.select(
+        "lang",
+        F.expr(
+            f"transform(sequence(0, {_AMS_K - 1}), k -> "
+            "case when cast(conv(substring(md5(concat(cast(k as string), '|', term)), 1, 1), 16, 10) as int) % 2 = 0 "
+            "then f else -f end)"
+        ).alias("cs"),
+    )
+    z = (
+        contrib.select("lang", F.posexplode("cs").alias("k", "c"))
+        .groupBy("lang", "k")
+        .agg(F.sum("c").cast("bigint").alias("z"))
+    )
+    gs = (
+        z.select("lang", F.expr("k div 4").alias("g"), (F.col("z") * F.col("z")).alias("z2"))
+        .groupBy("lang", "g")
+        .agg(F.sum("z2").cast("bigint").alias("gs"))
+    )
+    med = gs.groupBy("lang").agg(
+        F.sort_array(F.collect_list("gs")).alias("arr")
+    ).select("lang", F.expr("arr[1]").cast("bigint").alias("med4"))
+    exact = tf.groupBy("lang").agg(
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact")
+    )
+    return (
+        med.join(exact, "lang")
+        .select(
+            "lang",
+            "f2_exact",
+            F.expr("med4 div 4").cast("bigint").alias("f2_est"),
+            F.expr("abs(med4 div 4 - f2_exact) * 1000000 div f2_exact")
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_AMS_F2_SKETCH = f"""
+WITH toks AS (SELECT lang, {_SQL_TOKS} AS toks FROM documents),
+tf AS (
+  SELECT lang, t.term, count(*)::BIGINT AS f
+  FROM toks, unnest(toks.toks) AS t(term)
+  GROUP BY lang, t.term
+),
+z AS (
+  SELECT lang, k.k,
+         sum(CASE WHEN ('0x' || substr(md5(k.k::VARCHAR || '|' || term), 1, 1))::INTEGER % 2 = 0
+                  THEN f ELSE -f END)::BIGINT AS z
+  FROM tf CROSS JOIN (SELECT unnest(range(0, {_AMS_K})) AS k) k
+  GROUP BY lang, k.k
+),
+gs AS (SELECT lang, k // 4 AS g, sum(z * z)::BIGINT AS gs FROM z GROUP BY lang, k // 4),
+med AS (
+  SELECT lang, gs AS med4
+  FROM (SELECT lang, gs, row_number() OVER (PARTITION BY lang ORDER BY gs) AS rn FROM gs)
+  WHERE rn = 2
+),
+exact AS (SELECT lang, sum(f * f)::BIGINT AS f2_exact FROM tf GROUP BY lang)
+SELECT m.lang, e.f2_exact,
+       (m.med4 // 4)::BIGINT AS f2_est,
+       (abs(m.med4 // 4 - e.f2_exact) * 1000000 // e.f2_exact)::BIGINT AS err_ppm
+FROM med m JOIN exact e ON m.lang = e.lang
+ORDER BY m.lang
+"""
+
+
+# -- soft-404 / error-page detection ---------------------------------------------------------
+
+_S404_MOD = 23
+_S404_TEXT_SPARK = (
+    "concat('error 404 page not found the requested url /p', "
+    "cast(doc_id % 25 as string), "
+    "' was not found on this server please check the address or return to the homepage')"
+)
+_S404_TEXT_SQL = (
+    "'error 404 page not found the requested url /p' || (doc_id % 25)::VARCHAR || "
+    "' was not found on this server please check the address or return to the homepage'"
+)
+
+
+def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection: pages that answer HTTP 200 but carry an error
+    body poison both the URL-seen set (the crawler marks a dead URL
+    fetched) and the training corpus (boilerplate error text at scale),
+    so every production crawl runs a body-text error classifier (cf.
+    Bar-Yossef et al., WWW'04 "Sic transit gloria telae"). Planted
+    in-engine: docs with doc_id %% {_S404_MOD} == 0 carry a
+    deterministic error body; the detector fires on >= 2 independent
+    signal families (status-code token, 'not found' phrase, error
+    boilerplate phrases) so no single stray token misroutes a real page.
+
+    Scale shape: pure map — three regexp counts + a token count per
+    row, no shuffle but the output sort; the flag feeds the same
+    admission gate as the MIME filter (crawler.py:476-483)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % _S404_MOD == 0, F.expr(_S404_TEXT_SPARK)
+        )
+        .otherwise(F.col("text"))
+        .alias("txt"),
+    )
+    sig = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(r"filter(split(lower(txt), '\\s+'), t -> t <> '')"))
+        .cast("bigint")
+        .alias("n_toks"),
+        F.regexp_count(F.lower("txt"), F.lit(r"\b(404|410)\b"))
+        .cast("bigint")
+        .alias("hits_code"),
+        F.regexp_count(F.lower("txt"), F.lit(r"\bnot found\b"))
+        .cast("bigint")
+        .alias("hits_notfound"),
+        F.regexp_count(
+            F.lower("txt"),
+            F.lit(r"requested url|does not exist|forbidden|no longer available"),
+        )
+        .cast("bigint")
+        .alias("hits_phrase"),
+    )
+    return sig.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        "hits_code",
+        "hits_notfound",
+        "hits_phrase",
+        (
+            (F.col("hits_code") > 0).cast("int")
+            + (F.col("hits_notfound") > 0).cast("int")
+            + (F.col("hits_phrase") > 0).cast("int")
+        ).alias("sig_cnt"),
+        (
+            (
+                (F.col("hits_code") > 0).cast("int")
+                + (F.col("hits_notfound") > 0).cast("int")
+                + (F.col("hits_phrase") > 0).cast("int")
+            )
+            >= 2
+        )
+        .cast("int")
+        .alias("is_soft404"),
+    ).orderBy("doc_id")
+
+
+SQL_SOFT404_DETECT = rf"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {_S404_MOD} = 0 THEN {_S404_TEXT_SQL} ELSE text END AS txt
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(lower(txt), '\s+'), t -> t <> ''))::BIGINT AS n_toks,
+         len(regexp_extract_all(lower(txt), '\b(404|410)\b'))::BIGINT AS hits_code,
+         len(regexp_extract_all(lower(txt), '\bnot found\b'))::BIGINT AS hits_notfound,
+         len(regexp_extract_all(lower(txt), 'requested url|does not exist|forbidden|no longer available'))::BIGINT AS hits_phrase
+  FROM docs
+)
+SELECT doc_id, source, n_toks, hits_code, hits_notfound, hits_phrase,
+       ((hits_code > 0)::INTEGER + (hits_notfound > 0)::INTEGER + (hits_phrase > 0)::INTEGER) AS sig_cnt,
+       (((hits_code > 0)::INTEGER + (hits_notfound > 0)::INTEGER + (hits_phrase > 0)::INTEGER) >= 2)::INTEGER AS is_soft404
+FROM sig ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -14148,6 +14445,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
+    "salsa_scores": (q_salsa_scores, SQL_SALSA_SCORES),
+    "ams_f2_sketch": (q_ams_f2_sketch, SQL_AMS_F2_SKETCH),
+    "soft404_detect": (q_soft404_detect, SQL_SOFT404_DETECT),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
