@@ -177,6 +177,9 @@ HEADLINE = [
     "salsa_scores",
     "ams_f2_sketch",
     "soft404_detect",
+    "zorder_keys",
+    "posting_delta_bytes",
+    "roc_auc",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -2156,3 +2156,150 @@ def test_code_detect_flags_synthetic_code():
     s_pr, k_pr = len(sym.findall(prose)), len(kw.findall(prose.lower()))
     assert s_code * 50 > len(code) or k_code >= 3
     assert not (s_pr * 50 > len(prose) or k_pr >= 3)
+
+
+# ----------------------------------------------------------- zorder_keys
+
+
+def test_zorder_python_replication(spark):
+    """Exact replication of the quantize+interleave arithmetic, plus the
+    bijectivity property: de-interleaving each zval recovers (x16, y16)."""
+    from webcrawler_spark.queries import q_zorder_keys
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    import calendar
+
+    def ms(ts):
+        return calendar.timegm(ts.timetuple()) * 1000 + ts.microsecond // 1000
+
+    minu = min(e.user_id for e in ev)
+    maxu = max(e.user_id for e in ev)
+    tvals = [ms(e.ts) for e in ev]
+    mint, maxt = min(tvals), max(tvals)
+
+    def q16(v, lo, hi):
+        return (v - lo) * 65535 // max(hi - lo, 1)
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    want = {}
+    for e in ev:
+        x = q16(e.user_id, minu, maxu)
+        y = q16(ms(e.ts), mint, maxt)
+        want[e.event_id] = (x, y, morton(x, y))
+
+    rows = q_zorder_keys(spark, SF).collect()
+    assert len(rows) == len(ev)
+    for r in rows:
+        x, y, z = want[r.event_id]
+        assert (r.x16, r.y16, r.zval) == (x, y, z), r
+        assert r.zfile == z >> 22
+        assert 0 <= r.zfile < 1024
+        # de-interleave recovers both quantized dims exactly
+        xr = sum(((r.zval >> (2 * i + 1)) & 1) << i for i in range(16))
+        yr = sum(((r.zval >> (2 * i)) & 1) << i for i in range(16))
+        assert (xr, yr) == (r.x16, r.y16)
+
+
+def test_zorder_locality_beats_single_dim(spark):
+    """The point of the layout: range-partitioning by zval bounds BOTH
+    dims per file, where a single-dim sort leaves the other dim
+    unconstrained. Pin it: average per-file (x-span + y-span) under a
+    zval sort is strictly smaller than under a y-only sort."""
+    from webcrawler_spark.queries import q_zorder_keys
+
+    rows = q_zorder_keys(spark, SF).collect()
+    nfiles = 16
+    per_file = max(1, len(rows) // nfiles)
+
+    def spans(sorted_rows):
+        tot = 0
+        for i in range(0, len(sorted_rows), per_file):
+            chunk = sorted_rows[i : i + per_file]
+            tot += max(c.x16 for c in chunk) - min(c.x16 for c in chunk)
+            tot += max(c.y16 for c in chunk) - min(c.y16 for c in chunk)
+        return tot
+
+    by_z = spans(sorted(rows, key=lambda r: r.zval))
+    by_y = spans(sorted(rows, key=lambda r: r.y16))
+    assert by_z < by_y, (by_z, by_y)
+
+
+# ----------------------------------------------- posting_delta_bytes
+
+
+def test_posting_delta_python_recount(spark):
+    from webcrawler_spark.queries import q_posting_delta_bytes
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    postings: dict[str, set] = {}
+    for d in docs:
+        for t in re.split(r"\s+", d.text.lower()):
+            if t:
+                postings.setdefault(t, set()).add(d.doc_id)
+
+    def vb(g):
+        return 1 + (g >= 128) + (g >= 16384) + (g >= 2097152) + (g >= 268435456)
+
+    want = {}
+    for term, ids in postings.items():
+        s = sorted(ids)
+        gaps = [s[0] + 1] + [b - a for a, b in zip(s, s[1:])]
+        want[term] = (len(s), sum(vb(g) for g in gaps))
+
+    rows = q_posting_delta_bytes(spark, SF).collect()
+    assert {r.term for r in rows} == set(want)
+    for r in rows:
+        df, vbytes = want[r.term]
+        assert (r.df, r.varint_bytes) == (df, vbytes), r
+        assert r.raw_bytes == 8 * df
+        assert 1 <= r.varint_bytes <= r.raw_bytes
+        assert r.savings_ppm == (r.raw_bytes - r.varint_bytes) * 1_000_000 // r.raw_bytes
+    # dense postings compress: the corpus-wide savings must be real
+    tot_raw = sum(r.raw_bytes for r in rows)
+    tot_var = sum(r.varint_bytes for r in rows)
+    assert tot_var * 2 < tot_raw, (tot_var, tot_raw)
+
+
+# ----------------------------------------------------------- roc_auc
+
+
+def test_roc_auc_exact_fraction(spark):
+    """Recompute AUC per lang as an exact Fraction via the pairwise
+    definition (wins + ties/2) / (np*nn) and pin floor(frac * 1e6)
+    against the rank-sum implementation."""
+    from fractions import Fraction
+    import hashlib
+
+    from webcrawler_spark.queries import _AUC_THRESH, q_roc_auc
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    by_lang: dict[str, list] = {}
+    for d in docs:
+        h = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:8], 16) % 400
+        y = int(d.n_chars + h > _AUC_THRESH)
+        by_lang.setdefault(d.lang, []).append((d.n_chars, y))
+
+    rows = {r.lang: r for r in q_roc_auc(spark, SF).collect()}
+    assert set(rows) == set(by_lang)
+    any_ties = False
+    for lang, sy in by_lang.items():
+        pos = [s for s, y in sy if y == 1]
+        neg = [s for s, y in sy if y == 0]
+        assert rows[lang].n_pos == len(pos) and rows[lang].n_neg == len(neg)
+        assert len(pos) > 0 and len(neg) > 0
+        wins = sum(1 for p in pos for n in neg if p > n)
+        ties = sum(1 for p in pos for n in neg if p == n)
+        any_ties = any_ties or ties > 0
+        auc = Fraction(2 * wins + ties, 2 * len(pos) * len(neg))
+        micro = (auc.numerator * 1_000_000) // auc.denominator
+        assert rows[lang].auc_micro == micro, (lang, rows[lang].auc_micro, micro)
+        assert rows[lang].gini_micro == 2 * micro - 1_000_000
+        # informative-but-noisy by construction
+        assert 500_000 < micro < 1_000_000, (lang, micro)
+    assert any_ties  # the tie path is actually exercised on this corpus

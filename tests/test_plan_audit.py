@@ -836,3 +836,38 @@ def test_soft404_map_only_single_exchange(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     simple = plan_str(_q("soft404_detect", spark), "simple")
     assert simple.count("Exchange") <= 1  # pure map + the output sort
+
+
+def test_zorder_broadcast_minmax_no_python(spark):
+    p = plan_str(_q("zorder_keys", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the 1-row min/max agg joins back via broadcast, never a cartesian
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    simple = plan_str(_q("zorder_keys", spark), "simple")
+    # min/max partial+final, broadcast, output sort: no data-wide shuffle
+    assert simple.count("HashAggregate") >= 2
+
+
+def test_posting_delta_single_wide_shuffle(spark):
+    p = plan_str(_q("posting_delta_bytes", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    simple = plan_str(_q("posting_delta_bytes", spark), "simple")
+    # distinct partial+final, term agg partial+final: map-side combines on
+    assert simple.count("HashAggregate") >= 4
+    # lag window runs on the term partitioning; exchanges: repartition +
+    # distinct + window/agg hash + output sort
+    assert simple.count("Exchange") <= 4
+
+
+def test_roc_auc_histogram_collapse_no_raw_sort(spark):
+    p = plan_str(_q("roc_auc", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    simple = plan_str(_q("roc_auc", spark), "simple")
+    # (lang,score) collapse + per-lang finish, partials on both
+    assert simple.count("HashAggregate") >= 4
+    # the window runs on the collapsed histogram, never a global sort of
+    # raw rows: only hash exchanges + the 5-row output sort
+    assert simple.count("Exchange") <= 4

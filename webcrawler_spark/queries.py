@@ -14239,6 +14239,252 @@ FROM sig ORDER BY doc_id
 """
 
 
+# -- Z-order (Morton) layout keys ------------------------------------------------------------
+
+
+def _morton_expr(xcol: str, ycol: str, divop: str) -> str:
+    """Bit-interleave two 16-bit quantized columns into a 32-bit Morton
+    code using only integer div/mod/multiply/add so the same generated
+    expression (modulo the integer-division token) evaluates
+    bit-identically on Spark (`div`) and DuckDB (`//`)."""
+    terms = []
+    for i in range(16):
+        terms.append(f"(({xcol} {divop} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({ycol} {divop} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout keys over (user_id, event time):
+    the data-clustering primitive behind Delta OPTIMIZE ZORDER BY and
+    Iceberg's sort-order rewrite. Writing 100 TB of events sorted by the
+    interleaved key makes min/max file statistics selective on BOTH
+    dimensions at once, so a scan filtered on either user or time prunes
+    most files — a single-column sort only ever prunes one.
+
+    Each dimension is linearly quantized to 16 bits against the global
+    min/max (one tiny agg broadcast back over the table), then the bits
+    are interleaved into a 32-bit key; `zfile = zval div 2^22` is the
+    1024-way target-file assignment a compaction writer would use.
+    Everything is integer arithmetic — bit-identical across engines.
+
+    Scale shape: one O(1)-row aggregate + a broadcast cross join + a
+    pure map; the only wide exchange a real writer adds is the final
+    range-partition by zval, which is exactly the shuffle the layout
+    pays for once to save every subsequent scan."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # parquet timestamps arrive NTZ; session tz is UTC so the cast is
+        # the identity instant and matches DuckDB's epoch_ms exactly
+        F.expr("unix_millis(cast(ts as timestamp))").alias("tms"),
+    )
+    agg = ev.agg(
+        F.min("user_id").alias("minu"),
+        F.max("user_id").alias("maxu"),
+        F.min("tms").alias("mint"),
+        F.max("tms").alias("maxt"),
+    )
+    q = ev.crossJoin(F.broadcast(agg)).select(
+        "event_id",
+        F.expr("(user_id - minu) * 65535 div greatest(maxu - minu, 1)")
+        .cast("bigint")
+        .alias("x16"),
+        F.expr("(tms - mint) * 65535 div greatest(maxt - mint, 1)")
+        .cast("bigint")
+        .alias("y16"),
+    )
+    z = q.select(
+        "event_id",
+        "x16",
+        "y16",
+        F.expr(_morton_expr("x16", "y16", "div")).cast("bigint").alias("zval"),
+    )
+    return z.select(
+        "event_id",
+        "x16",
+        "y16",
+        "zval",
+        F.expr(f"zval div {1 << 22}").cast("bigint").alias("zfile"),
+    ).orderBy("event_id")
+
+
+SQL_ZORDER_KEYS = f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events),
+agg AS (SELECT min(user_id) AS minu, max(user_id) AS maxu,
+               min(tms) AS mint, max(tms) AS maxt FROM ev),
+q AS (
+  SELECT event_id,
+         ((user_id - minu) * 65535 // greatest(maxu - minu, 1))::BIGINT AS x16,
+         ((tms - mint) * 65535 // greatest(maxt - mint, 1))::BIGINT AS y16
+  FROM ev CROSS JOIN agg
+),
+z AS (SELECT event_id, x16, y16, ({_morton_expr('x16', 'y16', '//')})::BIGINT AS zval FROM q)
+SELECT event_id, x16, y16, zval, (zval // {1 << 22})::BIGINT AS zfile
+FROM z ORDER BY event_id
+"""
+
+
+# -- posting-list delta + varint compression estimate -----------------------------------------
+
+
+def q_posting_delta_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-gap + varint size accounting for inverted-index posting
+    lists (the storage format behind Lucene/Indri postings): per term,
+    doc ids are sorted, first id stored absolute (+1 so id 0 still
+    costs one byte) and the rest as gaps, each costing
+    1 + [g>=2^7] + [g>=2^14] + [g>=2^21] + [g>=2^28] varint bytes.
+    Output per term: df, varint bytes, raw 8-byte-per-posting bytes,
+    and savings in ppm — the sizing input for the `inverted_index`
+    operator's storage plan at 10^10-doc scale, where posting
+    compression is the difference between an index that fits on the
+    cluster and one that doesn't.
+
+    Scale shape: explode -> (term, doc_id) distinct (one shuffle),
+    lag window per term (same partitioning, no second exchange),
+    groupBy term with map-side partials. Integer-only arithmetic."""
+    post = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select(F.explode("toks").alias("term"), "doc_id")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    g = post.withColumn(
+        "g",
+        F.coalesce(F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id") + 1),
+    ).withColumn(
+        "nbytes",
+        F.expr(
+            "1 + cast(g >= 128 as int) + cast(g >= 16384 as int) "
+            "+ cast(g >= 2097152 as int) + cast(g >= 268435456 as int)"
+        ).cast("bigint"),
+    )
+    out = g.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("nbytes").cast("bigint").alias("varint_bytes"),
+    )
+    return out.select(
+        "term",
+        "df",
+        "varint_bytes",
+        (F.col("df") * 8).cast("bigint").alias("raw_bytes"),
+        F.expr("(df * 8 - varint_bytes) * 1000000 div (df * 8)")
+        .cast("bigint")
+        .alias("savings_ppm"),
+    ).orderBy("term")
+
+
+SQL_POSTING_DELTA_BYTES = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+post AS (SELECT DISTINCT t.term, toks.doc_id FROM toks, unnest(toks.toks) AS t(term)),
+gaps AS (
+  SELECT term,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                  doc_id + 1) AS g
+  FROM post
+),
+b AS (
+  SELECT term,
+         (1 + (g >= 128)::INTEGER + (g >= 16384)::INTEGER
+            + (g >= 2097152)::INTEGER + (g >= 268435456)::INTEGER)::BIGINT AS nbytes
+  FROM gaps
+)
+SELECT term, count(*)::BIGINT AS df, sum(nbytes)::BIGINT AS varint_bytes,
+       (count(*) * 8)::BIGINT AS raw_bytes,
+       ((count(*) * 8 - sum(nbytes)) * 1000000 // (count(*) * 8))::BIGINT AS savings_ppm
+FROM b GROUP BY term ORDER BY term
+"""
+
+
+# -- ROC AUC (Mann-Whitney rank-sum, integer-exact) -------------------------------------------
+
+_AUC_THRESH = 500
+_AUC_NOISE_SPARK = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 400"
+)
+_AUC_NOISE_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 400"
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the Mann-Whitney rank-sum identity, per language —
+    the standard acceptance metric for every quality / spam / soft-404
+    classifier this engine trains (quality_classifier, trust_rank's
+    seed scorer): AUC = P(score_pos > score_neg) + P(tie)/2. Planted
+    labels: y = 1 iff n_chars + md5-noise(doc_id) % 400 > {_AUC_THRESH},
+    so the n_chars score is informative but noisy (AUC strictly between
+    0.5 and 1) and tied scores exist — the tie-handling path is
+    exercised, not skipped.
+
+    Integer-exact: per distinct score the window-cumulative count of
+    strictly-lower rows gives each tie group's doubled average rank
+    2*cless + n + 1; AUC_micro = (R2 - np*(np+1)) * 10^6 div (2*np*nn)
+    where R2 = sum over positives of doubled ranks. No float surface.
+
+    Scale shape: groupBy (lang, score) with map-side partials collapses
+    10^10 rows to |langs|x|distinct scores| before the window; the
+    window and final agg run on the collapsed frame. This is the
+    distributed-AUC trick (rank-sum over a histogram) — no global
+    sort of raw rows."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").alias("s"),
+        F.expr(
+            f"cast(n_chars + {_AUC_NOISE_SPARK} > {_AUC_THRESH} as int)"
+        ).alias("y"),
+    )
+    g = docs.groupBy("lang", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("npos"),
+    )
+    w = Window.partitionBy("lang").orderBy("s")
+    c = g.withColumn("cless", F.sum("n").over(w) - F.col("n"))
+    per = c.groupBy("lang").agg(
+        F.sum(F.col("npos") * (2 * F.col("cless") + F.col("n") + 1))
+        .cast("bigint")
+        .alias("r2"),
+        F.sum("npos").cast("bigint").alias("np"),
+        F.sum("n").cast("bigint").alias("ntot"),
+    )
+    return (
+        per.select(
+            "lang",
+            F.col("np").alias("n_pos"),
+            (F.col("ntot") - F.col("np")).alias("n_neg"),
+            F.expr("(r2 - np * (np + 1)) * 1000000 div (2 * np * (ntot - np))")
+            .cast("bigint")
+            .alias("auc_micro"),
+        )
+        .withColumn("gini_micro", (F.col("auc_micro") * 2 - 1000000).cast("bigint"))
+        .orderBy("lang")
+    )
+
+
+SQL_ROC_AUC = f"""
+WITH docs AS (
+  SELECT lang, n_chars AS s,
+         (n_chars + {_AUC_NOISE_SQL} > {_AUC_THRESH})::INTEGER AS y
+  FROM documents
+),
+g AS (SELECT lang, s, count(*)::BIGINT AS n, sum(y)::BIGINT AS npos FROM docs GROUP BY lang, s),
+c AS (
+  SELECT lang, s, n, npos,
+         sum(n) OVER (PARTITION BY lang ORDER BY s) - n AS cless
+  FROM g
+),
+per AS (
+  SELECT lang,
+         sum(npos * (2 * cless + n + 1))::BIGINT AS r2,
+         sum(npos)::BIGINT AS np,
+         sum(n)::BIGINT AS ntot
+  FROM c GROUP BY lang
+)
+SELECT lang, np AS n_pos, (ntot - np) AS n_neg,
+       ((r2 - np * (np + 1)) * 1000000 // (2 * np * (ntot - np)))::BIGINT AS auc_micro,
+       (((r2 - np * (np + 1)) * 1000000 // (2 * np * (ntot - np))) * 2 - 1000000)::BIGINT AS gini_micro
+FROM per ORDER BY lang
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -14448,6 +14694,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "salsa_scores": (q_salsa_scores, SQL_SALSA_SCORES),
     "ams_f2_sketch": (q_ams_f2_sketch, SQL_AMS_F2_SKETCH),
     "soft404_detect": (q_soft404_detect, SQL_SOFT404_DETECT),
+    "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
+    "posting_delta_bytes": (q_posting_delta_bytes, SQL_POSTING_DELTA_BYTES),
+    "roc_auc": (q_roc_auc, SQL_ROC_AUC),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
