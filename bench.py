@@ -180,6 +180,9 @@ HEADLINE = [
     "zorder_keys",
     "posting_delta_bytes",
     "roc_auc",
+    "community_conductance",
+    "jl_projection",
+    "langid_confusion",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

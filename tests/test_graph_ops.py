@@ -415,3 +415,32 @@ def test_salsa_python_replication(spark):
     # walk conservation: integer division only sheds mass, never creates it
     assert sum(v for v, _ in got.values()) <= len(og) * _SALSA_UNIT
     assert sum(v for _, v in got.values()) <= sum(v for v, _ in got.values())
+
+
+# ------------------------------------------------- community_conductance
+
+
+def test_conductance_python_recount(spark):
+    from webcrawler_spark.queries import _COND_K, _pagerank_edges, q_community_conductance
+
+    edges = [(r.src, r.dst) for r in _pagerank_edges(spark, SF).collect()]
+    vol = {c: 0 for c in range(_COND_K)}
+    cut = {c: 0 for c in range(_COND_K)}
+    for s, d in edges:
+        ca, cb = s % _COND_K, d % _COND_K
+        vol[ca] += 1
+        vol[cb] += 1
+        if ca != cb:
+            cut[ca] += 1
+            cut[cb] += 1
+    vol_all = 2 * len(edges)
+    rows = q_community_conductance(spark, SF).collect()
+    assert [r.community for r in rows] == sorted(c for c in vol if vol[c] > 0)
+    for r in rows:
+        assert (r.vol, r.cut) == (vol[r.community], cut[r.community]), r
+        assert r.phi_micro == cut[r.community] * 1_000_000 // min(
+            vol[r.community], vol_all - vol[r.community]
+        )
+        # planted mod-K blocks on an md5-random graph: conductance sits in
+        # the random regime (≈ 1 - 1/K), far from a real community's
+        assert 500_000 < r.phi_micro <= 1_000_000, r

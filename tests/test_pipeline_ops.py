@@ -2303,3 +2303,78 @@ def test_roc_auc_exact_fraction(spark):
         # informative-but-noisy by construction
         assert 500_000 < micro < 1_000_000, (lang, micro)
     assert any_ties  # the tie path is actually exercised on this corpus
+
+
+# ------------------------------------------------------- jl_projection
+
+
+def test_jl_projection_python_replication(spark):
+    """Exact replication of the sign matrix + folds, plus the JL regime
+    property: per-pair distortion bounded, mean distortion near 1."""
+    import hashlib
+
+    from webcrawler_spark.queries import _JL_D, q_jl_projection
+
+    emb = {r.vec_id: r.embedding for r in
+           spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+
+    def sign(j, k):
+        h = hashlib.md5(f"{j}|{k}".encode()).hexdigest()[0]
+        return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+    rows = q_jl_projection(spark, SF).collect()
+    assert len(rows) == len(emb) - 1
+    ratios = []
+    for r in rows:
+        dv = [float(x) - float(y) for x, y in zip(emb[r.a_id], emb[r.b_id])]
+        d2 = 0.0
+        for v in dv:
+            d2 += v * v
+        d2_jl = 0.0
+        for k in range(_JL_D):
+            p = 0.0
+            for j, v in enumerate(dv):
+                p += sign(j, k) * v
+            d2_jl += p * p
+        d2_jl /= _JL_D
+        assert r.d2 == round(d2, 6), (r, d2)
+        assert abs(r.d2_jl - round(d2_jl, 6)) <= 1e-6, (r, d2_jl)
+        assert abs(r.ratio - round(d2_jl / d2, 4)) <= 1e-4
+        ratios.append(d2_jl / d2)
+    # E[ratio]=1, sd per pair ≈ sqrt(2/16): the sketch is usable
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, mean
+    assert all(0.1 < x < 3.5 for x in ratios), (min(ratios), max(ratios))
+
+
+# ---------------------------------------------------- langid_confusion
+
+
+def test_langid_confusion_recount_and_quality(spark):
+    from webcrawler_spark.queries import q_lang_id, q_langid_confusion
+
+    preds = [(r.lang, r.pred_lang) for r in q_lang_id(spark, SF).collect()]
+    cells: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for lang, pred in preds:
+        cells[(lang, pred)] = cells.get((lang, pred), 0) + 1
+        totals[lang] = totals.get(lang, 0) + 1
+    rows = q_langid_confusion(spark, SF).collect()
+    assert {(r.lang, r.pred_lang) for r in rows} == set(cells)
+    got = {}
+    for r in rows:
+        assert r.n == cells[(r.lang, r.pred_lang)]
+        assert r.lang_total == totals[r.lang]
+        assert r.rate_ppm == r.n * 1_000_000 // r.lang_total
+        got[(r.lang, r.pred_lang)] = r.rate_ppm
+    # matrix invariants: per-truth-lang rates sum to 1e6 up to floor
+    # rounding, every corpus lang appears, and both predicted classes
+    # occur somewhere (the detector actually discriminates — note the
+    # synthetic corpus shares stopwords across langs, so per-class
+    # QUALITY is exactly what this harness exists to measure, not assume)
+    langs = {lang for lang, _ in got}
+    assert langs == set(totals)
+    for lang in langs:
+        s = sum(ppm for (l, _), ppm in got.items() if l == lang)
+        assert 1_000_000 - len(got) <= s <= 1_000_000, (lang, s)
+    assert {pred for _, pred in got} == {"en", "other"}

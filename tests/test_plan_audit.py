@@ -871,3 +871,29 @@ def test_roc_auc_histogram_collapse_no_raw_sort(spark):
     # the window runs on the collapsed histogram, never a global sort of
     # raw rows: only hash exchanges + the 5-row output sort
     assert simple.count("Exchange") <= 4
+
+
+def test_conductance_no_join_on_edges(spark):
+    p = plan_str(_q("community_conductance", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the |E| scalar comes back via broadcast, not a wide join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_jl_projection_no_python_single_join(spark):
+    p = plan_str(_q("jl_projection", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    simple = plan_str(_q("jl_projection", spark), "simple")
+    # one equi-join on vec_id+1, then pure map + output sort
+    assert simple.count("Join") == 1
+
+
+def test_langid_confusion_collapsed_window(spark):
+    p = plan_str(_q("langid_confusion", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    simple = plan_str(_q("langid_confusion", spark), "simple")
+    # groupBy partial+final; the window runs on the 10-row collapsed frame
+    assert simple.count("HashAggregate") >= 2
+    assert "Window" in simple

@@ -14485,6 +14485,230 @@ FROM per ORDER BY lang
 """
 
 
+# -- community conductance --------------------------------------------------------------------
+
+_COND_K = 5  # planted communities: node % 5
+
+
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance per community over the 50-node host graph — the
+    quality check applied after any partitioning/clustering of the crawl
+    graph (label_propagation, host_graph_collapse): low conductance =
+    few cut edges relative to internal volume = the partition is a good
+    unit for co-scheduling fetches / sharding the frontier. Communities
+    here are the planted node%{_COND_K} blocks on the md5-random graph,
+    so measured conductance sits near the random-graph expectation
+    (≈ 1 - 1/{_COND_K}) — the test pins both the exact arithmetic and
+    that regime.
+
+    Integer-exact: vol(c) = edge endpoints in c, cut(c) = edges with
+    exactly one endpoint in c, phi_micro = cut * 10^6 div
+    min(vol, 2|E| - vol).
+
+    Scale shape: one map over the edge list, one endpoint-exploding
+    union groupBy (map-side partials), one 1-row |E| aggregate broadcast
+    back — no join on the big side at all."""
+    edges = _pagerank_edges(spark, sf_dir).select(
+        (F.col("src") % _COND_K).alias("ca"),
+        (F.col("dst") % _COND_K).alias("cb"),
+    )
+    ends = edges.select(
+        F.col("ca").alias("c"), (F.col("ca") != F.col("cb")).cast("bigint").alias("x")
+    ).unionAll(
+        edges.select(
+            F.col("cb").alias("c"),
+            (F.col("ca") != F.col("cb")).cast("bigint").alias("x"),
+        )
+    )
+    per = ends.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vol"),
+        F.sum("x").cast("bigint").alias("cut"),
+    )
+    tot = edges.agg((F.count(F.lit(1)) * 2).cast("bigint").alias("vol_all"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c").alias("community"),
+            "vol",
+            "cut",
+            F.expr("cut * 1000000 div least(vol, vol_all - vol)")
+            .cast("bigint")
+            .alias("phi_micro"),
+        )
+        .orderBy("community")
+    )
+
+
+SQL_COMMUNITY_CONDUCTANCE = f"""
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id % 50 AS src,
+           ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % 50 AS dst
+    FROM events
+  ) WHERE src <> dst
+),
+ec AS (SELECT src % {_COND_K} AS ca, dst % {_COND_K} AS cb FROM edges),
+ends AS (
+  SELECT ca AS c, (ca <> cb)::BIGINT AS x FROM ec
+  UNION ALL
+  SELECT cb AS c, (ca <> cb)::BIGINT AS x FROM ec
+),
+per AS (SELECT c, count(*)::BIGINT AS vol, sum(x)::BIGINT AS cut FROM ends GROUP BY c),
+tot AS (SELECT (count(*) * 2)::BIGINT AS vol_all FROM ec)
+SELECT c AS community, vol, cut,
+       (cut * 1000000 // least(vol, vol_all - vol))::BIGINT AS phi_micro
+FROM per CROSS JOIN tot ORDER BY community
+"""
+
+
+# -- Johnson-Lindenstrauss random-projection distortion eval -----------------------------------
+
+_JL_D = 16  # target dimensionality
+
+
+def _jl_proj_exprs(dv: str, engine: str) -> list[str]:
+    """The {_JL_D} signed-sum projections of a double array, one expression
+    per output dim; sign(j,k) = +/-1 from the first md5 hex nibble of
+    "j|k" — reproducible bit-for-bit on both engines, and the fold order
+    over j is sequential on both so the doubles match before rounding."""
+    out = []
+    for k in range(_JL_D):
+        if engine == "spark":
+            sign = (
+                f"case when cast(conv(substring(md5(concat(cast(j as string), '|{k}')), 1, 1), 16, 10) as int) % 2 = 0 "
+                f"then 1.0d else -1.0d end"
+            )
+            out.append(
+                f"aggregate(sequence(0, size({dv}) - 1), cast(0.0 as double), "
+                f"(acc, j) -> acc + ({sign}) * element_at({dv}, j + 1))"
+            )
+        else:
+            sign = (
+                f"CASE WHEN ('0x' || substr(md5(j::VARCHAR || '|{k}'), 1, 1))::INTEGER % 2 = 0 "
+                f"THEN 1.0 ELSE -1.0 END"
+            )
+            out.append(
+                f"list_sum(list_transform(range(0, len({dv})), "
+                f"j -> ({sign}) * {dv}[j + 1]))"
+            )
+    return out
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch audit: project 64-d embeddings to
+    {_JL_D}-d with a deterministic ±1 sign matrix and measure, per
+    consecutive-id pair, the squared-distance distortion
+    d2_jl/d2 — the pre-flight check before swapping the full vectors for
+    JL sketches in the dedup / k-NN-graph candidate stages (at 100 TB
+    the 4x-16x vector shrink is a shuffle-volume win only if distortion
+    is in the JL band, which this measures on real data).
+
+    Projection is applied to the pair DIFFERENCE vector (projection is
+    linear, so one {_JL_D}-fold pass per pair instead of two) and scaled
+    by 1/{_JL_D}: E[d2_jl] = d2. Doubles follow the engine-shared
+    sequential fold; outputs rounded.
+
+    Scale shape: self-join on vec_id+1 (both sides hash-partitioned on
+    the join key — at 10^10 vectors the pair sample rides whatever
+    candidate generator feeds it), then a pure map; no Python."""
+    e = _read(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("a_id"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, "a_id").withColumn(
+        "dv",
+        F.expr("zip_with(ea, eb, (x, y) -> cast(x as double) - cast(y as double))"),
+    )
+    projs = _jl_proj_exprs("dv", "spark")
+    d2_jl = " + ".join(f"(({p}) * ({p}))" for p in projs)
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.expr("aggregate(dv, cast(0.0 as double), (acc, v) -> acc + v * v)"), 6
+            ).alias("d2"),
+            F.round(F.expr(f"({d2_jl}) / {_JL_D}"), 6).alias("d2_jl"),
+            F.round(
+                F.expr(
+                    f"(({d2_jl}) / {_JL_D}) / aggregate(dv, cast(0.0 as double), (acc, v) -> acc + v * v)"
+                ),
+                4,
+            ).alias("ratio"),
+        )
+        .orderBy("a_id")
+    )
+
+
+def _sql_jl_projection() -> str:
+    projs = _jl_proj_exprs("dv", "duckdb")
+    d2_jl = " + ".join(f"(({p}) * ({p}))" for p in projs)
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_transform(list_zip(a.embedding, b.embedding),
+                        x -> x[1]::DOUBLE - x[2]::DOUBLE) AS dv
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+)
+SELECT a_id, b_id,
+       round(list_sum(list_transform(dv, v -> v * v)), 6) AS d2,
+       round(({d2_jl}) / {_JL_D}, 6) AS d2_jl,
+       round((({d2_jl}) / {_JL_D}) / list_sum(list_transform(dv, v -> v * v)), 4) AS ratio
+FROM pairs ORDER BY a_id
+"""
+
+
+SQL_JL_PROJECTION = _sql_jl_projection()
+
+
+# -- language-ID confusion matrix --------------------------------------------------------------
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the lang_id heuristic against the corpus
+    ground-truth lang column — the eval harness every classifier in the
+    admission pipeline reports through (soft404_detect, code_detect,
+    quality_classifier all gate multi-TB corpus cuts; their error rates
+    must be measured on labeled slices, not assumed). One row per
+    (truth, prediction) cell with the row-normalized rate in ppm; the
+    'en' row's pred='en' cell is the detector's recall, the other rows'
+    pred='en' cells are its per-language false-positive rates.
+
+    Scale shape: the lang_id map stage followed by one (lang, pred)
+    groupBy with map-side partials, plus a per-lang window total on the
+    collapsed 10-row frame — nothing wide after the first agg."""
+    preds = q_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    cells = preds.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn("lang_total", F.sum("n").over(w).cast("bigint"))
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            "lang_total",
+            F.expr("n * 1000000 div lang_total").cast("bigint").alias("rate_ppm"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH preds AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t))) / len(toks)::DOUBLE > 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM (SELECT lang, {_SQL_TOKS} AS toks FROM documents) t
+),
+cells AS (SELECT lang, pred_lang, count(*)::BIGINT AS n FROM preds GROUP BY lang, pred_lang)
+SELECT lang, pred_lang, n,
+       sum(n) OVER (PARTITION BY lang)::BIGINT AS lang_total,
+       (n * 1000000 // sum(n) OVER (PARTITION BY lang))::BIGINT AS rate_ppm
+FROM cells ORDER BY lang, pred_lang
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -14697,6 +14921,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
     "posting_delta_bytes": (q_posting_delta_bytes, SQL_POSTING_DELTA_BYTES),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
+    "community_conductance": (q_community_conductance, SQL_COMMUNITY_CONDUCTANCE),
+    "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
+    "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
