@@ -183,6 +183,9 @@ HEADLINE = [
     "community_conductance",
     "jl_projection",
     "langid_confusion",
+    "bipartite_check",
+    "mrl_truncate_eval",
+    "tokenizer_fertility",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

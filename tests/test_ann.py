@@ -67,3 +67,38 @@ def test_ann_pq_recall_vs_bruteforce(spark):
     assert len(truth) == 20 and len(got) == 20
     recall = len(truth & got) / len(truth)
     assert recall >= 0.7, f"PQ recall@20 too low: {recall}"
+
+
+# ---------------------------------------------------- mrl_truncate_eval
+
+
+def test_mrl_truncate_eval_python_replication(spark):
+    import math
+
+    from webcrawler_spark.queries import _MRL_DIMS, _MRL_KS, q_mrl_truncate_eval
+
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()}
+    ref = emb[0]
+
+    def cos(a, b):
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            na += x * x
+            nb += y * y
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    ids = sorted(i for i in emb if i != 0)
+    rank_f = sorted(ids, key=lambda i: (-cos(emb[i], ref), i))
+    rank_t = sorted(ids, key=lambda i: (-cos(emb[i][:_MRL_DIMS], ref[:_MRL_DIMS]), i))
+    rows = {r.k: r for r in q_mrl_truncate_eval(spark, SF_DIR).collect()}
+    assert set(rows) == set(_MRL_KS)
+    for k in _MRL_KS:
+        want = len(set(rank_f[:k]) & set(rank_t[:k]))
+        assert rows[k].n_overlap == want, (k, rows[k].n_overlap, want)
+        assert rows[k].recall_ppm == want * 1_000_000 // k
+    # truncation must retain SOME signal (overlap beats the random
+    # expectation k^2/N at the largest k)
+    n = len(ids)
+    assert rows[20].n_overlap > 20 * 20 / n, rows[20]

@@ -444,3 +444,45 @@ def test_conductance_python_recount(spark):
         # planted mod-K blocks on an md5-random graph: conductance sits in
         # the random regime (≈ 1 - 1/K), far from a real community's
         assert 500_000 < r.phi_micro <= 1_000_000, r
+
+
+# ------------------------------------------------------ bipartite_check
+
+
+def test_bipartite_python_recount(spark):
+    """Replicate BFS parity coloring + witness-edge counting in pure
+    Python on the same synthetic edge set."""
+    from webcrawler_spark.queries import _BFS_ROUNDS, _BFS_SEED_MOD, q_bipartite_check
+
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    edges = set()
+    for s in range(n):
+        for d in ((s * 7 + 3) % n, (s // 3) % n):
+            if s != d:
+                edges.add((s, d))
+    # multi-source BFS, _BFS_ROUNDS rounds, directed relaxation
+    lev = {i: (0 if i % _BFS_SEED_MOD == 0 else None) for i in range(n)}
+    for _ in range(_BFS_ROUNDS):
+        nxt = dict(lev)
+        for s, d in edges:
+            if lev[s] is not None:
+                c = lev[s] + 1
+                if nxt[d] is None or c < nxt[d]:
+                    nxt[d] = c
+        lev = nxt
+    color = {i: (-1 if lev[i] is None else lev[i] % 2) for i in range(n)}
+    conf = [(s, d) for s, d in edges if color[s] >= 0 and color[s] == color[d]]
+    ninc = {i: 0 for i in range(n)}
+    for s, d in conf:
+        ninc[s] += 1
+        ninc[d] += 1
+    rows = q_bipartite_check(spark, SF).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert (r.color, r.n_conflicts) == (color[r.doc_id], ninc[r.doc_id]), r
+    # the synthetic graph is NOT bipartite — witnesses must exist, and
+    # unreached nodes must report color -1 with zero conflicts
+    assert sum(r.n_conflicts for r in rows) > 0
+    for r in rows:
+        if r.color == -1:
+            assert r.n_conflicts == 0

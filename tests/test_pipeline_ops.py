@@ -2378,3 +2378,54 @@ def test_langid_confusion_recount_and_quality(spark):
         s = sum(ppm for (l, _), ppm in got.items() if l == lang)
         assert 1_000_000 - len(got) <= s <= 1_000_000, (lang, s)
     assert {pred for _, pred in got} == {"en", "other"}
+
+
+# ----------------------------------------------- tokenizer_fertility
+
+
+def _bpe_count(text: str) -> int:
+    """Python scan equivalent to the engines' Java/RE2 pattern
+    ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+' (re lacks \\p classes)."""
+    import unicodedata
+
+    def cat(c):
+        k = unicodedata.category(c)[0]
+        if k == "L":
+            return "L"
+        if k == "N":
+            return "N"
+        return "S" if c.isspace() else "O"
+
+    n, i, count = len(text), 0, 0
+    while i < n:
+        j = i + 1 if text[i] == " " else i
+        if j < n and cat(text[j]) in ("L", "N", "O"):
+            k = cat(text[j])
+            while j < n and cat(text[j]) == k:
+                j += 1
+            count += 1
+            i = j
+        else:
+            i += 1
+    return count
+
+
+def test_tokenizer_fertility_recount(spark):
+    from webcrawler_spark.queries import q_tokenizer_fertility
+
+    agg: dict[str, list] = {}
+    for d in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        a = agg.setdefault(d.lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += _bpe_count(d.text)
+        a[2] += len([t for t in re.split(r"\s+", d.text.lower()) if t])
+        a[3] += len(d.text.encode("utf-8"))
+    rows = q_tokenizer_fertility(spark, SF).collect()
+    assert {r.lang for r in rows} == set(agg)
+    for r in rows:
+        nd, bpe, ws, nb = agg[r.lang]
+        assert (r.n_docs, r.bpe_tokens, r.ws_tokens, r.total_bytes) == (nd, bpe, ws, nb), r
+        assert r.fertility_ppm == bpe * 1_000_000 // ws
+        assert r.bytes_per_tok_ppm == nb * 1_000_000 // bpe
+        # fertility >= 1: BPE pre-tokens never merge across whitespace
+        assert r.fertility_ppm >= 1_000_000, r

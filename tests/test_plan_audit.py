@@ -897,3 +897,26 @@ def test_langid_confusion_collapsed_window(spark):
     # groupBy partial+final; the window runs on the 10-row collapsed frame
     assert simple.count("HashAggregate") >= 2
     assert "Window" in simple
+
+
+def test_bipartite_no_python_no_cartesian(spark):
+    p = plan_str(_q("bipartite_check", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_mrl_eval_broadcast_query_vector(spark):
+    p = plan_str(_q("mrl_truncate_eval", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the 1-row query frame broadcasts; no cartesian on the corpus side
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_tokenizer_fertility_mapside_partials(spark):
+    p = plan_str(_q("tokenizer_fertility", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("tokenizer_fertility", spark), "simple")
+    assert simple.count("HashAggregate") >= 2  # partial + final
+    assert simple.count("Exchange") <= 2  # lang hash + 5-row output sort

@@ -12096,6 +12096,16 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy; rounds are unrolled with localCheckpoint, so the lineage
     stays flat and each round shuffles O(|edges touched|), never the
     corpus. Same topology as label_propagation/scc_mutual."""
+    _, lev = _bfs_state(spark, sf_dir)
+    return lev.select(
+        "doc_id", F.coalesce("level", F.lit(-1)).cast("int").alias("level")
+    )
+
+
+def _bfs_state(spark: SparkSession, sf_dir: str):
+    """Shared BFS relaxation over the synthetic doc link graph: returns
+    (edges, levels-with-null-for-unreached). Used by q_bfs_levels and
+    q_bipartite_check so both ops see the identical fixpoint."""
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     base = docs.select(F.col("doc_id").alias("src"))
@@ -12132,12 +12142,10 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return lev.select(
-        "doc_id", F.coalesce("level", F.lit(-1)).cast("int").alias("level")
-    )
+    return edges, lev
 
 
-def _bfs_oracle_sql() -> str:
+def _bfs_oracle_sql(final: str | None = None) -> str:
     parts = [
         f"""WITH nd AS (SELECT count(*) AS n FROM documents),
 de AS (
@@ -12169,7 +12177,9 @@ l0 AS (
 )"""
         )
     parts.append(
-        f"""
+        final
+        if final is not None
+        else f"""
 SELECT doc_id, coalesce(level, -1)::INTEGER AS level FROM l{_BFS_ROUNDS}"""
     )
     return "".join(parts)
@@ -14709,6 +14719,250 @@ FROM cells ORDER BY lang, pred_lang
 """
 
 
+# -- bipartite check (2-coloring odd-cycle witnesses) ------------------------------------------
+
+
+def q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartiteness audit of the link graph by BFS 2-coloring: color =
+    BFS level parity; any edge whose two reached endpoints share a color
+    witnesses an odd cycle. Crawl use: a near-bipartite host graph
+    (hubs <-> leaves) admits the hub/authority split that HITS/SALSA and
+    list-page vs article-page scheduling assume; odd-cycle density per
+    node measures how far the real graph deviates. Reuses the exact
+    BFS fixpoint of q_bfs_levels (same edges, same levels).
+
+    Output per doc: color (level%2, -1 unreached) and the count of
+    incident same-color witness edges.
+
+    Scale shape: the BFS rounds (bounded, checkpointed) plus two hash
+    joins of the edge list against the color table and one endpoint
+    groupBy — all on the edge partitioning, nothing driver-side."""
+    edges, lev = _bfs_state(spark, sf_dir)
+    colors = lev.select(
+        "doc_id",
+        F.when(F.col("level").isNull(), F.lit(-1))
+        .otherwise(F.col("level") % 2)
+        .cast("int")
+        .alias("color"),
+    ).localCheckpoint(eager=True)
+    ca = colors.select(F.col("doc_id").alias("src"), F.col("color").alias("col_a"))
+    cb = colors.select(F.col("doc_id").alias("dst"), F.col("color").alias("col_b"))
+    conf = (
+        edges.join(ca, "src")
+        .join(cb, "dst")
+        .filter((F.col("col_a") >= 0) & (F.col("col_a") == F.col("col_b")))
+        .select("src", "dst")
+    )
+    inc = (
+        conf.select(F.col("src").alias("doc_id"))
+        .unionAll(conf.select(F.col("dst").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conflicts"))
+    )
+    return (
+        colors.join(inc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "color",
+            F.coalesce("n_conflicts", F.lit(0)).cast("bigint").alias("n_conflicts"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_BIPARTITE_CHECK = _bfs_oracle_sql(
+    final=f""",
+colors AS (
+  SELECT doc_id,
+         CASE WHEN level IS NULL THEN -1 ELSE (level % 2)::INTEGER END AS color
+  FROM l{_BFS_ROUNDS}
+),
+conf AS (
+  SELECT de.src, de.dst
+  FROM de JOIN colors a ON de.src = a.doc_id JOIN colors b ON de.dst = b.doc_id
+  WHERE a.color >= 0 AND a.color = b.color
+),
+inc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_conflicts FROM (
+    SELECT src AS doc_id FROM conf UNION ALL SELECT dst AS doc_id FROM conf
+  ) GROUP BY doc_id
+)
+SELECT c.doc_id, c.color, coalesce(i.n_conflicts, 0)::BIGINT AS n_conflicts
+FROM colors c LEFT JOIN inc i ON c.doc_id = i.doc_id
+ORDER BY c.doc_id"""
+)
+
+
+# -- Matryoshka / truncated-embedding retrieval eval -------------------------------------------
+
+_MRL_DIMS = 16  # truncated prefix length
+_MRL_KS = (5, 10, 20)
+
+
+def q_mrl_truncate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval: rank the corpus against the
+    query vector (vec_id=0) by full-dim cosine and by cosine over the
+    first {_MRL_DIMS} dims only, and report top-k overlap at
+    k in {_MRL_KS} — the acceptance gate before shipping truncated
+    embeddings into the ANN/dedup stages (a 4x vector shrink is a 4x
+    shuffle-volume and memory win at 10^10 vectors, but only if
+    recall@k survives; this measures it on the corpus itself).
+
+    Ranks use the engine-shared sequential-fold cosine (bit-identical
+    doubles on both engines) with vec_id as the tiebreak; the global
+    rank windows are legitimate HERE because the eval runs on a
+    candidate set (top-N of a generator at scale), never the raw corpus.
+
+    Scale shape: one broadcast of the 1-row query frame, one map for
+    both cosines, two rank windows over the candidate frame, a 3-row
+    closed-form finish."""
+    e = _read(spark, sf_dir, "embeddings")
+    ref = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("ref"),
+            F.expr(f"slice(embedding, 1, {_MRL_DIMS})").alias("ref_t"),
+        )
+        .withColumn("nr_f", F.sqrt(F.expr(_dot_expr("ref", "ref"))))
+        .withColumn("nr_t", F.sqrt(F.expr(_dot_expr("ref_t", "ref_t"))))
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("emb_t", F.expr(f"slice(embedding, 1, {_MRL_DIMS})"))
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "vec_id",
+            (
+                F.expr(_dot_expr("embedding", "ref"))
+                / (F.sqrt(F.expr(_dot_expr("embedding", "embedding"))) * F.col("nr_f"))
+            ).alias("cos_f"),
+            (
+                F.expr(_dot_expr("emb_t", "ref_t"))
+                / (F.sqrt(F.expr(_dot_expr("emb_t", "emb_t"))) * F.col("nr_t"))
+            ).alias("cos_t"),
+        )
+    )
+    wf = Window.orderBy(F.desc("cos_f"), F.asc("vec_id"))
+    wt = Window.orderBy(F.desc("cos_t"), F.asc("vec_id"))
+    ranked = scored.select(
+        "vec_id",
+        F.row_number().over(wf).alias("rnk_f"),
+        F.row_number().over(wt).alias("rnk_t"),
+    )
+    ks = ",".join(str(k) for k in _MRL_KS)
+    return (
+        ranked.select("rnk_f", "rnk_t", F.explode(F.expr(f"array({ks})")).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                ((F.col("rnk_f") <= F.col("k")) & (F.col("rnk_t") <= F.col("k"))).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_overlap")
+        )
+        .select(
+            "k",
+            "n_overlap",
+            F.expr("n_overlap * 1000000 div k").cast("bigint").alias("recall_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+SQL_MRL_TRUNCATE_EVAL = f"""
+WITH ref AS (
+  SELECT embedding AS ref, embedding[1:{_MRL_DIMS}] AS ref_t FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id,
+         {_sql_dot('e.embedding', 'r.ref')} /
+           (sqrt({_sql_dot('e.embedding', 'e.embedding')}) * sqrt({_sql_dot('r.ref', 'r.ref')})) AS cos_f,
+         {_sql_dot('e.embedding[1:' + str(_MRL_DIMS) + ']', 'r.ref_t')} /
+           (sqrt({_sql_dot('e.embedding[1:' + str(_MRL_DIMS) + ']', 'e.embedding[1:' + str(_MRL_DIMS) + ']')}) * sqrt({_sql_dot('r.ref_t', 'r.ref_t')})) AS cos_t
+  FROM embeddings e CROSS JOIN ref r
+  WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY cos_f DESC, vec_id) AS rnk_f,
+         row_number() OVER (ORDER BY cos_t DESC, vec_id) AS rnk_t
+  FROM scored
+),
+ks AS (SELECT unnest([{', '.join(str(k) for k in _MRL_KS)}]) AS k)
+SELECT k,
+       sum((rnk_f <= k AND rnk_t <= k)::INTEGER)::BIGINT AS n_overlap,
+       (sum((rnk_f <= k AND rnk_t <= k)::INTEGER) * 1000000 // k)::BIGINT AS recall_ppm
+FROM ranked CROSS JOIN ks
+GROUP BY k ORDER BY k
+"""
+
+
+# -- tokenizer fertility per language ----------------------------------------------------------
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pre-token segments per
+    whitespace word and UTF-8 bytes per segment — the standard
+    multilingual tokenizer-efficiency report (a language whose fertility
+    is 2x pays 2x the sequence length for the same text; byte-heavy
+    scripts like zh dominate bytes-per-token). Drives the per-language
+    token budgeting that source_mix / mix_temperature allocate against.
+
+    Integer-exact ppm ratios over summed counts (never averages of
+    per-doc ratios — Simpson's trap).
+
+    Scale shape: pure map (two regex counts + octet_length per doc) into
+    one per-lang groupBy with map-side partials; 5 output rows."""
+    docs = _read(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.expr(
+            f"cast(size(regexp_extract_all(text, '{_sp(_RE_BPE)}', 0)) as bigint)"
+        ).alias("bpe"),
+        F.expr(f"cast(size({_TOKS}) as bigint)").alias("ws"),
+        F.expr("cast(octet_length(text) as bigint)").alias("nbytes"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("nbytes").cast("bigint").alias("total_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "bpe_tokens",
+        "ws_tokens",
+        "total_bytes",
+        F.expr("bpe_tokens * 1000000 div ws_tokens")
+        .cast("bigint")
+        .alias("fertility_ppm"),
+        F.expr("total_bytes * 1000000 div bpe_tokens")
+        .cast("bigint")
+        .alias("bytes_per_tok_ppm"),
+    ).orderBy("lang")
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH per AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{_RE_BPE}'))::BIGINT AS bpe,
+         len({_SQL_TOKS})::BIGINT AS ws,
+         octet_length(text::BLOB)::BIGINT AS nbytes
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(bpe)::BIGINT AS bpe_tokens,
+       sum(ws)::BIGINT AS ws_tokens,
+       sum(nbytes)::BIGINT AS total_bytes,
+       (sum(bpe) * 1000000 // sum(ws))::BIGINT AS fertility_ppm,
+       (sum(nbytes) * 1000000 // sum(bpe))::BIGINT AS bytes_per_tok_ppm
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -14924,6 +15178,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "community_conductance": (q_community_conductance, SQL_COMMUNITY_CONDUCTANCE),
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
+    "bipartite_check": (q_bipartite_check, SQL_BIPARTITE_CHECK),
+    "mrl_truncate_eval": (q_mrl_truncate_eval, SQL_MRL_TRUNCATE_EVAL),
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
