@@ -186,6 +186,9 @@ HEADLINE = [
     "bipartite_check",
     "mrl_truncate_eval",
     "tokenizer_fertility",
+    "simpson_diversity",
+    "kendall_tau",
+    "stylometry_delta",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -2429,3 +2429,108 @@ def test_tokenizer_fertility_recount(spark):
         assert r.bytes_per_tok_ppm == nb * 1_000_000 // bpe
         # fertility >= 1: BPE pre-tokens never merge across whitespace
         assert r.fertility_ppm >= 1_000_000, r
+
+
+# ------------------------------------------------- simpson_diversity
+
+
+def test_simpson_diversity_recount(spark):
+    from webcrawler_spark.queries import q_simpson_diversity
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    by_src: dict[str, dict] = {}
+    for d in docs:
+        by_src.setdefault(d.source, {}).setdefault(d.lang, 0)
+        by_src[d.source][d.lang] += 1
+    rows = {r.source: r for r in q_simpson_diversity(spark, SF).collect()}
+    assert set(rows) == set(by_src)
+    for src, langs in by_src.items():
+        n = sum(langs.values())
+        same2 = sum(c * (c - 1) for c in langs.values())
+        r = rows[src]
+        assert (r.n_docs, r.n_langs) == (n, len(langs))
+        assert r.simpson_ppm == same2 * 1_000_000 // (n * (n - 1))
+        assert r.gini_simpson_ppm == 1_000_000 - r.simpson_ppm
+        # D is a probability: 0 <= D <= 1e6; single-lang source => D=1e6
+        assert 0 <= r.simpson_ppm <= 1_000_000
+
+
+# ------------------------------------------------------ kendall_tau
+
+
+def test_kendall_tau_python_recount(spark):
+    import math
+
+    from webcrawler_spark.queries import _MRL_DIMS, q_kendall_tau
+
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+    ref = emb[0]
+
+    def cos(a, b):
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            na += x * x
+            nb += y * y
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    ids = sorted(i for i in emb if i != 0)
+    rf = {v: r + 1 for r, v in enumerate(sorted(ids, key=lambda i: (-cos(emb[i], ref), i)))}
+    rt = {v: r + 1 for r, v in enumerate(
+        sorted(ids, key=lambda i: (-cos(emb[i][:_MRL_DIMS], ref[:_MRL_DIMS]), i)))}
+    conc = npairs = 0
+    for x in ids:
+        for y in ids:
+            if x < y:
+                npairs += 1
+                if (rf[x] < rf[y]) == (rt[x] < rt[y]):
+                    conc += 1
+    row = q_kendall_tau(spark, SF).collect()[0]
+    assert (row.n_pairs, row.concordant) == (npairs, conc)
+    assert row.discordant == npairs - conc
+    assert row.tau_micro == (2 * conc - npairs) * 1_000_000 // npairs
+    # truncation preserves most of the ordering, but not all of it
+    assert 100_000 < row.tau_micro < 1_000_000, row.tau_micro
+
+
+# -------------------------------------------------- stylometry_delta
+
+
+def test_stylometry_delta_recount(spark):
+    import math
+
+    from webcrawler_spark.queries import _STYLO_M, q_stylometry_delta
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    tf: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    ctot: dict[str, int] = {}
+    for d in docs:
+        for t in re.split(r"\s+", d.text.lower()):
+            if t:
+                tf[(d.source, t)] = tf.get((d.source, t), 0) + 1
+                tot[d.source] = tot.get(d.source, 0) + 1
+                ctot[t] = ctot.get(t, 0) + 1
+    panel = sorted(ctot, key=lambda t: (-ctot[t], t))[:_STYLO_M]
+    srcs = sorted(tot)
+    fppm = {(s, t): tf.get((s, t), 0) * 1_000_000 // tot[s] for s in srcs for t in panel}
+    sd = {}
+    k = len(srcs)
+    for t in panel:
+        s1 = sum(fppm[(s, t)] for s in srcs)
+        s2 = sum(fppm[(s, t)] ** 2 for s in srcs)
+        sd[t] = math.floor(math.sqrt((k * s2 - s1 * s1) // (k * k)))
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            tot_z = sum(
+                abs(fppm[(a, t)] - fppm[(b, t)]) * 1000 // max(sd[t], 1) for t in panel
+            )
+            want[(a, b)] = tot_z // _STYLO_M
+    rows = q_stylometry_delta(spark, SF).collect()
+    assert {(r.a_src, r.b_src) for r in rows} == set(want)
+    for r in rows:
+        assert r.delta_milli == want[(r.a_src, r.b_src)], r
+    # Delta must discriminate: not all pair distances identical
+    assert len({r.delta_milli for r in rows}) > 1

@@ -920,3 +920,28 @@ def test_tokenizer_fertility_mapside_partials(spark):
     simple = plan_str(_q("tokenizer_fertility", spark), "simple")
     assert simple.count("HashAggregate") >= 2  # partial + final
     assert simple.count("Exchange") <= 2  # lang hash + 5-row output sort
+
+
+def test_simpson_two_narrow_shuffles(spark):
+    p = plan_str(_q("simpson_diversity", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("simpson_diversity", spark), "simple")
+    assert simple.count("HashAggregate") >= 4  # two partial+final aggs
+
+
+def test_kendall_tau_broadcast_selfjoin(spark):
+    p = plan_str(_q("kendall_tau", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the candidate-frame self-compare broadcasts the small side; a
+    # shuffle cartesian over the corpus would be the scale bug
+    assert "CartesianProduct" not in p
+
+
+def test_stylometry_broadcast_panel_joins(spark):
+    p = plan_str(_q("stylometry_delta", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # panel + totals + sd all join via broadcast (no wide-side shuffle
+    # joins after the tf groupBy)
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 3

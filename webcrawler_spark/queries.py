@@ -14799,23 +14799,10 @@ _MRL_DIMS = 16  # truncated prefix length
 _MRL_KS = (5, 10, 20)
 
 
-def q_mrl_truncate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka-style truncation eval: rank the corpus against the
-    query vector (vec_id=0) by full-dim cosine and by cosine over the
-    first {_MRL_DIMS} dims only, and report top-k overlap at
-    k in {_MRL_KS} — the acceptance gate before shipping truncated
-    embeddings into the ANN/dedup stages (a 4x vector shrink is a 4x
-    shuffle-volume and memory win at 10^10 vectors, but only if
-    recall@k survives; this measures it on the corpus itself).
-
-    Ranks use the engine-shared sequential-fold cosine (bit-identical
-    doubles on both engines) with vec_id as the tiebreak; the global
-    rank windows are legitimate HERE because the eval runs on a
-    candidate set (top-N of a generator at scale), never the raw corpus.
-
-    Scale shape: one broadcast of the 1-row query frame, one map for
-    both cosines, two rank windows over the candidate frame, a 3-row
-    closed-form finish."""
+def _mrl_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, rnk_f, rnk_t): corpus ranked against the query vector by
+    full-dim and truncated-dim cosine. Shared by q_mrl_truncate_eval
+    (top-k overlap) and q_kendall_tau (whole-ranking correlation)."""
     e = _read(spark, sf_dir, "embeddings")
     ref = (
         e.filter(F.col("vec_id") == 0)
@@ -14844,11 +14831,31 @@ def q_mrl_truncate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = Window.orderBy(F.desc("cos_f"), F.asc("vec_id"))
     wt = Window.orderBy(F.desc("cos_t"), F.asc("vec_id"))
-    ranked = scored.select(
+    return scored.select(
         "vec_id",
         F.row_number().over(wf).alias("rnk_f"),
         F.row_number().over(wt).alias("rnk_t"),
     )
+
+
+def q_mrl_truncate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval: rank the corpus against the
+    query vector (vec_id=0) by full-dim cosine and by cosine over the
+    first {_MRL_DIMS} dims only, and report top-k overlap at
+    k in {_MRL_KS} — the acceptance gate before shipping truncated
+    embeddings into the ANN/dedup stages (a 4x vector shrink is a 4x
+    shuffle-volume and memory win at 10^10 vectors, but only if
+    recall@k survives; this measures it on the corpus itself).
+
+    Ranks use the engine-shared sequential-fold cosine (bit-identical
+    doubles on both engines) with vec_id as the tiebreak; the global
+    rank windows are legitimate HERE because the eval runs on a
+    candidate set (top-N of a generator at scale), never the raw corpus.
+
+    Scale shape: one broadcast of the 1-row query frame, one map for
+    both cosines, two rank windows over the candidate frame, a 3-row
+    closed-form finish."""
+    ranked = _mrl_ranked(spark, sf_dir)
     ks = ",".join(str(k) for k in _MRL_KS)
     return (
         ranked.select("rnk_f", "rnk_t", F.explode(F.expr(f"array({ks})")).alias("k"))
@@ -14960,6 +14967,269 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        (sum(bpe) * 1000000 // sum(ws))::BIGINT AS fertility_ppm,
        (sum(nbytes) * 1000000 // sum(bpe))::BIGINT AS bytes_per_tok_ppm
 FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+# -- Simpson diversity of the language mix per source ------------------------------------------
+
+
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's index of the language mix inside each source — the
+    concentration check on corpus composition (a source whose documents
+    are 95% one language contributes no multilingual signal no matter
+    how many docs it ships; source_mix / mix_temperature budgeting wants
+    this next to raw counts). D = sum n_l(n_l-1) / (N(N-1)) is the
+    probability two draws without replacement share a language;
+    1 - D (Gini-Simpson) is the diversity. Integer-exact in ppm.
+
+    Scale shape: one (source, lang) groupBy with map-side partials, one
+    per-source re-agg of the collapsed frame — two narrow shuffles of a
+    |sources|x|langs| frame regardless of corpus size."""
+    docs = _read(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per = sl.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("same2"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.expr("same2 * 1000000 div (n_docs * (n_docs - 1))")
+        .cast("bigint")
+        .alias("simpson_ppm"),
+        F.expr("1000000 - same2 * 1000000 div (n_docs * (n_docs - 1))")
+        .cast("bigint")
+        .alias("gini_simpson_ppm"),
+    ).orderBy("source")
+
+
+SQL_SIMPSON_DIVERSITY = """
+WITH sl AS (SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY source, lang),
+per AS (
+  SELECT source, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_langs,
+         sum(n * (n - 1))::BIGINT AS same2
+  FROM sl GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       (same2 * 1000000 // (n_docs * (n_docs - 1)))::BIGINT AS simpson_ppm,
+       (1000000 - same2 * 1000000 // (n_docs * (n_docs - 1)))::BIGINT AS gini_simpson_ppm
+FROM per ORDER BY source
+"""
+
+
+# -- Kendall tau between full-dim and truncated-dim rankings -----------------------------------
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between the full-dim and truncated-dim cosine
+    rankings (the same pair of rankings mrl_truncate_eval checks at
+    top-k): the whole-ranking agreement number that decides whether
+    truncated embeddings can replace full ones for ORDERING (reranking,
+    priority queues), not just set-recall. Row-number ranks are
+    tie-free, so tau = (C - D) / (n(n-1)/2) with C + D = n(n-1)/2.
+    Integer-exact in micro units.
+
+    Scale shape: the pairwise comparison is O(n^2) BY DESIGN — this is
+    an eval over a candidate/top-N frame (n<=a few thousand), never the
+    corpus; the n^2 join is a broadcast of the small ranked frame
+    against itself. At 10^10 vectors the candidate set feeding this is
+    whatever the ANN generator returns."""
+    ranked = _mrl_ranked(spark, sf_dir).localCheckpoint(eager=True)
+    a = ranked.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("rnk_f").alias("fa"),
+        F.col("rnk_t").alias("ta"),
+    )
+    b = ranked.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("rnk_f").alias("fb"),
+        F.col("rnk_t").alias("tb"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a_id") < F.col("b_id"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            (
+                ((F.col("fa") < F.col("fb")) & (F.col("ta") < F.col("tb")))
+                | ((F.col("fa") > F.col("fb")) & (F.col("ta") > F.col("tb")))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("concordant"),
+    )
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        (F.col("n_pairs") - F.col("concordant")).alias("discordant"),
+        F.expr("(2 * concordant - n_pairs) * 1000000 div n_pairs")
+        .cast("bigint")
+        .alias("tau_micro"),
+    )
+
+
+SQL_KENDALL_TAU = f"""
+WITH ref AS (
+  SELECT embedding AS ref, embedding[1:{_MRL_DIMS}] AS ref_t FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id,
+         {_sql_dot('e.embedding', 'r.ref')} /
+           (sqrt({_sql_dot('e.embedding', 'e.embedding')}) * sqrt({_sql_dot('r.ref', 'r.ref')})) AS cos_f,
+         {_sql_dot('e.embedding[1:' + str(_MRL_DIMS) + ']', 'r.ref_t')} /
+           (sqrt({_sql_dot('e.embedding[1:' + str(_MRL_DIMS) + ']', 'e.embedding[1:' + str(_MRL_DIMS) + ']')}) * sqrt({_sql_dot('r.ref_t', 'r.ref_t')})) AS cos_t
+  FROM embeddings e CROSS JOIN ref r
+  WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY cos_f DESC, vec_id) AS rnk_f,
+         row_number() OVER (ORDER BY cos_t DESC, vec_id) AS rnk_t
+  FROM scored
+),
+pairs AS (
+  SELECT a.rnk_f AS fa, a.rnk_t AS ta, b.rnk_f AS fb, b.rnk_t AS tb
+  FROM ranked a JOIN ranked b ON a.vec_id < b.vec_id
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         sum(((fa < fb AND ta < tb) OR (fa > fb AND ta > tb))::INTEGER)::BIGINT AS concordant
+  FROM pairs
+)
+SELECT n_pairs, concordant, (n_pairs - concordant)::BIGINT AS discordant,
+       ((2 * concordant - n_pairs) * 1000000 // n_pairs)::BIGINT AS tau_micro
+FROM agg
+"""
+
+
+# -- Burrows' Delta stylometry between sources --------------------------------------------------
+
+_STYLO_M = 16  # function-word panel size (top-m corpus terms)
+
+
+def q_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every pair of sources over the corpus's
+    {_STYLO_M} most frequent terms (the "function word" panel of
+    classical stylometry): delta(a,b) = mean_t |f_a(t) - f_b(t)| / sd(t),
+    where f_s(t) is term t's relative frequency in source s (ppm) and
+    sd(t) its across-source spread. Crawl/corpus use: near-identical
+    Delta flags templated or mirrored sources (same generator behind
+    different hostnames) that URL-level mirror detection misses.
+
+    Integer-exact pipeline: f in ppm (count*10^6 div source tokens),
+    variance numerator k*S2 - S1^2 over integer f's, sd = floor(sqrt(.))
+    — IEEE sqrt of an integer-valued double is correctly rounded, so
+    both engines floor the same value; |f_a - f_b| keeps every integer
+    division non-negative (Spark `div` truncates toward zero, DuckDB
+    `//` floors — they only agree on non-negatives, so the abs-first
+    form is load-bearing).
+
+    Scale shape: one (source, term) count groupBy (map-side partials),
+    a broadcast-joined top-m panel, a |sources|x m pivot frame, and an
+    m-row std join — the pairwise stage runs on a 20x{_STYLO_M} frame,
+    closed form."""
+    docs = _tokens(_docs_parallel(spark, sf_dir))
+    tf = (
+        docs.select("source", F.explode("toks").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    totals = tf.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    top = (
+        tf.groupBy("term")
+        .agg(F.sum("cnt").cast("bigint").alias("ctot"))
+        .orderBy(F.desc("ctot"), F.asc("term"))
+        .limit(_STYLO_M)
+        .select("term")
+    )
+    f = (
+        tf.join(F.broadcast(top), "term")
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "term",
+            F.expr("cnt * 1000000 div tot").cast("bigint").alias("fppm"),
+        )
+    )
+    # every (source, panel term) cell must exist, zero counts included
+    grid = totals.select("source").crossJoin(F.broadcast(top))
+    f = (
+        grid.join(f, ["source", "term"], "left")
+        .select("source", "term", F.coalesce("fppm", F.lit(0)).alias("fppm"))
+        .localCheckpoint(eager=True)
+    )
+    sd = f.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("fppm").cast("bigint").alias("s1"),
+        F.sum(F.col("fppm") * F.col("fppm")).cast("bigint").alias("s2"),
+    ).select(
+        "term",
+        F.expr(
+            "cast(floor(sqrt(cast((k * s2 - s1 * s1) div (k * k) as double))) as bigint)"
+        ).alias("sd"),
+    )
+    fa = f.select(F.col("source").alias("a_src"), "term", F.col("fppm").alias("f_a"))
+    fb = f.select(F.col("source").alias("b_src"), "term", F.col("fppm").alias("f_b"))
+    pairs = (
+        fa.join(fb, "term")
+        .filter(F.col("a_src") < F.col("b_src"))
+        .join(F.broadcast(sd), "term")
+        .select(
+            "a_src",
+            "b_src",
+            F.expr("abs(f_a - f_b) * 1000 div greatest(sd, 1)").alias("zdiff_milli"),
+        )
+    )
+    return (
+        pairs.groupBy("a_src", "b_src")
+        .agg(
+            F.expr(f"cast(sum(zdiff_milli) div {_STYLO_M} as bigint)").alias(
+                "delta_milli"
+            )
+        )
+        .orderBy("a_src", "b_src")
+    )
+
+
+SQL_STYLOMETRY_DELTA = f"""
+WITH toks AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+tf AS (
+  SELECT source, t.term, count(*)::BIGINT AS cnt
+  FROM toks, unnest(toks.toks) AS t(term)
+  GROUP BY source, t.term
+),
+totals AS (SELECT source, sum(cnt)::BIGINT AS tot FROM tf GROUP BY source),
+top AS (
+  SELECT term FROM (
+    SELECT term, sum(cnt) AS ctot FROM tf GROUP BY term
+    ORDER BY ctot DESC, term ASC LIMIT {_STYLO_M}
+  )
+),
+grid AS (SELECT source, term FROM totals CROSS JOIN top),
+f AS (
+  SELECT g.source, g.term,
+         coalesce(tf.cnt * 1000000 // t.tot, 0)::BIGINT AS fppm
+  FROM grid g
+  JOIN totals t ON g.source = t.source
+  LEFT JOIN tf ON tf.source = g.source AND tf.term = g.term
+),
+sd AS (
+  SELECT term,
+         floor(sqrt(((count(*) * sum(fppm * fppm) - sum(fppm) * sum(fppm))
+                     // (count(*) * count(*)))::DOUBLE))::BIGINT AS sd
+  FROM f GROUP BY term
+),
+pairs AS (
+  SELECT a.source AS a_src, b.source AS b_src,
+         abs(a.fppm - b.fppm) * 1000 // greatest(s.sd, 1) AS zdiff_milli
+  FROM f a JOIN f b ON a.term = b.term AND a.source < b.source
+  JOIN sd s ON s.term = a.term
+)
+SELECT a_src, b_src, (sum(zdiff_milli) // {_STYLO_M})::BIGINT AS delta_milli
+FROM pairs GROUP BY a_src, b_src ORDER BY a_src, b_src
 """
 
 
@@ -15181,6 +15451,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bipartite_check": (q_bipartite_check, SQL_BIPARTITE_CHECK),
     "mrl_truncate_eval": (q_mrl_truncate_eval, SQL_MRL_TRUNCATE_EVAL),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
+    "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
+    "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
+    "stylometry_delta": (q_stylometry_delta, SQL_STYLOMETRY_DELTA),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
