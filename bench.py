@@ -189,6 +189,9 @@ HEADLINE = [
     "simpson_diversity",
     "kendall_tau",
     "stylometry_delta",
+    "hill_tail_index",
+    "dedup_cluster_stats",
+    "copeland_fusion",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -2534,3 +2534,102 @@ def test_stylometry_delta_recount(spark):
         assert r.delta_milli == want[(r.a_src, r.b_src)], r
     # Delta must discriminate: not all pair distances identical
     assert len({r.delta_milli for r in rows}) > 1
+
+
+# ---------------------------------------------------- hill_tail_index
+
+
+def test_hill_tail_index_recount(spark):
+    import math
+
+    from webcrawler_spark.queries import _HILL_K, q_hill_tail_index
+
+    tf: dict[tuple, int] = {}
+    for d in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        for t in re.split(r"\s+", d.text.lower()):
+            if t:
+                tf[(d.lang, t)] = tf.get((d.lang, t), 0) + 1
+    by_lang: dict[str, list] = {}
+    for (lang, t), c in tf.items():
+        by_lang.setdefault(lang, []).append((c, t))
+    rows = {r.lang: r for r in q_hill_tail_index(spark, SF).collect()}
+    for lang, cts in by_lang.items():
+        cts.sort(key=lambda x: (-x[0], x[1]))
+        if len(cts) < _HILL_K + 1:
+            assert lang not in rows
+            continue
+        lns = [math.floor(math.log(c) * 1_000_000) for c, _ in cts[: _HILL_K + 1]]
+        s, lk1 = sum(lns[:_HILL_K]), lns[_HILL_K]
+        alpha = _HILL_K * 10**12 // (s - _HILL_K * lk1)
+        r = rows[lang]
+        assert (r.k, r.x_k1) == (_HILL_K, cts[_HILL_K][0])
+        assert r.alpha_micro == alpha, (lang, r.alpha_micro, alpha)
+        # a heavy-tailed (zipf-ish) frequency spectrum: alpha in a sane band
+        assert 100_000 < r.alpha_micro < 20_000_000, r
+
+
+# ------------------------------------------------ dedup_cluster_stats
+
+
+def test_dedup_cluster_stats_consistency(spark):
+    from webcrawler_spark.queries import q_dedup_cluster_stats, q_dedup_components
+
+    comps = q_dedup_components(spark, SF).collect()
+    sizes: dict[int, int] = {}
+    for r in comps:
+        sizes[r.rep] = sizes.get(r.rep, 0) + 1
+    hist: dict[int, int] = {}
+    for s in sizes.values():
+        hist[s] = hist.get(s, 0) + 1
+    rows = q_dedup_cluster_stats(spark, SF).collect()
+    assert {r.cluster_size: r.n_clusters for r in rows} == hist
+    n_docs_total = 0
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_removable == (r.cluster_size - 1) * r.n_clusters
+        n_docs_total += r.n_docs
+    # every document is in exactly one cluster (singletons included)
+    assert n_docs_total == len(comps)
+    # the synthetic corpus has real dup clusters, not just singletons
+    assert any(r.cluster_size > 1 for r in rows)
+
+
+# -------------------------------------------------- copeland_fusion
+
+
+def test_copeland_fusion_python_recount(spark):
+    from webcrawler_spark.queries import _COPE_TOPN, _RRF_QUERIES, q_copeland_fusion
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    tf: dict[tuple, int] = {}
+    dl: dict[int, int] = {}
+    df: dict[str, set] = {}
+    for d in docs:
+        toks = [t for t in re.split(r"\s+", d.text.lower()) if t]
+        dl[d.doc_id] = len(toks)
+        for t in toks:
+            tf[(d.doc_id, t)] = tf.get((d.doc_id, t), 0) + 1
+            df.setdefault(t, set()).add(d.doc_id)
+    queries = sorted(df, key=lambda t: (-len(df[t]), t))[:_RRF_QUERIES]
+    got = {}
+    for r in q_copeland_fusion(spark, SF).collect():
+        got.setdefault(r.query_term, []).append(r)
+    assert set(got) == set(queries)
+    for term in queries:
+        ids = sorted(df[term])
+        ra = {v: i + 1 for i, v in enumerate(sorted(ids, key=lambda x: (-tf[(x, term)], x)))}
+        rb = {v: i + 1 for i, v in enumerate(
+            sorted(ids, key=lambda x: (-tf[(x, term)] / dl[x], x)))}
+        rc = {v: i + 1 for i, v in enumerate(sorted(ids, key=lambda x: (dl[x], x)))}
+        cope = {}
+        for x in ids:
+            wins = sum(
+                1 for y in ids if y != x
+                and (ra[x] < ra[y]) + (rb[x] < rb[y]) + (rc[x] < rc[y]) >= 2
+            )
+            cope[x] = (wins, 2 * wins - (len(ids) - 1))
+        want = sorted(ids, key=lambda x: (-cope[x][1], x))[:_COPE_TOPN]
+        rows = sorted(got[term], key=lambda r: r.rank)
+        assert [r.doc_id for r in rows] == want, term
+        for r in rows:
+            assert (r.wins, r.copeland) == cope[r.doc_id], (term, r)

@@ -945,3 +945,20 @@ def test_stylometry_broadcast_panel_joins(spark):
     # panel + totals + sd all join via broadcast (no wide-side shuffle
     # joins after the tf groupBy)
     assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_hill_window_on_collapsed_frame(spark):
+    p = plan_str(_q("hill_tail_index", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    simple = plan_str(_q("hill_tail_index", spark), "simple")
+    # tf collapse + per-lang finish with partials; window runs after the
+    # (lang, term) agg, never over raw token rows
+    assert simple.count("HashAggregate") >= 4
+    assert simple.index("Window") < simple.index("Scan parquet")  # plan prints top-down
+
+
+def test_copeland_no_python(spark):
+    p = plan_str(_q("copeland_fusion", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p

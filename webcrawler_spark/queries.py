@@ -15233,6 +15233,287 @@ FROM pairs GROUP BY a_src, b_src ORDER BY a_src, b_src
 """
 
 
+# -- Hill tail-index estimator ------------------------------------------------------------------
+
+_HILL_K = 16  # upper order statistics (the synthetic per-lang vocab is 31 terms)
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index over per-language term
+    frequencies — the principled version of zipf_alpha's log-log fit
+    (Hill 1975): alpha = k / sum_{{i<=k}} ln(X_(i) / X_(k+1)) over the
+    top-k order statistics. Crawl/corpus use: the tail index of host
+    fan-in / term frequency decides whether skew mitigation (salting,
+    AQE) is optional or mandatory — alpha < 2 means unbounded variance,
+    i.e. one hot key can carry a constant fraction of the corpus.
+
+    Parity discipline: each ln() is quantized to MICRO units per term
+    BEFORE summation (cast-floor of a positive double; Java/libm agree
+    at micro after the documented ulp-spread lesson), so the sum is an
+    integer and ordering-free; the final alpha is one integer division.
+
+    Scale shape: (lang, term) count groupBy with partials, per-lang
+    top-(k+1) via window on the collapsed frame, 5-row finish."""
+    tf = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select("lang", F.explode("toks").alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
+    top = tf.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _HILL_K + 1
+    )
+    lnq = top.select(
+        "lang",
+        "rk",
+        F.expr("cast(floor(ln(cast(cnt as double)) * 1000000) as bigint)").alias(
+            "ln_ppm"
+        ),
+        "cnt",
+    )
+    per = lnq.groupBy("lang").agg(
+        F.sum(F.when(F.col("rk") <= _HILL_K, F.col("ln_ppm")).otherwise(0))
+        .cast("bigint")
+        .alias("s"),
+        F.max(F.when(F.col("rk") == _HILL_K + 1, F.col("ln_ppm")).otherwise(None))
+        .cast("bigint")
+        .alias("lk1"),
+        F.max(F.when(F.col("rk") == _HILL_K + 1, F.col("cnt")).otherwise(None))
+        .cast("bigint")
+        .alias("x_k1"),
+        F.count(F.lit(1)).alias("n_stats"),
+    )
+    return (
+        per.filter(F.col("n_stats") >= _HILL_K + 1)
+        .select(
+            "lang",
+            F.lit(_HILL_K).cast("bigint").alias("k"),
+            "x_k1",
+            F.expr(f"{_HILL_K} * 1000000000000 div (s - {_HILL_K} * lk1)")
+            .cast("bigint")
+            .alias("alpha_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_HILL_TAIL_INDEX = f"""
+WITH toks AS (SELECT lang, {_SQL_TOKS} AS toks FROM documents),
+tf AS (
+  SELECT lang, t.term, count(*)::BIGINT AS cnt
+  FROM toks, unnest(toks.toks) AS t(term)
+  GROUP BY lang, t.term
+),
+top AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rk
+  FROM tf
+),
+lnq AS (
+  SELECT lang, rk, cnt, floor(ln(cnt::DOUBLE) * 1000000)::BIGINT AS ln_ppm
+  FROM top WHERE rk <= {_HILL_K + 1}
+),
+per AS (
+  SELECT lang,
+         sum(CASE WHEN rk <= {_HILL_K} THEN ln_ppm ELSE 0 END)::BIGINT AS s,
+         max(CASE WHEN rk = {_HILL_K + 1} THEN ln_ppm END)::BIGINT AS lk1,
+         max(CASE WHEN rk = {_HILL_K + 1} THEN cnt END)::BIGINT AS x_k1,
+         count(*) AS n_stats
+  FROM lnq GROUP BY lang
+)
+SELECT lang, {_HILL_K}::BIGINT AS k, x_k1,
+       ({_HILL_K} * 1000000000000 // (s - {_HILL_K} * lk1))::BIGINT AS alpha_micro
+FROM per WHERE n_stats >= {_HILL_K + 1} ORDER BY lang
+"""
+
+
+# -- duplicate-cluster size statistics -----------------------------------------------------------
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram over dedup_components' connected
+    components — the observability panel every production dedup run
+    ships: how many singletons, how many k-doc clusters, how much of the
+    corpus deduplication actually removes (docs - clusters). A sudden
+    fat tail here (one giant component) is the classic symptom of a
+    too-loose similarity threshold chaining the corpus together.
+
+    Scale shape: two groupBys stacked on the components output (rep ->
+    size, size -> count), both with map-side partials; the histogram is
+    O(max cluster size) rows."""
+    comps = q_dedup_components(spark, sf_dir)
+    sizes = comps.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+SQL_DEDUP_CLUSTER_STATS = f"""
+WITH comps AS ({SQL_DEDUP_COMPONENTS}),
+sizes AS (SELECT rep, count(*)::BIGINT AS cluster_size FROM comps GROUP BY rep)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       (cluster_size * count(*))::BIGINT AS n_docs,
+       ((cluster_size - 1) * count(*))::BIGINT AS n_removable
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+# -- Copeland pairwise-majority rank fusion ------------------------------------------------------
+
+_COPE_TOPN = 10
+
+
+def q_copeland_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copeland (pairwise-majority) fusion of three retrieval rankings
+    per query — the voting-theoretic alternative to rrf_fusion's score
+    blend: doc x beats doc y if at least 2 of the 3 rankers (raw tf,
+    length-normalized tf, brevity prior) order x first; Copeland score =
+    wins - losses, top-{_COPE_TOPN} per query by score with doc_id
+    tie-break. Unlike RRF it is calibration-free AND scale-free: only
+    pairwise order matters, so a ranker with wild score outliers gets
+    exactly one vote. Integer-only.
+
+    Scale shape: rankings are per-query-term row_number windows on the
+    posting frame (same partitioning as rrf_fusion); the pairwise vote
+    is a per-term self-join of that frame — O(df^2) per query BY DESIGN,
+    run on candidate lists (top-N postings at web scale), never the
+    corpus."""
+    tf = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    queries_df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_RRF_QUERIES)
+        .select("term")
+    )
+    posting = tf.join(F.broadcast(queries_df), "term")
+    wa = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    wb = Window.partitionBy("term").orderBy(
+        F.desc(F.col("tf") / F.col("dl")), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("term").orderBy(F.asc("dl"), F.asc("doc_id"))
+    ranked = posting.select(
+        F.col("term").alias("query_term"),
+        "doc_id",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(wc).alias("rc"),
+    ).localCheckpoint(eager=True)
+    rx = ranked.select(
+        "query_term",
+        F.col("doc_id").alias("x"),
+        F.col("ra").alias("rax"),
+        F.col("rb").alias("rbx"),
+        F.col("rc").alias("rcx"),
+    )
+    ry = ranked.select(
+        "query_term",
+        F.col("doc_id").alias("y"),
+        F.col("ra").alias("ray"),
+        F.col("rb").alias("rby"),
+        F.col("rc").alias("rcy"),
+    )
+    votes = (
+        rx.join(ry, "query_term")
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            "query_term",
+            "x",
+            (
+                (
+                    (F.col("rax") < F.col("ray")).cast("int")
+                    + (F.col("rbx") < F.col("rby")).cast("int")
+                    + (F.col("rcx") < F.col("rcy")).cast("int")
+                )
+                >= 2
+            )
+            .cast("int")
+            .alias("win"),
+        )
+    )
+    scores = votes.groupBy("query_term", F.col("x").alias("doc_id")).agg(
+        F.sum("win").cast("bigint").alias("wins"),
+        (F.count(F.lit(1)) - 2 * F.sum("win")).cast("bigint").alias("neg_copeland"),
+    )
+    wtop = Window.partitionBy("query_term").orderBy(
+        F.asc("neg_copeland"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= _COPE_TOPN)
+        .select(
+            "query_term",
+            "doc_id",
+            "wins",
+            (-F.col("neg_copeland")).cast("bigint").alias("copeland"),
+            F.col("rk").cast("int").alias("rank"),
+        )
+        .orderBy("query_term", "rank")
+    )
+
+
+SQL_COPELAND_FUSION = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tf AS (
+  SELECT toks.doc_id, len(toks.toks)::BIGINT AS dl, t.term, count(*)::BIGINT AS tf
+  FROM toks, unnest(toks.toks) AS t(term)
+  GROUP BY toks.doc_id, len(toks.toks), t.term
+),
+q AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+    ORDER BY df DESC, term ASC LIMIT {_RRF_QUERIES}
+  )
+),
+posting AS (SELECT tf.* FROM tf JOIN q USING (term)),
+ranked AS (
+  SELECT term AS query_term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS ra,
+         row_number() OVER (PARTITION BY term ORDER BY tf / dl::DOUBLE DESC, doc_id) AS rb,
+         row_number() OVER (PARTITION BY term ORDER BY dl ASC, doc_id) AS rc
+  FROM posting
+),
+votes AS (
+  SELECT a.query_term, a.doc_id,
+         ((a.ra < b.ra)::INTEGER + (a.rb < b.rb)::INTEGER + (a.rc < b.rc)::INTEGER >= 2)::INTEGER AS win
+  FROM ranked a JOIN ranked b
+    ON a.query_term = b.query_term AND a.doc_id <> b.doc_id
+),
+scores AS (
+  SELECT query_term, doc_id, sum(win)::BIGINT AS wins,
+         (count(*) - 2 * sum(win))::BIGINT AS neg_copeland
+  FROM votes GROUP BY query_term, doc_id
+),
+topn AS (
+  SELECT query_term, doc_id, wins, (-neg_copeland)::BIGINT AS copeland,
+         row_number() OVER (PARTITION BY query_term ORDER BY neg_copeland ASC, doc_id ASC)::INTEGER AS rank
+  FROM scores
+)
+SELECT query_term, doc_id, wins, copeland, rank
+FROM topn WHERE rank <= {_COPE_TOPN} ORDER BY query_term, rank
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -15454,6 +15735,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
     "stylometry_delta": (q_stylometry_delta, SQL_STYLOMETRY_DELTA),
+    "hill_tail_index": (q_hill_tail_index, SQL_HILL_TAIL_INDEX),
+    "dedup_cluster_stats": (q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
+    "copeland_fusion": (q_copeland_fusion, SQL_COPELAND_FUSION),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
