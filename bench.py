@@ -192,6 +192,9 @@ HEADLINE = [
     "hill_tail_index",
     "dedup_cluster_stats",
     "copeland_fusion",
+    "kneser_ney_bigram",
+    "vocab_growth_curve",
+    "trimmed_mean_embed",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

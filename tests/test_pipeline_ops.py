@@ -2633,3 +2633,113 @@ def test_copeland_fusion_python_recount(spark):
         assert [r.doc_id for r in rows] == want, term
         for r in rows:
             assert (r.wins, r.copeland) == cope[r.doc_id], (term, r)
+
+
+# ------------------------------------------------- kneser_ney_bigram
+
+
+def test_kneser_ney_python_recount(spark):
+    from fractions import Fraction
+
+    from webcrawler_spark.queries import _KN_TOPN, q_kneser_ney_bigram
+
+    c12: dict[tuple, int] = {}
+    for d in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        toks = [t for t in re.split(r"\s+", d.text.lower()) if t]
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    n1f: dict[str, int] = {}
+    n1b: dict[str, int] = {}
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        n1f[a] = n1f.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    n1all = len(c12)
+    rows = q_kneser_ney_bigram(spark, SF).collect()
+    assert len(rows) == min(_KN_TOPN, n1all)
+    want_order = sorted(c12, key=lambda k: (-c12[k], k))[: len(rows)]
+    assert [(r.w1, r.w2) for r in rows] == want_order
+    for r in rows:
+        # exact interpolated-KN with D=3/4 as a Fraction
+        p = (
+            Fraction(4 * r.c12 - 3, 4 * r.c1)
+            + Fraction(3, 4) * Fraction(r.n1f, r.c1) * Fraction(r.n1b, n1all)
+        )
+        assert r.pkn_nano == (p.numerator * 10**9) // p.denominator, r
+        assert (r.c1, r.n1f, r.n1b) == (c1[r.w1], n1f[r.w1], n1b[r.w2])
+        assert 0 < r.pkn_nano <= 10**9
+    # probabilities per context sum to <= 1 (discount mass + continuation
+    # mass only redistributes): check one context fully
+    w1 = rows[0].w1
+    tot = Fraction(0)
+    for (a, b), c in c12.items():
+        if a == w1:
+            tot += (
+                Fraction(4 * c - 3, 4 * c1[a])
+                + Fraction(3, 4) * Fraction(n1f[a], c1[a]) * Fraction(n1b[b], n1all)
+            )
+    assert tot <= 1, tot
+
+
+# ------------------------------------------------ vocab_growth_curve
+
+
+def test_vocab_growth_curve_recount(spark):
+    from webcrawler_spark.queries import _HEAPS_BUCKET, q_vocab_growth_curve
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    first: dict[str, int] = {}
+    nt: dict[int, int] = {}
+    nd: dict[int, int] = {}
+    for d in docs:
+        toks = [t for t in re.split(r"\s+", d.text.lower()) if t]
+        b = d.doc_id // _HEAPS_BUCKET
+        nd[b] = nd.get(b, 0) + 1
+        nt[b] = nt.get(b, 0) + len(toks)
+        for x, y in zip(toks, toks[1:]):
+            typ = f"{x} {y}"
+            if typ not in first or d.doc_id < first[typ]:
+                first[typ] = d.doc_id
+    new: dict[int, int] = {}
+    for doc in first.values():
+        b = doc // _HEAPS_BUCKET
+        new[b] = new.get(b, 0) + 1
+    rows = sorted(q_vocab_growth_curve(spark, SF).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == sorted(nd)
+    tcum = vcum = 0
+    for r in rows:
+        tcum += nt[r.bucket]
+        vcum += new.get(r.bucket, 0)
+        assert (r.n_docs, r.new_types) == (nd[r.bucket], new.get(r.bucket, 0))
+        assert (r.tokens_cum, r.vocab_cum) == (tcum, vcum), r
+    # Heaps: total vocab equals distinct bigram types; growth is monotone
+    # and front-loaded (bucket 0 contributes the most new types)
+    assert vcum == len(first)
+    assert rows[0].new_types == max(r.new_types for r in rows)
+
+
+# ------------------------------------------------ trimmed_mean_embed
+
+
+def test_trimmed_mean_robust_and_exact(spark):
+    from webcrawler_spark.queries import q_trimmed_mean_embed
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    by_label: dict[int, list] = {}
+    for r in embs:
+        by_label.setdefault(r.label, []).append((r.vec_id, [float(x) for x in r.embedding]))
+    rows = q_trimmed_mean_embed(spark, SF).collect()
+    got = {(r.label, r.dim): r for r in rows}
+    ndims = len(embs[0].embedding)
+    assert len(got) == len(by_label) * ndims
+    for (label, dim), r in got.items():
+        vals = sorted((v[dim], vid) for vid, v in by_label[label])
+        n = len(vals)
+        t = n // 8
+        kept = [v for v, _ in vals[t : n - t]]
+        assert r.n_used == len(kept)
+        want = sum(kept) / len(kept)
+        assert abs(r.tmean - round(want, 6)) <= 1e-6, (label, dim)
+        # bounded influence: the trimmed mean lies inside the kept range
+        assert kept[0] - 1e-9 <= r.tmean <= kept[-1] + 1e-9

@@ -962,3 +962,27 @@ def test_copeland_no_python(spark):
     p = plan_str(_q("copeland_fusion", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_kneser_ney_count_tables_no_python(spark):
+    p = plan_str(_q("kneser_ney_bigram", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    simple = plan_str(_q("kneser_ney_bigram", spark), "simple")
+    # c12/c1/n1b/n1all partial+final aggs; top-N never a global sort
+    assert simple.count("HashAggregate") >= 6
+    assert "TakeOrderedAndProject" in simple
+
+
+def test_vocab_growth_window_on_bucket_frame(spark):
+    p = plan_str(_q("vocab_growth_curve", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    simple = plan_str(_q("vocab_growth_curve", spark), "simple")
+    assert simple.count("HashAggregate") >= 4
+
+
+def test_trimmed_mean_partitioned_rank(spark):
+    p = plan_str(_q("trimmed_mean_embed", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p  # rank + count ride the same (label,dim) window

@@ -15514,6 +15514,236 @@ FROM topn WHERE rank <= {_COPE_TOPN} ORDER BY query_term, rank
 """
 
 
+# -- Kneser-Ney bigram LM ------------------------------------------------------------------------
+
+_KN_TOPN = 50  # report the top-N bigrams by count
+
+
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney '95;
+    Chen & Goodman '98) — the smoothing that actually wins LM evals,
+    next to stupid_backoff's cheap ratio chain: P(w2|w1) =
+    max(c12-D,0)/c1 + D*N1+(w1,.)/c1 * N1+(.,w2)/N1+(..), discount
+    D=3/4. The continuation counts (HOW MANY contexts a word follows,
+    not how often) are the part worth testing — they are what fixes
+    'san francisco'-type overestimation.
+
+    Integer-exact: D=3/4 clears denominators by quarter-scaling —
+    p_nano = ((4*c12-3)*n1all + 3*n1f*n1b) * 10^9 div (4*c1*n1all) —
+    one integer multiply-then-div, no float surface.
+
+    Scale shape: bigram + context-count tables are groupBys with
+    map-side partials (vocab^2-sized, not corpus-sized); three hash
+    joins stitch them; top-N via TakeOrderedAndProject."""
+    toks = _tokens(_read(spark, sf_dir, "documents")).select("toks")
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                "i -> struct(toks[i - 1] as w1, toks[i] as w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    n1b = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    n1all = c12.agg(F.count(F.lit(1)).cast("bigint").alias("n1all"))
+    joined = (
+        c12.join(c1, "w1")
+        .join(n1b, "w2")
+        .crossJoin(F.broadcast(n1all))
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n1f",
+            "n1b",
+            # p = (c12 - 3/4)/c1 + (3/4)(n1f/c1)(n1b/n1all)
+            #   = ((4*c12 - 3) * n1all + 3 * n1f * n1b) / (4 * c1 * n1all)
+            F.expr(
+                "((4 * c12 - 3) * n1all + 3 * n1f * n1b) * 1000000000 "
+                "div (4 * c1 * n1all)"
+            )
+            .cast("bigint")
+            .alias("pkn_nano"),
+        )
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(_KN_TOPN)
+    )
+
+
+SQL_KNESER_NEY_BIGRAM = f"""
+WITH toks AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM toks, unnest(range(1, len(toks))) AS r(i)
+),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1f FROM c12 GROUP BY w1),
+n1b AS (SELECT w2, count(*)::BIGINT AS n1b FROM c12 GROUP BY w2),
+n1all AS (SELECT count(*)::BIGINT AS n1all FROM c12)
+SELECT c12.w1, c12.w2, c12.c12, c1.c1, c1.n1f, n1b.n1b,
+       (((4 * c12.c12 - 3) * n1all.n1all + 3 * c1.n1f * n1b.n1b) * 1000000000
+        // (4 * c1.c1 * n1all.n1all))::BIGINT AS pkn_nano
+FROM c12 JOIN c1 USING (w1) JOIN n1b USING (w2) CROSS JOIN n1all
+ORDER BY c12.c12 DESC, c12.w1 ASC, c12.w2 ASC LIMIT {_KN_TOPN}
+"""
+
+
+# -- Heaps-law vocabulary growth curve ------------------------------------------------------------
+
+_HEAPS_BUCKET = 25  # docs per curve point
+
+
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law type-growth curve over BIGRAM types in doc_id order:
+    per {_HEAPS_BUCKET}-doc bucket, how many never-before-seen bigram
+    types appear, cumulative vocabulary and cumulative tokens. The
+    curve's slope is the data-selection signal dedup can't give you —
+    when new-type yield per million tokens flattens, more of the same
+    source stops buying model vocabulary/knowledge (the 'data curation
+    diminishing returns' curve every corpus report shows).
+
+    Integer-exact throughout. First-occurrence attribution is
+    min(doc_id) per type — exactly one bucket gets credit per type.
+
+    Scale shape: one (type -> min doc) groupBy, one per-doc token count
+    map, two bucket groupBys + a window cumulative over the tiny bucket
+    frame. Nothing wide after the first agg."""
+    toks = _tokens(_read(spark, sf_dir, "documents")).select("doc_id", "toks")
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                "i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("typ"),
+    )
+    first = bi.groupBy("typ").agg(F.min("doc_id").alias("first_doc"))
+    new_per_bucket = first.groupBy(
+        F.expr(f"first_doc div {_HEAPS_BUCKET}").cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    toks_per_bucket = toks.groupBy(
+        F.expr(f"doc_id div {_HEAPS_BUCKET}").cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
+    )
+    cur = toks_per_bucket.join(new_per_bucket, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+    )
+    w = Window.orderBy("bucket")
+    return cur.select(
+        "bucket",
+        "n_docs",
+        "new_types",
+        F.sum("n_tokens").over(w).cast("bigint").alias("tokens_cum"),
+        F.sum("new_types").over(w).cast("bigint").alias("vocab_cum"),
+    ).orderBy("bucket")
+
+
+SQL_VOCAB_GROWTH_CURVE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+bi AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS typ
+  FROM toks, unnest(range(1, len(toks))) AS r(i)
+),
+first AS (SELECT typ, min(doc_id) AS first_doc FROM bi GROUP BY typ),
+npb AS (
+  SELECT first_doc // {_HEAPS_BUCKET} AS bucket, count(*)::BIGINT AS new_types
+  FROM first GROUP BY first_doc // {_HEAPS_BUCKET}
+),
+tpb AS (
+  SELECT doc_id // {_HEAPS_BUCKET} AS bucket, count(*)::BIGINT AS n_docs,
+         sum(len(toks))::BIGINT AS n_tokens
+  FROM toks GROUP BY doc_id // {_HEAPS_BUCKET}
+),
+cur AS (
+  SELECT t.bucket, t.n_docs, t.n_tokens, coalesce(n.new_types, 0)::BIGINT AS new_types
+  FROM tpb t LEFT JOIN npb n ON t.bucket = n.bucket
+)
+SELECT bucket, n_docs, new_types,
+       sum(n_tokens) OVER (ORDER BY bucket)::BIGINT AS tokens_cum,
+       sum(new_types) OVER (ORDER BY bucket)::BIGINT AS vocab_cum
+FROM cur ORDER BY bucket
+"""
+
+
+# -- coordinate-wise trimmed-mean centroid ---------------------------------------------------------
+
+
+def q_trimmed_mean_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label coordinate-wise trimmed-mean centroid (drop the lowest
+    and highest n/8 values per dimension, average the middle 3/4) — the
+    robust-aggregation answer to poisoned or corrupted embeddings that
+    label_centroids' plain mean has no defense against: a byzantine
+    1/8 of vectors can drag a mean arbitrarily far but cannot move the
+    trimmed mean outside the honest values' range (classic robust
+    statistics, cf. trimmed-mean gradient aggregation in federated
+    learning).
+
+    Determinism: per-dim order is (value, vec_id) so ties trim
+    identically on both engines; the surviving-set mean is rounded.
+
+    Scale shape: posexplode to (label, dim, value) rows — 64x the
+    vector count but fixed width — one rank window per (label, dim)
+    partition (well-distributed key), one trimmed avg groupBy. At
+    10^10 vectors swap the exact rank for approx quantile cuts; the
+    contract (bounded influence) is the same."""
+    e = _read(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).select("label", "vec_id", "dim", F.col("val").cast("double").alias("val"))
+    w = Window.partitionBy("label", "dim").orderBy(F.asc("val"), F.asc("vec_id"))
+    ranked = dims.select(
+        "label",
+        "dim",
+        "val",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("label", "dim")).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rk") > F.expr("n div 8")) & (F.col("rk") <= F.col("n") - F.expr("n div 8"))
+    )
+    return (
+        kept.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_used"),
+            F.round(F.avg("val"), 6).alias("tmean"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+SQL_TRIMMED_MEAN_EMBED = """
+WITH dims AS (
+  SELECT label, vec_id, (i - 1)::INTEGER AS dim, embedding[i]::DOUBLE AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+),
+ranked AS (
+  SELECT label, dim, val,
+         row_number() OVER (PARTITION BY label, dim ORDER BY val ASC, vec_id ASC) AS rk,
+         count(*) OVER (PARTITION BY label, dim) AS n
+  FROM dims
+),
+kept AS (SELECT * FROM ranked WHERE rk > n // 8 AND rk <= n - n // 8)
+SELECT label, dim, count(*)::BIGINT AS n_used, round(avg(val), 6) AS tmean
+FROM kept GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -15738,6 +15968,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hill_tail_index": (q_hill_tail_index, SQL_HILL_TAIL_INDEX),
     "dedup_cluster_stats": (q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
     "copeland_fusion": (q_copeland_fusion, SQL_COPELAND_FUSION),
+    "kneser_ney_bigram": (q_kneser_ney_bigram, SQL_KNESER_NEY_BIGRAM),
+    "vocab_growth_curve": (q_vocab_growth_curve, SQL_VOCAB_GROWTH_CURVE),
+    "trimmed_mean_embed": (q_trimmed_mean_embed, SQL_TRIMMED_MEAN_EMBED),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
