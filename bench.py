@@ -195,6 +195,9 @@ HEADLINE = [
     "kneser_ney_bigram",
     "vocab_growth_curve",
     "trimmed_mean_embed",
+    "haar_wavelet_energy",
+    "busy_intervals",
+    "sequence_patterns",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -128,3 +128,117 @@ def test_sessionize_single_shuffle(spark):
     ops = _op_names(p)
     assert ops.count("Exchange") == 1, ops
     assert ops.count("HashAggregate") == 2, ops
+
+
+# ------------------------------------------------ haar_wavelet_energy
+
+
+def test_haar_python_replication(spark):
+    """Replicate the full pyramid transform sequentially and compare
+    level energies with the closed-form signed-sum version, plus
+    Parseval-style bookkeeping on the unnormalized transform."""
+    import calendar
+    import datetime
+
+    from webcrawler_spark.queries import _HAAR_BASE, _HAAR_LEVELS, q_haar_wavelet_energy
+
+    base = calendar.timegm(
+        datetime.datetime.strptime(_HAAR_BASE, "%Y-%m-%d %H:%M:%S").timetuple()
+    ) * 1000
+    n = 1 << _HAAR_LEVELS
+    cnt = [0] * n
+    for e in spark.read.parquet(f"{SF}/events.parquet").collect():
+        ms = calendar.timegm(e.ts.timetuple()) * 1000 + e.ts.microsecond // 1000
+        h = (ms - base) // 3600000
+        if 0 <= h < n:
+            cnt[h] += 1
+    present = {h for h in range(n) if cnt[h] > 0}
+    # classic sequential pyramid: a -> (sums, diffs); the engine only
+    # materializes blocks containing >=1 event-hour (absent blocks are
+    # exact zeros: no energy, no max contribution)
+    want = {}
+    a = cnt[:]
+    for level in range(1, _HAAR_LEVELS + 1):
+        sums, diffs = [], []
+        for i in range(0, len(a), 2):
+            sums.append(a[i] + a[i + 1])
+            diffs.append(a[i] - a[i + 1])
+        nonempty = {h >> level for h in present}
+        mx = max((abs(diffs[b]) for b in nonempty), default=0)
+        want[level] = (len(nonempty), sum(d * d for d in diffs), mx)
+        a = sums
+    rows = {r.level: r for r in q_haar_wavelet_energy(spark, SF).collect()}
+    assert set(rows) == set(want)
+    for level, (ncoef, energy, mx) in want.items():
+        r = rows[level]
+        assert (r.n_coeffs, r.energy, r.max_abs_coef) == (ncoef, energy, mx), level
+
+
+# ---------------------------------------------------- busy_intervals
+
+
+def test_busy_intervals_python_recount(spark):
+    import calendar
+
+    from webcrawler_spark.queries import _BUSY_HOLD_S, q_busy_intervals
+
+    by_user: dict[int, list] = {}
+    for e in spark.read.parquet(f"{SF}/events.parquet").collect():
+        t = calendar.timegm(e.ts.timetuple()) * 1000 + e.ts.microsecond // 1000
+        by_user.setdefault(e.user_id, []).append(t // 1000)
+    rows = {r.user_id: r for r in q_busy_intervals(spark, SF).collect()}
+    assert set(rows) == set(by_user)
+    for uid, ts in by_user.items():
+        ts.sort()
+        islands = []
+        for t in ts:
+            if islands and t < islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], t + _BUSY_HOLD_S)
+            else:
+                islands.append([t, t + _BUSY_HOLD_S])
+        busy = sum(e - s for s, e in islands)
+        r = rows[uid]
+        assert (r.n_events, r.n_islands, r.busy_sec) == (len(ts), len(islands), busy), uid
+        # merging can only shrink the naive estimate
+        assert r.busy_sec <= len(ts) * _BUSY_HOLD_S
+        assert r.busy_sec >= _BUSY_HOLD_S  # at least one island
+
+
+# -------------------------------------------------- sequence_patterns
+
+
+def test_sequence_patterns_recount(spark):
+    import calendar
+
+    from webcrawler_spark.queries import q_sequence_patterns
+
+    span: dict[tuple, list] = {}
+    for e in spark.read.parquet(f"{SF}/events.parquet").collect():
+        t = calendar.timegm(e.ts.timetuple()) * 1000 + e.ts.microsecond // 1000
+        k = (e.user_id, e.event_type)
+        if k not in span:
+            span[k] = [t, t]
+        else:
+            span[k][0] = min(span[k][0], t)
+            span[k][1] = max(span[k][1], t)
+    users: dict[int, dict] = {}
+    for (u, et), (f, l) in span.items():
+        users.setdefault(u, {})[et] = (f, l)
+    want: dict[tuple, list] = {}
+    for u, types in users.items():
+        for a in types:
+            for b in types:
+                if a != b:
+                    k = (a, b)
+                    want.setdefault(k, [0, 0])
+                    want[k][0] += 1
+                    want[k][1] += int(types[a][0] < types[b][1])
+    rows = q_sequence_patterns(spark, SF).collect()
+    assert {(r.a, r.b) for r in rows} == set(want)
+    for r in rows:
+        both, sup = want[(r.a, r.b)]
+        assert (r.n_users_both, r.support) == (both, sup), r
+        assert r.support_ppm == sup * 1_000_000 // both
+        # existence-ordering is near-symmetric on dense histories but
+        # must stay a valid fraction
+        assert 0 <= r.support_ppm <= 1_000_000

@@ -986,3 +986,28 @@ def test_trimmed_mean_partitioned_rank(spark):
     p = plan_str(_q("trimmed_mean_embed", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p  # rank + count ride the same (label,dim) window
+
+
+def test_haar_single_coefficient_groupby(spark):
+    p = plan_str(_q("haar_wavelet_energy", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("haar_wavelet_energy", spark), "simple")
+    # hourly agg + (level,block) coef agg + level rollup, partials on each
+    assert simple.count("HashAggregate") >= 6
+
+
+def test_busy_intervals_no_join(spark):
+    p = plan_str(_q("busy_intervals", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p  # running-max window, never an interval self-join
+    assert "Window" in plan_str(_q("busy_intervals", spark), "simple")
+
+
+def test_sequence_patterns_collapsed_join(spark):
+    p = plan_str(_q("sequence_patterns", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    simple = plan_str(_q("sequence_patterns", spark), "simple")
+    # the pair join runs AFTER the (user,type) collapse: agg precedes join
+    assert simple.count("HashAggregate") >= 4

@@ -15744,6 +15744,242 @@ FROM kept GROUP BY label, dim ORDER BY label, dim
 """
 
 
+# -- Haar wavelet energy decomposition -------------------------------------------------------------
+
+_HAAR_LEVELS = 8  # 256-hour window
+_HAAR_BASE = "2024-01-01 00:00:00"
+
+
+def q_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of the hourly event-count
+    series (first 256 hours): per level, the detail-coefficient energy —
+    the classic multi-resolution storage/monitoring trick (keep the few
+    high-energy coefficients, drop the noise floor; a traffic anomaly at
+    hour resolution and a weekly cycle land in DIFFERENT levels, so the
+    energy profile localizes WHERE the signal lives before any model
+    runs). Unnormalized (integer) transform: d_{{l,i}} = (sum of counts
+    in the block's first half) - (second half), so every coefficient and
+    energy is exact integer arithmetic.
+
+    Scale shape: closed form, no level-by-level pass — each hour row
+    explodes to {_HAAR_LEVELS} (level, block, sign) contributions and
+    ONE groupBy computes every coefficient at every level; a second
+    tiny agg rolls energies up. Map + 2 narrow shuffles regardless of
+    series length."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.expr(
+            f"cast((unix_millis(cast(ts as timestamp)) - unix_millis(cast('{_HAAR_BASE}' as timestamp))) div 3600000 as bigint)"
+        ).alias("hour")
+    )
+    hourly = (
+        ev.filter((F.col("hour") >= 0) & (F.col("hour") < (1 << _HAAR_LEVELS)))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    lv = hourly.select(
+        "hour",
+        "cnt",
+        F.explode(F.expr(f"sequence(1, {_HAAR_LEVELS})")).alias("level"),
+    ).select(
+        "level",
+        F.expr("hour div (1 << level)").alias("block"),
+        # first half of the block adds, second half subtracts
+        F.expr("cnt * (1 - 2 * ((hour div (1 << (level - 1))) % 2))").alias("signed"),
+    )
+    coefs = lv.groupBy("level", "block").agg(
+        F.sum("signed").cast("bigint").alias("d")
+    )
+    return (
+        coefs.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("energy"),
+            F.max(F.abs(F.col("d"))).cast("bigint").alias("max_abs_coef"),
+        )
+        .orderBy("level")
+    )
+
+
+SQL_HAAR_WAVELET_ENERGY = f"""
+WITH ev AS (
+  SELECT (epoch_ms(ts) - epoch_ms(TIMESTAMP '{_HAAR_BASE}')) // 3600000 AS hour
+  FROM events
+),
+hourly AS (
+  SELECT hour, count(*)::BIGINT AS cnt FROM ev
+  WHERE hour >= 0 AND hour < {1 << _HAAR_LEVELS} GROUP BY hour
+),
+lv AS (
+  SELECT l.level, hour // (1 << l.level) AS block,
+         cnt * (1 - 2 * ((hour // (1 << (l.level - 1))) % 2)) AS signed
+  FROM hourly CROSS JOIN (SELECT unnest(range(1, {_HAAR_LEVELS + 1})) AS level) l
+),
+coefs AS (SELECT level, block, sum(signed)::BIGINT AS d FROM lv GROUP BY level, block)
+SELECT level, count(*)::BIGINT AS n_coeffs, sum(d * d)::BIGINT AS energy,
+       max(abs(d))::BIGINT AS max_abs_coef
+FROM coefs GROUP BY level ORDER BY level
+"""
+
+
+# -- merged busy intervals (gaps-and-islands) -------------------------------------------------------
+
+_BUSY_HOLD_S = 300  # each event occupies [ts, ts+300s)
+
+
+def q_busy_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user merged busy time: every event holds a {_BUSY_HOLD_S}s
+    window; overlapping windows merge (the gaps-and-islands pattern).
+    Crawl use: identical math computes per-host connection-occupancy
+    from fetch timestamps — the input to politeness capacity planning
+    (how many DISTINCT busy spans and how much wall time a host's
+    budget actually occupies, vs the naive count*hold overestimate).
+
+    Integer-exact on epoch seconds. Island detection: an event starts a
+    new island iff its ts exceeds the running max end-time of all
+    earlier events (running max via window, never a self-join).
+
+    Scale shape: one per-user window pass (lag/max over the user
+    partition — the natural crawl partitioning) + one groupBy; no
+    joins."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_millis(cast(ts as timestamp)) div 1000").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "user_id",
+        "t",
+        (
+            F.col("t")
+            >= F.coalesce(
+                F.max(F.col("t") + _BUSY_HOLD_S).over(wprev), F.lit(-(1 << 60))
+            )
+        )
+        .cast("int")
+        .alias("new_island"),
+    )
+    islands = marked.select(
+        "user_id",
+        "t",
+        F.sum("new_island").over(w).alias("island"),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.min("t").alias("start_t"),
+        (F.max("t") + _BUSY_HOLD_S).alias("end_t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(F.col("end_t") - F.col("start_t")).cast("bigint").alias("busy_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_BUSY_INTERVALS = f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) // 1000 AS t FROM events),
+marked AS (
+  SELECT user_id, t,
+         (t >= coalesce(max(t + {_BUSY_HOLD_S}) OVER (
+             PARTITION BY user_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), {-(1 << 60)}))::INTEGER AS new_island
+  FROM ev
+),
+islands AS (
+  SELECT user_id, t,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY t) AS island
+  FROM marked
+),
+per_island AS (
+  SELECT user_id, island, min(t) AS start_t, max(t) + {_BUSY_HOLD_S} AS end_t,
+         count(*)::BIGINT AS n_events
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, sum(n_events)::BIGINT AS n_events, count(*)::BIGINT AS n_islands,
+       sum(end_t - start_t)::BIGINT AS busy_sec
+FROM per_island GROUP BY user_id ORDER BY user_id
+"""
+
+
+# -- ordered-pair sequence patterns ------------------------------------------------------------------
+
+
+def q_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support: for every ordered pair of event types
+    (a, b), in how many users' histories does SOME a precede SOME b
+    (first(a) < last(b) — existence, not adjacency; markov_transitions
+    counts adjacent steps, this counts behavioral ordering). The GSP/
+    PrefixSpan support-counting core, restricted to length-2 patterns —
+    at corpus scale this is the funnel-discovery primitive that decides
+    which explicit funnels (funnel_conversion) are worth defining.
+
+    Integer-exact: supports are user counts; support_ppm normalizes by
+    the users having BOTH types at all (so a pattern's strength is
+    ordering signal, not type popularity).
+
+    Scale shape: one (user, type) min/max groupBy collapses the event
+    stream; the pair join runs on the collapsed |users|x|types| frame
+    (<=5 rows per user); one count groupBy finishes. The raw stream is
+    touched once."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.expr("unix_millis(cast(ts as timestamp))").alias("tms"),
+    )
+    span = ev.groupBy("user_id", "et").agg(
+        F.min("tms").alias("first_t"), F.max("tms").alias("last_t")
+    )
+    a = span.select(
+        "user_id", F.col("et").alias("a"), F.col("first_t").alias("fa")
+    )
+    b = span.select("user_id", F.col("et").alias("b"), F.col("last_t").alias("lb"))
+    pairs = a.join(b, "user_id").filter(F.col("a") != F.col("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users_both"),
+            F.sum((F.col("fa") < F.col("lb")).cast("int"))
+            .cast("bigint")
+            .alias("support"),
+        )
+        .select(
+            "a",
+            "b",
+            "n_users_both",
+            "support",
+            F.expr("support * 1000000 div n_users_both")
+            .cast("bigint")
+            .alias("support_ppm"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+SQL_SEQUENCE_PATTERNS = """
+WITH ev AS (SELECT user_id, event_type AS et, epoch_ms(ts) AS tms FROM events),
+span AS (
+  SELECT user_id, et, min(tms) AS first_t, max(tms) AS last_t
+  FROM ev GROUP BY user_id, et
+),
+pairs AS (
+  SELECT a.user_id, a.et AS a, b.et AS b, a.first_t AS fa, b.last_t AS lb
+  FROM span a JOIN span b ON a.user_id = b.user_id AND a.et <> b.et
+)
+SELECT a, b, count(*)::BIGINT AS n_users_both,
+       sum((fa < lb)::INTEGER)::BIGINT AS support,
+       (sum((fa < lb)::INTEGER) * 1000000 // count(*))::BIGINT AS support_ppm
+FROM pairs GROUP BY a, b ORDER BY a, b
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -15971,6 +16207,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kneser_ney_bigram": (q_kneser_ney_bigram, SQL_KNESER_NEY_BIGRAM),
     "vocab_growth_curve": (q_vocab_growth_curve, SQL_VOCAB_GROWTH_CURVE),
     "trimmed_mean_embed": (q_trimmed_mean_embed, SQL_TRIMMED_MEAN_EMBED),
+    "haar_wavelet_energy": (q_haar_wavelet_energy, SQL_HAAR_WAVELET_ENERGY),
+    "busy_intervals": (q_busy_intervals, SQL_BUSY_INTERVALS),
+    "sequence_patterns": (q_sequence_patterns, SQL_SEQUENCE_PATTERNS),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
