@@ -198,6 +198,9 @@ HEADLINE = [
     "haar_wavelet_energy",
     "busy_intervals",
     "sequence_patterns",
+    "hashring_rebalance",
+    "kmv_set_algebra",
+    "lexical_cosine_pairs",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

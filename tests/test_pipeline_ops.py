@@ -2743,3 +2743,135 @@ def test_trimmed_mean_robust_and_exact(spark):
         assert abs(r.tmean - round(want, 6)) <= 1e-6, (label, dim)
         # bounded influence: the trimmed mean lies inside the kept range
         assert kept[0] - 1e-9 <= r.tmean <= kept[-1] + 1e-9
+
+
+# ------------------------------------------------ hashring_rebalance
+
+
+def test_hashring_python_replication(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import (
+        _RING_SHARDS,
+        _RING_VNODES,
+        q_hashring_rebalance,
+    )
+
+    def ring(n):
+        pts = []
+        for s in range(n):
+            for v in range(_RING_VNODES):
+                pts.append((int(hashlib.md5(f"s{s}v{v}".encode()).hexdigest()[:12], 16), s))
+        pts.sort()
+        return pts
+
+    def assign(pts, h):
+        for pos, s in pts:
+            if h <= pos:
+                return s
+        return pts[0][1]
+
+    r_before, r_after = ring(_RING_SHARDS), ring(_RING_SHARDS + 1)
+    n_keys: dict[int, int] = {}
+    n_moved: dict[int, int] = {}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    for d in docs:
+        h = int(hashlib.md5(f"url{d.doc_id}".encode()).hexdigest()[:12], 16)
+        sb, sa = assign(r_before, h), assign(r_after, h)
+        n_keys[sb] = n_keys.get(sb, 0) + 1
+        n_moved[sb] = n_moved.get(sb, 0) + int(sb != sa)
+    rows = {r.shard_before: r for r in q_hashring_rebalance(spark, SF).collect()}
+    assert set(rows) == set(n_keys)
+    total = moved = 0
+    for s, r in rows.items():
+        assert (r.n_keys, r.n_moved_out) == (n_keys[s], n_moved[s]), s
+        assert r.moved_ppm == n_moved[s] * 1_000_000 // n_keys[s]
+        total += r.n_keys
+        moved += r.n_moved_out
+    assert total == len(docs)
+    # consistent hashing moves ~1/(N+1) of keys, never the mod-N ~N/(N+1)
+    frac = moved / total
+    assert frac < 0.45, frac  # far below mod-N churn (~0.89)
+    assert moved > 0  # the new shard actually takes keys
+
+
+# ------------------------------------------------- kmv_set_algebra
+
+
+def test_kmv_set_algebra_recount(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import _KMVA_K, q_kmv_set_algebra
+
+    A: dict[str, set] = {}
+    B: dict[str, set] = {}
+    for d in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        toks = {t for t in re.split(r"\s+", d.text.lower()) if t}
+        tgt = A if d.doc_id % 2 == 0 else B
+        tgt.setdefault(d.lang, set()).update(toks)
+    rows = {r.lang: r for r in q_kmv_set_algebra(spark, SF).collect()}
+    for lang in set(A) | set(B):
+        a, b = A.get(lang, set()), B.get(lang, set())
+        r = rows[lang]
+        assert r.union_exact == len(a | b)
+        assert r.inter_exact == len(a & b)
+        uni = sorted(
+            (int(hashlib.md5(t.encode()).hexdigest()[:12], 16), t) for t in (a | b)
+        )
+        sk = uni[:_KMVA_K]
+        if len(uni) < _KMVA_K:
+            want_u = float(len(uni))
+        else:
+            want_u = (_KMVA_K - 1) * float(1 << 48) / sk[-1][0]
+        n_both = sum(1 for _, t in sk if t in a and t in b)
+        assert abs(r.union_est - round(want_u, 4)) <= 1e-4, lang
+        assert abs(r.inter_est - round(want_u * n_both / len(sk), 4)) <= 1e-4, lang
+        # estimator sanity: within 50% of exact on this corpus
+        assert abs(r.union_est - r.union_exact) <= 0.5 * r.union_exact
+
+
+# --------------------------------------------- lexical_cosine_pairs
+
+
+def test_lexical_cosine_verify_stage(spark):
+    import math
+
+    from webcrawler_spark.queries import (
+        ngram_jaccard,
+        _docs_parallel,
+        q_lexical_cosine_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n = len(docs)
+    tf: dict[tuple, int] = {}
+    df: dict[str, set] = {}
+    for d in docs:
+        for t in re.split(r"\s+", d.text.lower()):
+            if t:
+                tf[(d.doc_id, t)] = tf.get((d.doc_id, t), 0) + 1
+                df.setdefault(t, set()).add(d.doc_id)
+    idf = {t: math.floor(math.log(n / len(ds)) * 1_000_000) for t, ds in df.items()}
+    w = {(doc, t): c * idf[t] for (doc, t), c in tf.items()}
+    n2: dict[int, int] = {}
+    for (doc, _), x in w.items():
+        n2[doc] = n2.get(doc, 0) + x * x
+    cand = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard(_docs_parallel(spark, SF)).select("a_id", "b_id").collect()
+    }
+    rows = q_lexical_cosine_pairs(spark, SF).collect()
+    assert {(r.a_id, r.b_id) for r in rows} <= cand
+    for r in rows:
+        num = sum(
+            w[(r.a_id, t)] * w[(r.b_id, t)]
+            for t in df
+            if (r.a_id, t) in w and (r.b_id, t) in w
+        )
+        assert r.num == num, r
+        want = num / (math.sqrt(n2[r.a_id]) * math.sqrt(n2[r.b_id]))
+        assert abs(r.cos_sim - round(want, 4)) <= 1e-4
+        # near-dup candidates carry real lexical overlap (IDF can
+        # down-weight shared boilerplate, so the floor is loose)
+        assert r.cos_sim > 0.2, r
+    assert max(r.cos_sim for r in rows) > 0.5

@@ -1011,3 +1011,24 @@ def test_sequence_patterns_collapsed_join(spark):
     simple = plan_str(_q("sequence_patterns", spark), "simple")
     # the pair join runs AFTER the (user,type) collapse: agg precedes join
     assert simple.count("HashAggregate") >= 4
+
+
+def test_hashring_map_only(spark):
+    p = plan_str(_q("hashring_rebalance", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p  # ring is a literal CASE chain, not a table
+    simple = plan_str(_q("hashring_rebalance", spark), "simple")
+    assert simple.count("Exchange") <= 2  # shard agg + 8-row sort
+
+
+def test_kmv_algebra_collapsed_window(spark):
+    p = plan_str(_q("kmv_set_algebra", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_lexical_cosine_candidates_only(spark):
+    p = plan_str(_q("lexical_cosine_pairs", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the verify stage joins CANDIDATES to postings — never doc x doc
+    assert "CartesianProduct" not in p

@@ -15980,6 +15980,295 @@ FROM pairs GROUP BY a, b ORDER BY a, b
 """
 
 
+# -- consistent-hash ring rebalance audit ------------------------------------------------------------
+
+_RING_SHARDS = 8
+_RING_VNODES = 16
+_RING_BITS = 48
+
+
+def _ring_case_expr(n_shards: int, hcol: str) -> str:
+    """Literal consistent-hash ring lookup: vnode positions are computed
+    in PYTHON at plan-build time (shards/vnodes are constants), so both
+    engines evaluate an identical CASE chain — no per-row hashing of
+    vnode ids, only the key hash. First ring position >= h wins;
+    wraparound falls to the globally smallest position."""
+    import hashlib
+
+    ring = []
+    for s in range(n_shards):
+        for v in range(_RING_VNODES):
+            pos = int(hashlib.md5(f"s{s}v{v}".encode()).hexdigest()[:12], 16)
+            ring.append((pos, s))
+    ring.sort()
+    whens = " ".join(f"WHEN {hcol} <= {pos} THEN {s}" for pos, s in ring)
+    return f"(CASE {whens} ELSE {ring[0][1]} END)"
+
+
+def q_hashring_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring (Karger '97, {_RING_VNODES} virtual nodes per
+    shard) churn audit — the OTHER sharding discipline next to
+    rendezvous_sharding, measured the same way: assign every url-key to
+    its ring shard at {_RING_SHARDS} shards and again at
+    {_RING_SHARDS + 1}, and report per-shard how many keys the expansion
+    steals. Theory: ~1/{_RING_SHARDS + 1} of keys move, all of them INTO
+    the new shard; a mod-N reshard would move ~{_RING_SHARDS}/{_RING_SHARDS + 1}.
+    Running both schemes on the same keys is the capacity-planning
+    comparison a frontier router actually makes.
+
+    Scale shape: the ring is a plan-time literal CASE chain (vnode
+    positions hashed in Python once), so assignment is one map over the
+    keys + one groupBy(shard); zero joins, zero per-row vnode hashing."""
+    keys = _read(spark, sf_dir, "documents").select(
+        F.expr(
+            "cast(conv(substring(md5(concat('url', cast(doc_id as string))), 1, 12), 16, 10) as bigint)"
+        ).alias("h")
+    )
+    before = _ring_case_expr(_RING_SHARDS, "h")
+    after = _ring_case_expr(_RING_SHARDS + 1, "h")
+    assigned = keys.select(
+        F.expr(before).cast("int").alias("shard_before"),
+        F.expr(after).cast("int").alias("shard_after"),
+    )
+    return (
+        assigned.groupBy("shard_before")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum((F.col("shard_before") != F.col("shard_after")).cast("int"))
+            .cast("bigint")
+            .alias("n_moved_out"),
+        )
+        .select(
+            "shard_before",
+            "n_keys",
+            "n_moved_out",
+            F.expr("n_moved_out * 1000000 div n_keys")
+            .cast("bigint")
+            .alias("moved_ppm"),
+        )
+        .orderBy("shard_before")
+    )
+
+
+def _sql_hashring() -> str:
+    before = _ring_case_expr(_RING_SHARDS, "h")
+    after = _ring_case_expr(_RING_SHARDS + 1, "h")
+    return f"""
+WITH keys AS (
+  SELECT ('0x' || substr(md5('url' || doc_id::VARCHAR), 1, 12))::BIGINT AS h
+  FROM documents
+),
+assigned AS (
+  SELECT {before}::INTEGER AS shard_before, {after}::INTEGER AS shard_after FROM keys
+)
+SELECT shard_before, count(*)::BIGINT AS n_keys,
+       sum((shard_before <> shard_after)::INTEGER)::BIGINT AS n_moved_out,
+       (sum((shard_before <> shard_after)::INTEGER) * 1000000 // count(*))::BIGINT AS moved_ppm
+FROM assigned GROUP BY shard_before ORDER BY shard_before
+"""
+
+
+SQL_HASHRING_REBALANCE = _sql_hashring()
+
+
+# -- KMV sketch set algebra ----------------------------------------------------------------------
+
+_KMVA_K = 64
+
+
+def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET ALGEBRA per language (the DataSketches
+    union/intersection estimators): sketch the token set of even docs
+    (A) and odd docs (B) with the {_KMVA_K} smallest 48-bit hashes;
+    union estimate = (k-1)/h_(k) over A∪B's sketch; intersection
+    estimate = rho * union where rho = fraction of the union sketch's
+    entries present in BOTH sets. Exact |A∪B| and |A∩B| ride alongside
+    as the estimator audit. This is what lets a planner size a
+    dedup-join between two corpus partitions WITHOUT scanning either —
+    sketches merge in O(k) no matter the input size.
+
+    Scale shape: one distinct (lang, token, inA, inB) pass, one per-lang
+    k-smallest window on the collapsed token frame, closed-form finish.
+    The sketch is a mergeable partial aggregate at real scale."""
+    toks = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select(
+            "lang",
+            F.explode("toks").alias("tok"),
+            (F.col("doc_id") % 2 == 0).cast("int").alias("is_a"),
+        )
+        .groupBy("lang", "tok")
+        .agg(
+            F.max("is_a").alias("in_a"),
+            F.max(1 - F.col("is_a")).alias("in_b"),
+        )
+        .withColumn(
+            "h", F.expr("cast(conv(substring(md5(tok), 1, 12), 16, 10) as bigint)")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("h", "tok")
+    sk = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMVA_K)
+        .groupBy("lang")
+        .agg(
+            F.max("h").alias("hk"),
+            F.count(F.lit(1)).alias("kk"),
+            F.sum((F.col("in_a") + F.col("in_b") == 2).cast("int")).alias("n_both"),
+        )
+    )
+    exact = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("union_exact"),
+        F.sum((F.col("in_a") + F.col("in_b") == 2).cast("int"))
+        .cast("bigint")
+        .alias("inter_exact"),
+    )
+    u_est = F.when(F.col("kk") < _KMVA_K, F.col("kk").cast("double")).otherwise(
+        F.lit(float(_KMVA_K - 1)) * F.lit(float(1 << _RING_BITS)) / F.col("hk")
+    )
+    return (
+        exact.join(sk, "lang")
+        .select(
+            "lang",
+            "union_exact",
+            "inter_exact",
+            F.round(u_est, 4).alias("union_est"),
+            F.round(u_est * F.col("n_both") / F.col("kk"), 4).alias("inter_est"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_KMV_SET_ALGEBRA = f"""
+WITH toks0 AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+toks AS (
+  SELECT lang, t.tok, max((doc_id % 2 = 0)::INTEGER) AS in_a,
+         max((doc_id % 2 = 1)::INTEGER) AS in_b
+  FROM toks0, unnest(toks0.toks) AS t(tok)
+  GROUP BY lang, t.tok
+),
+h AS (
+  SELECT lang, tok, in_a, in_b,
+         ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+  FROM toks
+),
+sk AS (
+  SELECT lang, max(h) AS hk, count(*) AS kk,
+         sum((in_a + in_b = 2)::INTEGER) AS n_both
+  FROM (
+    SELECT lang, h, in_a, in_b,
+           row_number() OVER (PARTITION BY lang ORDER BY h, tok) AS rn
+    FROM h
+  ) WHERE rn <= {_KMVA_K}
+  GROUP BY lang
+),
+exact AS (
+  SELECT lang, count(*)::BIGINT AS union_exact,
+         sum((in_a + in_b = 2)::INTEGER)::BIGINT AS inter_exact
+  FROM h GROUP BY lang
+)
+SELECT e.lang, e.union_exact, e.inter_exact,
+       round(CASE WHEN s.kk < {_KMVA_K} THEN s.kk::DOUBLE
+                  ELSE {float(_KMVA_K - 1)} * {float(1 << _RING_BITS)} / s.hk END, 4) AS union_est,
+       round((CASE WHEN s.kk < {_KMVA_K} THEN s.kk::DOUBLE
+                   ELSE {float(_KMVA_K - 1)} * {float(1 << _RING_BITS)} / s.hk END)
+             * s.n_both / s.kk, 4) AS inter_est
+FROM exact e JOIN sk s ON e.lang = s.lang ORDER BY e.lang
+"""
+
+
+# -- TF-IDF cosine verification of near-dup candidates ------------------------------------------------
+
+
+def q_lexical_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine VERIFY stage over the ngram-Jaccard candidate pairs
+    (the Bayardo/WWW'07 all-pairs-similarity shape: a cheap candidate
+    generator, then an exact weighted-cosine verification on candidates
+    only — never the corpus cross product). Weights are integer:
+    w = tf * idf_ppm with idf_ppm = floor(ln(N/df) * 10^6) quantized
+    per-term BEFORE any multiplication, so the cosine numerator and
+    both norm sums are EXACT integer arithmetic; the only float op is
+    the final num/sqrt division, identical on both engines.
+
+    Scale shape: candidates (bounded by the generator) hash-join the
+    posting frame twice on (doc, term); one groupBy(a,b) sums the
+    integer products; norms broadcast back per side."""
+    docs = _tokens(_docs_parallel(spark, sf_dir))
+    n_docs = _read(spark, sf_dir, "documents").count()
+    tf = docs.select("doc_id", F.explode("toks").alias("term")).groupBy(
+        "doc_id", "term"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.expr(f"cast(floor(ln({n_docs} / cast(df as double)) * 1000000) as bigint)")
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    pairs = ngram_jaccard(_docs_parallel(spark, sf_dir)).select("a_id", "b_id")
+    wa = w.select(F.col("doc_id").alias("a_id"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("b_id"), "term", F.col("w").alias("wb"))
+    num = (
+        pairs.join(wa, "a_id")
+        .join(wb, ["b_id", "term"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("num"))
+    )
+    na = norms.select(F.col("doc_id").alias("a_id"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("b_id"), F.col("n2").alias("n2b"))
+    return (
+        num.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "num",
+            F.round(
+                F.col("num")
+                / (F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+SQL_LEXICAL_COSINE_PAIRS = """
+WITH cand AS ({NGRAM}),
+toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+tf AS (
+  SELECT toks.doc_id, t.term, count(*)::BIGINT AS tf
+  FROM toks, unnest(toks.toks) AS t(term)
+  GROUP BY toks.doc_id, t.term
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * floor(ln(nd.n / df.df::DOUBLE) * 1000000)::BIGINT AS w
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+),
+norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+num AS (
+  SELECT c.a_id, c.b_id, sum(wa.w * wb.w) AS num
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.a_id
+  JOIN w wb ON wb.doc_id = c.b_id AND wb.term = wa.term
+  GROUP BY c.a_id, c.b_id
+)
+SELECT n.a_id, n.b_id, n.num,
+       round(n.num / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 4) AS cos_sim
+FROM num n JOIN norms na ON na.doc_id = n.a_id JOIN norms nb ON nb.doc_id = n.b_id
+ORDER BY n.a_id, n.b_id
+""".replace("{NGRAM}", SQL_NGRAM_JACCARD_PAIRS).replace("{TOKS}", _SQL_TOKS)
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -16210,6 +16499,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "haar_wavelet_energy": (q_haar_wavelet_energy, SQL_HAAR_WAVELET_ENERGY),
     "busy_intervals": (q_busy_intervals, SQL_BUSY_INTERVALS),
     "sequence_patterns": (q_sequence_patterns, SQL_SEQUENCE_PATTERNS),
+    "hashring_rebalance": (q_hashring_rebalance, SQL_HASHRING_REBALANCE),
+    "kmv_set_algebra": (q_kmv_set_algebra, SQL_KMV_SET_ALGEBRA),
+    "lexical_cosine_pairs": (q_lexical_cosine_pairs, SQL_LEXICAL_COSINE_PAIRS),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
