@@ -201,6 +201,9 @@ HEADLINE = [
     "hashring_rebalance",
     "kmv_set_algebra",
     "lexical_cosine_pairs",
+    "mutual_information",
+    "pagerank_convergence",
+    "k_anonymity_audit",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -242,3 +242,81 @@ def test_sequence_patterns_recount(spark):
         # existence-ordering is near-symmetric on dense histories but
         # must stay a valid fraction
         assert 0 <= r.support_ppm <= 1_000_000
+
+
+# ------------------------------------------------ mutual_information
+
+
+def test_mutual_information_recount(spark):
+    import calendar
+    import math
+
+    from webcrawler_spark.queries import _MI_HOD_BUCKETS, q_mutual_information
+
+    cells: dict[tuple, int] = {}
+    for e in spark.read.parquet(f"{SF}/events.parquet").collect():
+        ms = calendar.timegm(e.ts.timetuple()) * 1000 + e.ts.microsecond // 1000
+        hod = ((ms // 3600000) % 24) // (24 // _MI_HOD_BUCKETS)
+        cells[(e.event_type, hod)] = cells.get((e.event_type, hod), 0) + 1
+    cx: dict[str, int] = {}
+    cy: dict[int, int] = {}
+    n = 0
+    for (et, hod), c in cells.items():
+        cx[et] = cx.get(et, 0) + c
+        cy[hod] = cy.get(hod, 0) + c
+        n += c
+    want: dict[str, int] = {}
+    for (et, hod), c in cells.items():
+        lnq = math.floor(math.log((c * n) / float(cx[et] * cy[hod])) * 1_000_000)
+        want[et] = want.get(et, 0) + c * lnq
+    rows = {r.et: r for r in q_mutual_information(spark, SF).collect()}
+    assert set(rows) == set(cx)
+    for et, r in rows.items():
+        assert (r.n_events, r.mi_contrib_micro) == (cx[et], want[et]), et
+    # MI >= 0 up to per-cell floor-quantization (each floor loses < 1
+    # micro-nat per count): the total can only undershoot by < N micros
+    total = sum(want.values())
+    assert total >= -n, total
+
+
+# ---------------------------------------------- pagerank_convergence
+
+
+def test_pagerank_convergence_geometric(spark):
+    from webcrawler_spark.queries import _PR_DAMPING, q_pagerank_convergence
+
+    rows = sorted(q_pagerank_convergence(spark, SF).collect(), key=lambda r: r.iter)
+    assert [r.iter for r in rows] == [1, 2, 3, 4]
+    for r in rows:
+        assert 0 <= r.linf_delta <= r.l1_delta
+    # residuals decay and the decay is at least geometric-ish in the
+    # damping factor (each iteration contracts by <= d up to mixing)
+    for a, b in zip(rows, rows[1:]):
+        assert b.l1_delta < a.l1_delta, (a, b)
+        assert b.l1_delta <= a.l1_delta * (_PR_DAMPING + 0.1) + 1e-6
+    # and the final ranks of q_pagerank correspond to a nearly-converged
+    # state: last residual is small relative to the first
+    assert rows[-1].l1_delta < 0.25 * rows[0].l1_delta
+
+
+# ------------------------------------------------ k_anonymity_audit
+
+
+def test_k_anonymity_recount(spark):
+    import calendar
+
+    from webcrawler_spark.queries import _MI_HOD_BUCKETS, q_k_anonymity_audit
+
+    groups: dict[tuple, list] = {}
+    for e in spark.read.parquet(f"{SF}/events.parquet").collect():
+        ms = calendar.timegm(e.ts.timetuple()) * 1000 + e.ts.microsecond // 1000
+        hod = ((ms // 3600000) % 24) // (24 // _MI_HOD_BUCKETS)
+        groups.setdefault((e.event_type, hod), []).append(e.user_id)
+    rows = q_k_anonymity_audit(spark, SF).collect()
+    assert {(r.et, r.hod) for r in rows} == set(groups)
+    for r in rows:
+        us = groups[(r.et, r.hod)]
+        assert (r.k_count, r.l_distinct) == (len(us), len(set(us))), r
+        assert r.meets_k20 == int(len(us) >= 20)
+        assert r.meets_l5 == int(len(set(us)) >= 5)
+        assert r.l_distinct <= r.k_count

@@ -1032,3 +1032,16 @@ def test_lexical_cosine_candidates_only(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # the verify stage joins CANDIDATES to postings — never doc x doc
     assert "CartesianProduct" not in p
+
+
+def test_mutual_information_broadcast_marginals(spark):
+    p = plan_str(_q("mutual_information", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_k_anonymity_single_groupby(spark):
+    p = plan_str(_q("k_anonymity_audit", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p

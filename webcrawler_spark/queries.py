@@ -16269,6 +16269,247 @@ ORDER BY n.a_id, n.b_id
 """.replace("{NGRAM}", SQL_NGRAM_JACCARD_PAIRS).replace("{TOKS}", _SQL_TOKS)
 
 
+# -- mutual information (event type x time-of-day) ---------------------------------------------------
+
+_MI_HOD_BUCKETS = 8  # 3-hour buckets
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and time-of-day (3-hour
+    buckets), reported as per-type contributions in count·micro-nat
+    units: MI = (1/N) * sum_cells c_xy * ln(c_xy*N / (c_x*c_y)). The
+    dependence detector behind feature selection and leakage audits —
+    if MI(type; hour) is materially > 0, time-of-day leaks the event
+    type (and vice versa), which matters both for drift monitors and
+    for what a sampler may stratify on.
+
+    Parity discipline: the log-ratio is quantized to MICRO units per
+    CELL (floor of a double computed from exact integers), then
+    multiplied by the integer cell count and summed — all integer after
+    the single transcendental, ordering-free. Negative cell
+    contributions are kept as-is (no integer division anywhere, so the
+    div-vs-floor negative pitfall never appears).
+
+    Scale shape: one (x, y) cell groupBy with partials, two tiny
+    marginal re-aggs joined back by broadcast, 5-row output."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        F.expr(
+            f"cast((unix_millis(cast(ts as timestamp)) div 3600000) % 24 div (24 div {_MI_HOD_BUCKETS}) as int)"
+        ).alias("hod"),
+    )
+    cells = ev.groupBy("et", "hod").agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+    mx = cells.groupBy("et").agg(F.sum("cxy").cast("bigint").alias("cx"))
+    my = cells.groupBy("hod").agg(F.sum("cxy").cast("bigint").alias("cy"))
+    tot = cells.agg(F.sum("cxy").cast("bigint").alias("n"))
+    j = (
+        cells.join(F.broadcast(mx), "et")
+        .join(F.broadcast(my), "hod")
+        .crossJoin(F.broadcast(tot))
+    )
+    contrib = j.select(
+        "et",
+        "cxy",
+        F.expr(
+            "cxy * cast(floor(ln((cxy * n) / cast(cx * cy as double)) * 1000000) as bigint)"
+        ).alias("c_micro"),
+    )
+    return (
+        contrib.groupBy("et")
+        .agg(
+            F.sum("cxy").cast("bigint").alias("n_events"),
+            F.sum("c_micro").cast("bigint").alias("mi_contrib_micro"),
+        )
+        .orderBy("et")
+    )
+
+
+SQL_MUTUAL_INFORMATION = f"""
+WITH ev AS (
+  SELECT event_type AS et,
+         (((epoch_ms(ts) // 3600000) % 24) // (24 // {_MI_HOD_BUCKETS}))::INTEGER AS hod
+  FROM events
+),
+cells AS (SELECT et, hod, count(*)::BIGINT AS cxy FROM ev GROUP BY et, hod),
+mx AS (SELECT et, sum(cxy)::BIGINT AS cx FROM cells GROUP BY et),
+my AS (SELECT hod, sum(cxy)::BIGINT AS cy FROM cells GROUP BY hod),
+tot AS (SELECT sum(cxy)::BIGINT AS n FROM cells),
+contrib AS (
+  SELECT c.et, c.cxy,
+         c.cxy * floor(ln((c.cxy * t.n) / (m.cx * y.cy)::DOUBLE) * 1000000)::BIGINT AS c_micro
+  FROM cells c JOIN mx m USING (et) JOIN my y USING (hod) CROSS JOIN tot t
+)
+SELECT et, sum(cxy)::BIGINT AS n_events, sum(c_micro)::BIGINT AS mi_contrib_micro
+FROM contrib GROUP BY et ORDER BY et
+"""
+
+
+# -- PageRank convergence curve ------------------------------------------------------------------------
+
+_PRC_ITERS = 4
+
+
+def q_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-iteration convergence residuals of the host-graph PageRank
+    (same graph, damping and dangling treatment as q_pagerank): after
+    every iteration, the L1 and Linf distances from the previous rank
+    vector. The monitoring curve every iterative fixpoint job exports —
+    at 10^8 hosts you stop on ||delta||_1 < eps rather than a fixed
+    iteration count, and a NON-geometric decay in this curve is the
+    canary for a mis-partitioned edge list or a dangling-mass bug.
+
+    Scale shape: identical per-iteration plan to q_pagerank (one edges
+    join + groupBy(dst), 1-row dangling broadcast) plus a 1-row delta
+    aggregate per iteration; lineage cut by localCheckpoint each round."""
+    edges = _pagerank_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = float(nodes.count())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(outdeg, "src").localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    deltas = []
+    for it in range(1, _PRC_ITERS + 1):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("outdeg").cast("double")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = ranks.join(
+            ed.select("src").distinct(), ranks.node == F.col("src"), "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        nxt = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - _PR_DAMPING) / n)
+                    + _PR_DAMPING
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / F.lit(n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        d = (
+            nxt.select("node", F.col("rank").alias("r_new"))
+            .join(ranks.select("node", F.col("rank").alias("r_old")), "node")
+            .agg(
+                F.round(F.sum(F.abs(F.col("r_new") - F.col("r_old"))), 6).alias(
+                    "l1_delta"
+                ),
+                F.round(F.max(F.abs(F.col("r_new") - F.col("r_old"))), 6).alias(
+                    "linf_delta"
+                ),
+            )
+            .select(F.lit(it).cast("int").alias("iter"), "l1_delta", "linf_delta")
+        )
+        deltas.append(d)
+        ranks = nxt
+    out = deltas[0]
+    for d in deltas[1:]:
+        out = out.unionAll(d)
+    return out.orderBy("iter")
+
+
+def _sql_pagerank_convergence() -> str:
+    iters = "".join(
+        "," + _sql_pagerank_iter(f"r{t - 1}", f"r{t}") for t in range(1, _PRC_ITERS + 1)
+    )
+    sels = "\nUNION ALL\n".join(
+        f"""SELECT {t} AS iter,
+       round(sum(abs(a.rank - b.rank)), 6) AS l1_delta,
+       round(max(abs(a.rank - b.rank)), 6) AS linf_delta
+FROM r{t} a JOIN r{t - 1} b USING (node)"""
+        for t in range(1, _PRC_ITERS + 1)
+    )
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ncount AS (SELECT count(*) AS n FROM nodes),
+ed AS (
+  SELECT e.src, e.dst, d.outdeg
+  FROM edges e JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) d
+    ON e.src = d.src
+),
+r0 AS (SELECT node, 1.0 / nn.n::DOUBLE AS rank FROM nodes CROSS JOIN ncount nn)
+{iters}
+SELECT * FROM ({sels}) ORDER BY iter
+"""
+
+
+SQL_PAGERANK_CONVERGENCE = _sql_pagerank_convergence()
+
+
+# -- k-anonymity audit ----------------------------------------------------------------------------------
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the event log with
+    quasi-identifier (event_type, 3-hour-of-day bucket) and user_id as
+    the sensitive attribute: per QI group, k = group size and
+    l = distinct users. The privacy gate a dataset release runs next to
+    pii_scrub — a QI group with tiny k or l=1 re-identifies its user
+    even after direct identifiers are scrubbed (Sweeney '02; Machanavajjhala
+    et al. '06 for l-diversity). Integer-exact.
+
+    Scale shape: one groupBy over the QI columns computing count +
+    count(distinct user) with partial aggregation; output is the QI
+    grid (|types| x {_MI_HOD_BUCKETS})."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        F.expr(
+            f"cast((unix_millis(cast(ts as timestamp)) div 3600000) % 24 div (24 div {_MI_HOD_BUCKETS}) as int)"
+        ).alias("hod"),
+        "user_id",
+    )
+    return (
+        ev.groupBy("et", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_count"),
+            F.countDistinct("user_id").cast("bigint").alias("l_distinct"),
+        )
+        .select(
+            "et",
+            "hod",
+            "k_count",
+            "l_distinct",
+            (F.col("k_count") >= 20).cast("int").alias("meets_k20"),
+            (F.col("l_distinct") >= 5).cast("int").alias("meets_l5"),
+        )
+        .orderBy("et", "hod")
+    )
+
+
+SQL_K_ANONYMITY_AUDIT = f"""
+WITH ev AS (
+  SELECT event_type AS et,
+         (((epoch_ms(ts) // 3600000) % 24) // (24 // {_MI_HOD_BUCKETS}))::INTEGER AS hod,
+         user_id
+  FROM events
+)
+SELECT et, hod, count(*)::BIGINT AS k_count,
+       count(DISTINCT user_id)::BIGINT AS l_distinct,
+       (count(*) >= 20)::INTEGER AS meets_k20,
+       (count(DISTINCT user_id) >= 5)::INTEGER AS meets_l5
+FROM ev GROUP BY et, hod ORDER BY et, hod
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -16502,6 +16743,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hashring_rebalance": (q_hashring_rebalance, SQL_HASHRING_REBALANCE),
     "kmv_set_algebra": (q_kmv_set_algebra, SQL_KMV_SET_ALGEBRA),
     "lexical_cosine_pairs": (q_lexical_cosine_pairs, SQL_LEXICAL_COSINE_PAIRS),
+    "mutual_information": (q_mutual_information, SQL_MUTUAL_INFORMATION),
+    "pagerank_convergence": (q_pagerank_convergence, SQL_PAGERANK_CONVERGENCE),
+    "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
