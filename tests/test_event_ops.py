@@ -320,3 +320,109 @@ def test_k_anonymity_recount(spark):
         assert r.meets_k20 == int(len(us) >= 20)
         assert r.meets_l5 == int(len(set(us)) >= 5)
         assert r.l_distinct <= r.k_count
+
+
+# ------------------------------------------ kaplan_meier_survival
+
+
+def test_kaplan_meier_recount(spark):
+    import calendar
+    import math
+
+    from webcrawler_spark.queries import _KM_CENSOR_DAYS, q_kaplan_meier_survival
+
+    spans: dict[int, tuple] = {}
+    wmax = 0
+    for e in spark.read.parquet(f"{SF}/events.parquet").collect():
+        ms = calendar.timegm(e.ts.timetuple()) * 1000 + e.ts.microsecond // 1000
+        lo, hi = spans.get(e.user_id, (ms, ms))
+        spans[e.user_id] = (min(lo, ms), max(hi, ms))
+        wmax = max(wmax, ms)
+    durs = [
+        ((hi - lo) // 86400000, hi < wmax - _KM_CENSOR_DAYS * 86400000)
+        for lo, hi in spans.values()
+    ]
+    byt: dict[int, list] = {}
+    for t, churn in durs:
+        d, c = byt.get(t, (0, 0))
+        byt[t] = (d + int(churn), c + int(not churn))
+    rows = sorted(q_kaplan_meier_survival(spark, SF).collect(), key=lambda r: r.t_days)
+    assert [r.t_days for r in rows] == sorted(byt)
+    cum_before = 0
+    cum_ln = 0
+    prev_risk = None
+    for r in rows:
+        d, c = byt[r.t_days]
+        n_risk = len(durs) - cum_before
+        assert (r.n_risk, r.d_churn, r.c_censored) == (n_risk, d, c), r
+        if n_risk > d:
+            step = math.floor(math.log((n_risk - d) / n_risk) * 1_000_000)
+            assert r.step_micro == step
+            cum_ln += step
+            assert r.cum_ln_micro == cum_ln
+            assert step <= 0  # log-survival steps never increase
+        else:
+            assert r.step_micro is None
+        if prev_risk is not None:
+            assert n_risk < prev_risk  # risk set strictly shrinks per event time
+        prev_risk = n_risk
+        cum_before += d + c
+    # everyone is accounted for: last risk set minus its events/censorings = 0
+    assert cum_before == len(durs)
+
+
+# --------------------------------------- gorilla_timestamp_bits
+
+
+def test_gorilla_bits_recount(spark):
+    import calendar
+
+    from webcrawler_spark.queries import q_gorilla_timestamp_bits
+
+    series: dict[str, list] = {}
+    for e in spark.read.parquet(f"{SF}/events.parquet").collect():
+        ms = calendar.timegm(e.ts.timetuple()) * 1000 + e.ts.microsecond // 1000
+        series.setdefault(e.event_type, []).append((ms // 1000, e.event_id))
+    rows = {r.et: r for r in q_gorilla_timestamp_bits(spark, SF).collect()}
+    assert set(rows) == set(series)
+    for et, pts in series.items():
+        pts.sort()
+        total = 0
+        counts = {0: 0, 9: 0, 12: 0, 16: 0, 36: 0}
+        prev_t = prev_d = None
+        for i, (t, _) in enumerate(pts):
+            if i == 0:
+                total += 64
+            elif i == 1:
+                total += 14
+                prev_d = t - prev_t
+            else:
+                d = t - prev_t
+                dod = d - prev_d
+                prev_d = d
+                if dod == 0:
+                    b = 1
+                elif -63 <= dod <= 64:
+                    b = 9
+                elif -255 <= dod <= 256:
+                    b = 12
+                elif -2047 <= dod <= 2048:
+                    b = 16
+                else:
+                    b = 36
+                counts[0 if b == 1 else b] += 1
+                total += b
+            prev_t = t
+        r = rows[et]
+        assert r.n_pts == len(pts), et
+        assert (r.c_dod0, r.c_bits9, r.c_bits12, r.c_bits16, r.c_bits36) == (
+            counts[0],
+            counts[9],
+            counts[12],
+            counts[16],
+            counts[36],
+        ), et
+        assert r.total_bits == total, et
+        assert r.bits_per_pt_milli == total * 1000 // len(pts)
+        # cost model sanity: never below the all-dod0 floor nor above the header-max
+        assert 64 + 14 + (len(pts) - 2) * 1 <= total <= 64 + 14 + (len(pts) - 2) * 36

@@ -2875,3 +2875,45 @@ def test_lexical_cosine_verify_stage(spark):
         # down-weight shared boilerplate, so the floor is loose)
         assert r.cos_sim > 0.2, r
     assert max(r.cos_sim for r in rows) > 0.5
+
+
+# ------------------------------------------------- blocking_eval
+
+
+def test_blocking_eval_python_recount(spark):
+    from webcrawler_spark.queries import ngram_jaccard, q_blocking_eval
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    truth = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard(spark.read.parquet(f"{SF}/documents.parquet")).collect()
+    }
+    keyed = {}
+    for d in docs:
+        toks = [t for t in re.split(r"\s+", d.text.lower()) if t]
+        keyed[d.doc_id] = {
+            "prefix16": d.text[:16],
+            "lang_len64": f"{d.lang}|{d.n_chars // 64}",
+            "first2tok": " ".join(toks[:2]),
+        }
+    n = len(docs)
+    total_pairs = n * (n - 1) // 2
+    rows = {r.scheme: r for r in q_blocking_eval(spark, SF).collect()}
+    assert set(rows) == {"prefix16", "lang_len64", "first2tok"}
+    for scheme, r in rows.items():
+        blocks: dict[str, int] = {}
+        for ks in keyed.values():
+            blocks[ks[scheme]] = blocks.get(ks[scheme], 0) + 1
+        cand = sum(c * (c - 1) // 2 for c in blocks.values())
+        covered = sum(1 for a, b in truth if keyed[a][scheme] == keyed[b][scheme])
+        assert (r.n_blocks, r.max_block, r.cand_pairs) == (
+            len(blocks),
+            max(blocks.values()),
+            cand,
+        ), scheme
+        assert (r.truth_pairs, r.covered_pairs) == (len(truth), covered), scheme
+        if truth:
+            assert r.pc_ppm == covered * 1_000_000 // len(truth)
+        assert r.rr_ppm == 1_000_000 - cand * 1_000_000 // total_pairs
+        assert 0 <= r.rr_ppm <= 1_000_000
+        assert r.covered_pairs <= r.truth_pairs

@@ -1045,3 +1045,27 @@ def test_k_anonymity_single_groupby(spark):
     p = plan_str(_q("k_anonymity_audit", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p
+
+
+def test_blocking_eval_broadcast_truth_no_cartesian(spark):
+    p = plan_str(_q("blocking_eval", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the tiny truth set and the 1-row totals broadcast into the coverage join
+    assert "BroadcastExchange" in p
+
+
+def test_kaplan_meier_window_after_groupby(spark):
+    p = plan_str(_q("kaplan_meier_survival", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the single-task global-order window frame is the per-day curve
+    # (<= observation span in days), never the raw events
+    assert p.count("Window") >= 1 and "HashAggregate" in p
+
+
+def test_gorilla_single_partitioned_window_no_join(spark):
+    p = plan_str(_q("gorilla_timestamp_bits", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert "Window" in p

@@ -16510,6 +16510,360 @@ FROM ev GROUP BY et, hod ORDER BY et, hod
 """
 
 
+# -- blocking-scheme evaluation --------------------------------------------------------------------------
+
+
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage blocking-scheme evaluation (Christen '12): score
+    three candidate blocking keys over the corpus against the ground
+    truth of shingle-Jaccard>=0.5 near-dup pairs. Per scheme:
+    pair completeness PC = covered/truth (recall of truth pairs whose
+    two docs land in the same block) and reduction ratio
+    RR = 1 - cand_pairs/total_pairs — the two numbers that decide
+    whether a blocking key is usable BEFORE you pay for the pairwise
+    stage. At 10^9 docs this is how you pick the LSH/blocking key: a
+    scheme with PC 0.95 and RR 0.9999 wins over PC 1.0 / RR 0.9.
+    Schemes: raw 16-char prefix, (lang, length//64) bucket, first two
+    tokens. All metrics integer/ppm-exact.
+
+    Scale shape: one stack (3x map-side), one groupBy(scheme, bkey)
+    with partials, truth pairs from the existing bucketed shingle join
+    (never doc x doc), coverage via broadcast of the tiny truth set;
+    output is 3 rows."""
+    docs = _docs_parallel(spark, sf_dir)
+    truth = ngram_jaccard(docs).select("a_id", "b_id").localCheckpoint()
+    keys = _tokens(docs).select(
+        "doc_id",
+        F.expr("substring(text, 1, 16)").alias("k1"),
+        F.concat_ws(
+            "|", "lang", F.expr("cast(n_chars div 64 as string)")
+        ).alias("k2"),
+        F.expr("concat_ws(' ', element_at(toks, 1), element_at(toks, 2))").alias(
+            "k3"
+        ),
+    )
+    long = keys.selectExpr(
+        "doc_id",
+        "stack(3, 'prefix16', k1, 'lang_len64', k2, 'first2tok', k3)"
+        " as (scheme, bkey)",
+    )
+    per = (
+        long.groupBy("scheme", "bkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("scheme")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.max("c").cast("bigint").alias("max_block"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("cand_pairs"),
+        )
+    )
+    ka = long.select(F.col("doc_id").alias("a_id"), "scheme", F.col("bkey").alias("ka"))
+    kb = long.select(F.col("doc_id").alias("b_id"), "scheme", F.col("bkey").alias("kb"))
+    cov = (
+        F.broadcast(truth)
+        .join(ka, "a_id")
+        .join(kb, ["b_id", "scheme"])
+        .filter(F.col("ka") == F.col("kb"))
+        .groupBy("scheme")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("covered"))
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n")).select(
+        F.expr("n * (n - 1) div 2").cast("bigint").alias("total_pairs")
+    )
+    tp = truth.agg(F.count(F.lit(1)).cast("bigint").alias("truth_pairs"))
+    return (
+        per.join(cov, "scheme", "left")
+        .withColumn("covered_pairs", F.coalesce(F.col("covered"), F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "scheme",
+            "n_blocks",
+            "max_block",
+            "cand_pairs",
+            "truth_pairs",
+            "covered_pairs",
+            F.expr("covered_pairs * 1000000 div nullif(truth_pairs, 0)")
+            .cast("bigint")
+            .alias("pc_ppm"),
+            F.expr("1000000 - cand_pairs * 1000000 div total_pairs")
+            .cast("bigint")
+            .alias("rr_ppm"),
+        )
+        .orderBy("scheme")
+    )
+
+
+SQL_BLOCKING_EVAL = f"""
+WITH toks AS (
+  SELECT doc_id, text, lang, n_chars, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2),
+    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT a_id, b_id
+  FROM inter JOIN counts ca ON a_id = ca.doc_id JOIN counts cb ON b_id = cb.doc_id
+  WHERE round(i / (ca.n + cb.n - i), 4) >= 0.5
+), keys3 AS (
+  SELECT doc_id,
+         substr(text, 1, 16) AS k1,
+         concat_ws('|', lang, (n_chars // 64)::VARCHAR) AS k2,
+         concat_ws(' ', toks[1], toks[2]) AS k3
+  FROM toks
+), long AS (
+  SELECT doc_id, 'prefix16' AS scheme, k1 AS bkey FROM keys3
+  UNION ALL SELECT doc_id, 'lang_len64', k2 FROM keys3
+  UNION ALL SELECT doc_id, 'first2tok', k3 FROM keys3
+), blocks AS (
+  SELECT scheme, bkey, count(*) AS c FROM long GROUP BY 1, 2
+), per AS (
+  SELECT scheme, count(*)::BIGINT AS n_blocks, max(c)::BIGINT AS max_block,
+         sum(c * (c - 1) // 2)::BIGINT AS cand_pairs
+  FROM blocks GROUP BY scheme
+), cov AS (
+  SELECT ka.scheme, count(*)::BIGINT AS covered
+  FROM truth t
+  JOIN long ka ON ka.doc_id = t.a_id
+  JOIN long kb ON kb.doc_id = t.b_id AND kb.scheme = ka.scheme
+  WHERE ka.bkey = kb.bkey
+  GROUP BY 1
+), tot AS (
+  SELECT (count(*) * (count(*) - 1) // 2)::BIGINT AS total_pairs FROM documents
+), tp AS (
+  SELECT count(*)::BIGINT AS truth_pairs FROM truth
+)
+SELECT p.scheme, p.n_blocks, p.max_block, p.cand_pairs, tp.truth_pairs,
+       coalesce(c.covered, 0)::BIGINT AS covered_pairs,
+       (coalesce(c.covered, 0) * 1000000 // nullif(tp.truth_pairs, 0))::BIGINT AS pc_ppm,
+       (1000000 - p.cand_pairs * 1000000 // t.total_pairs)::BIGINT AS rr_ppm
+FROM per p LEFT JOIN cov c ON p.scheme = c.scheme
+CROSS JOIN tot t CROSS JOIN tp
+ORDER BY p.scheme
+"""
+
+
+# -- Kaplan-Meier user-retention curve --------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 7
+
+
+def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention/survival curve over user activity spans:
+    a user's lifetime is last_event - first_event in whole days; users
+    whose last event falls within {_KM_CENSOR_DAYS} days of the
+    observation-window end are right-CENSORED (still alive), everyone
+    else "churned" at their lifetime. Per distinct lifetime t: the risk
+    set n_risk (users with lifetime >= t), churn events d, censorings
+    c, the KM step ln(1 - d/n) and the cumulative log-survival — the
+    product-limit estimator (Kaplan & Meier '58) in log space.
+
+    Parity discipline: the step is quantized to MICRO-nats per lifetime
+    (floor of a double computed from exact integers), the curve is the
+    integer cumulative sum — ordering-free and engine-exact; step is
+    NULL where the risk set churns out entirely (ln 0).
+
+    Scale shape: one groupBy(user) span agg, one groupBy(t_days)
+    (cardinality <= observation span in days, i.e. tiny), the cumulative
+    over that tiny frame; the 1-row window end broadcasts."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_millis(cast(ts as timestamp))").alias("ms")
+    )
+    per = ev.groupBy("user_id").agg(
+        F.min("ms").alias("first_ms"), F.max("ms").alias("last_ms")
+    )
+    wmax = ev.agg(F.max("ms").alias("w_ms"))
+    u = per.crossJoin(F.broadcast(wmax)).select(
+        F.expr("(last_ms - first_ms) div 86400000").alias("t_days"),
+        F.expr(
+            f"cast(last_ms < w_ms - {_KM_CENSOR_DAYS} * 86400000 as int)"
+        ).alias("churned"),
+    )
+    byt = u.groupBy("t_days").agg(
+        F.sum("churned").cast("bigint").alias("d_churn"),
+        F.sum(F.expr("1 - churned")).cast("bigint").alias("c_censored"),
+    )
+    tot = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    w_prev = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        byt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_users")
+                - F.coalesce(
+                    F.sum(F.expr("d_churn + c_censored")).over(w_prev), F.lit(0)
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "step_micro",
+            F.expr(
+                "case when n_risk > d_churn then cast(floor(ln((n_risk - d_churn)"
+                " / cast(n_risk as double)) * 1000000) as bigint) end"
+            ),
+        )
+        .withColumn("cum_ln_micro", F.sum("step_micro").over(w_cum).cast("bigint"))
+        .select(
+            F.col("t_days").cast("bigint"),
+            "n_risk",
+            "d_churn",
+            "c_censored",
+            "step_micro",
+            "cum_ln_micro",
+        )
+        .orderBy("t_days")
+    )
+
+
+SQL_KAPLAN_MEIER_SURVIVAL = f"""
+WITH per AS (
+  SELECT user_id, min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+  FROM events GROUP BY user_id
+), wmax AS (SELECT max(epoch_ms(ts)) AS w_ms FROM events),
+u AS (
+  SELECT (last_ms - first_ms) // 86400000 AS t_days,
+         (last_ms < w_ms - {_KM_CENSOR_DAYS} * 86400000)::INTEGER AS churned
+  FROM per CROSS JOIN wmax
+), byt AS (
+  SELECT t_days, sum(churned)::BIGINT AS d_churn,
+         sum(1 - churned)::BIGINT AS c_censored
+  FROM u GROUP BY t_days
+), tot AS (SELECT count(*)::BIGINT AS n_users FROM u),
+curve AS (
+  SELECT t_days, d_churn, c_censored,
+         (n_users - coalesce(sum(d_churn + c_censored) OVER
+            (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         )::BIGINT AS n_risk
+  FROM byt CROSS JOIN tot
+), steps AS (
+  SELECT t_days, n_risk, d_churn, c_censored,
+         CASE WHEN n_risk > d_churn THEN
+           floor(ln((n_risk - d_churn) / n_risk::DOUBLE) * 1000000)::BIGINT
+         END AS step_micro
+  FROM curve
+)
+SELECT t_days::BIGINT AS t_days, n_risk, d_churn, c_censored, step_micro,
+       (sum(step_micro) OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW))::BIGINT AS cum_ln_micro
+FROM steps ORDER BY t_days
+"""
+
+
+# -- Gorilla timestamp compression cost model ---------------------------------------------------------------
+
+
+def q_gorilla_timestamp_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla delta-of-delta timestamp compression cost model
+    (Pelkonen et al., VLDB '15 §4.1) per event-type series: order each
+    series by (ts, event_id), take second differences of the epoch-
+    second timestamps, and charge the paper's bucket widths — 64 bits
+    for the series head, 14 for the first delta, then 1 bit for dod=0,
+    9 for [-63,64], 12 for [-255,256], 16 for [-2047,2048], 36
+    otherwise. The planning number for any TSDB-style ingest of crawl
+    fetch logs: bits/point tells you whether the timestamp column is
+    effectively free (regular cadence -> ~1 bit) or fighting you.
+    Integer-exact throughout.
+
+    Scale shape: one window (partitioned by series, two lags), one
+    groupBy(series) with partials; output is |event types| rows."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        "event_id",
+        F.expr("unix_millis(cast(ts as timestamp)) div 1000").alias("tsec"),
+    )
+    w = Window.partitionBy("et").orderBy("tsec", "event_id")
+    d = (
+        ev.withColumn("delta", F.col("tsec") - F.lag("tsec").over(w))
+        .withColumn("dod", F.col("delta") - F.lag("delta").over(w))
+        .withColumn(
+            "bits",
+            F.expr(
+                "case when delta is null then 64"
+                "     when dod is null then 14"
+                "     when dod = 0 then 1"
+                "     when dod between -63 and 64 then 9"
+                "     when dod between -255 and 256 then 12"
+                "     when dod between -2047 and 2048 then 16"
+                "     else 36 end"
+            ),
+        )
+    )
+    return (
+        d.groupBy("et")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+            F.sum(F.expr("cast(dod = 0 as int)")).cast("bigint").alias("c_dod0"),
+            F.sum(F.expr("cast(dod <> 0 and dod between -63 and 64 as int)"))
+            .cast("bigint")
+            .alias("c_bits9"),
+            F.sum(
+                F.expr(
+                    "cast(dod not between -63 and 64"
+                    " and dod between -255 and 256 as int)"
+                )
+            )
+            .cast("bigint")
+            .alias("c_bits12"),
+            F.sum(
+                F.expr(
+                    "cast(dod not between -255 and 256"
+                    " and dod between -2047 and 2048 as int)"
+                )
+            )
+            .cast("bigint")
+            .alias("c_bits16"),
+            F.sum(F.expr("cast(dod not between -2047 and 2048 as int)"))
+            .cast("bigint")
+            .alias("c_bits36"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
+        )
+        .withColumn(
+            "bits_per_pt_milli", F.expr("total_bits * 1000 div n_pts").cast("bigint")
+        )
+        .orderBy("et")
+    )
+
+
+SQL_GORILLA_TIMESTAMP_BITS = """
+WITH ev AS (
+  SELECT event_type AS et, event_id, epoch_ms(ts) // 1000 AS tsec FROM events
+), d AS (
+  SELECT et,
+         tsec - lag(tsec) OVER w AS delta,
+         (tsec - lag(tsec) OVER w)
+           - (lag(tsec) OVER w - lag(tsec, 2) OVER w) AS dod
+  FROM ev WINDOW w AS (PARTITION BY et ORDER BY tsec, event_id)
+), b AS (
+  SELECT et, delta, dod,
+         CASE WHEN delta IS NULL THEN 64
+              WHEN dod IS NULL THEN 14
+              WHEN dod = 0 THEN 1
+              WHEN dod BETWEEN -63 AND 64 THEN 9
+              WHEN dod BETWEEN -255 AND 256 THEN 12
+              WHEN dod BETWEEN -2047 AND 2048 THEN 16
+              ELSE 36 END AS bits
+  FROM d
+)
+SELECT et, count(*)::BIGINT AS n_pts,
+       sum((dod = 0)::INTEGER)::BIGINT AS c_dod0,
+       sum((dod <> 0 AND dod BETWEEN -63 AND 64)::INTEGER)::BIGINT AS c_bits9,
+       sum((dod NOT BETWEEN -63 AND 64 AND dod BETWEEN -255 AND 256)::INTEGER)::BIGINT AS c_bits12,
+       sum((dod NOT BETWEEN -255 AND 256 AND dod BETWEEN -2047 AND 2048)::INTEGER)::BIGINT AS c_bits16,
+       sum((dod NOT BETWEEN -2047 AND 2048)::INTEGER)::BIGINT AS c_bits36,
+       sum(bits)::BIGINT AS total_bits,
+       (sum(bits) * 1000 // count(*))::BIGINT AS bits_per_pt_milli
+FROM b GROUP BY et ORDER BY et
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -16746,6 +17100,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mutual_information": (q_mutual_information, SQL_MUTUAL_INFORMATION),
     "pagerank_convergence": (q_pagerank_convergence, SQL_PAGERANK_CONVERGENCE),
     "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
+    "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
+    "kaplan_meier_survival": (q_kaplan_meier_survival, SQL_KAPLAN_MEIER_SURVIVAL),
+    "gorilla_timestamp_bits": (q_gorilla_timestamp_bits, SQL_GORILLA_TIMESTAMP_BITS),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
