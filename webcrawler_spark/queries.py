@@ -16864,6 +16864,276 @@ FROM b GROUP BY et ORDER BY et
 """
 
 
+# -- Elias-Fano posting compression cost --------------------------------------------------------------------
+
+# floor(log2(q)) for integer q >= 1 as a generated CASE ladder: exact in
+# both engines with zero transcendentals (log2 doubles round the wrong
+# way near 2^k for large k).
+_LOG2_CASE = (
+    "case "
+    + " ".join(f"when q < {1 << (k + 1)} then {k}" for k in range(62))
+    + " else 62 end"
+)
+
+
+def q_elias_fano_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elias-Fano posting-list compression cost model (Vigna WSDM'13
+    quasi-succinct indices): per term with n postings over doc-id
+    universe u, split each id into l = max(0, floor(log2(u/n))) low
+    bits stored verbatim and high bits stored unary — total
+    n*l + n + (u >> l) bits, the textbook EF bound. The companion to
+    `posting_delta_bytes`' varint model: together they decide the
+    posting format for the `inverted_index` plan at 10^10 docs (EF wins
+    on dense lists and supports O(1) skip, varint on short tails).
+    Integer-exact: floor(log2(u/n)) = floor(log2(u div n)) for u>=n,
+    computed by a CASE ladder, never a floating log.
+
+    Scale shape: explode -> distinct postings (one shuffle), 1-row
+    universe broadcast, groupBy(term) with partials; map-side
+    arithmetic only."""
+    post = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select(F.explode("toks").alias("term"), "doc_id")
+        .distinct()
+    )
+    uni = post.agg((F.max("doc_id") + 1).cast("bigint").alias("u"))
+    per = post.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        per.crossJoin(F.broadcast(uni))
+        .withColumn("q", F.expr("case when u >= n then u div n else 1 end"))
+        .withColumn("l", F.expr(_LOG2_CASE).cast("int"))
+        .select(
+            "term",
+            "n",
+            "l",
+            F.expr("n * l + n + shiftright(u, l)").cast("bigint").alias("ef_bits"),
+        )
+        .withColumn(
+            "bits_per_posting_milli", F.expr("ef_bits * 1000 div n").cast("bigint")
+        )
+        .orderBy("term")
+    )
+
+
+SQL_ELIAS_FANO_BITS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), post AS (
+  SELECT DISTINCT unnest(toks) AS term, doc_id FROM toks
+), uni AS (
+  SELECT (max(doc_id) + 1)::BIGINT AS u FROM post
+), per AS (
+  SELECT term, count(*)::BIGINT AS n FROM post GROUP BY term
+), lbits AS (
+  SELECT term, n, u,
+         ({_LOG2_CASE.replace("q", "(CASE WHEN u >= n THEN u // n ELSE 1 END)")})::INTEGER AS l
+  FROM per CROSS JOIN uni
+)
+SELECT term, n, l,
+       (n * l + n + (u >> l))::BIGINT AS ef_bits,
+       ((n * l + n + (u >> l)) * 1000 // n)::BIGINT AS bits_per_posting_milli
+FROM lbits ORDER BY term
+"""
+
+
+# -- rank-biased overlap of term rankings ---------------------------------------------------------------------
+
+_RBO_K = 50
+_RBO_PS = (0.9, 0.98)
+
+
+def _rbo_suffix_nano(p: float, k: int) -> list[int]:
+    """suffix[m] = floor(1e9 * sum_{d=m..k} (1-p) p^(d-1) / d): the total
+    RBO weight an item with max(rank_a, rank_b) = m contributes. Computed
+    once driver-side and injected as the SAME literal into both engines,
+    so parity never rests on pow() ulps."""
+    terms = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    out = []
+    for m in range(1, k + 1):
+        out.append(int(math.floor(sum(terms[m - 1 :]) * 1_000_000_000)))
+    return out
+
+
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel TOIS'10) at depth
+    {K}: the top-weighted similarity between two term rankings of the
+    corpus — by document frequency vs by total term frequency — at
+    persistence p = 0.9 (head-heavy) and 0.98 (deep). RBO@K =
+    sum_d (1-p) p^(d-1) |A_d ∩ B_d| / d, evaluated per common item as a
+    precomputed suffix-weight lookup at depth max(rank_a, rank_b), the
+    standard trick that turns the per-depth intersection into one join.
+    The monitor a retrieval stack runs to detect when two ranking
+    signals (or yesterday's and today's index) stop agreeing where it
+    matters — at the top.
+
+    Scale shape: one vocab aggregation, two TakeOrdered top-K
+    (never a global sort of the vocabulary), a 50-row self-join with
+    the weight array inlined as a literal; output is |p| rows."""
+    terms = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select(F.explode("toks").alias("term"), "doc_id")
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+        )
+        .localCheckpoint()
+    )
+
+    def topk(col: str):
+        # TakeOrderedAndProject bounds the sort; ranks assigned on the
+        # 50-row result, not the vocabulary
+        lim = terms.orderBy(F.col(col).desc(), F.col("term")).limit(_RBO_K)
+        return lim.select(
+            "term",
+            F.row_number()
+            .over(Window.orderBy(F.col(col).desc(), F.col("term")))
+            .alias(f"r_{col}"),
+        )
+
+    joined = topk("df").join(topk("tf"), "term")
+    rows = []
+    for p in _RBO_PS:
+        suffix = _rbo_suffix_nano(p, _RBO_K)
+        arr = "array(" + ", ".join(str(v) + "L" for v in suffix) + ")"
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(
+                F.expr(f"element_at({arr}, cast(greatest(r_df, r_tf) as int))")
+            )
+            .cast("bigint")
+            .alias("rbo_nano"),
+        ).select(
+            F.lit(int(p * 100)).cast("int").alias("p_pct"),
+            F.lit(_RBO_K).cast("int").alias("k"),
+            "n_common",
+            "rbo_nano",
+        )
+        rows.append(agg)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("p_pct")
+
+
+def _sql_rank_biased_overlap() -> str:
+    sels = []
+    for p in _RBO_PS:
+        suffix = _rbo_suffix_nano(p, _RBO_K)
+        arr = "[" + ", ".join(str(v) for v in suffix) + "]"
+        sels.append(
+            f"""SELECT {int(p * 100)}::INTEGER AS p_pct, {_RBO_K}::INTEGER AS k,
+       count(*)::BIGINT AS n_common,
+       sum(({arr})[greatest(r_df, r_tf)])::BIGINT AS rbo_nano
+FROM joined"""
+        )
+    body = "\nUNION ALL\n".join(sels)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), tl AS (
+  SELECT doc_id, unnest(toks) AS term FROM toks
+), terms AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS tf
+  FROM tl GROUP BY term
+), adf AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r_df
+  FROM terms ORDER BY df DESC, term LIMIT {_RBO_K}
+), atf AS (
+  SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS r_tf
+  FROM terms ORDER BY tf DESC, term LIMIT {_RBO_K}
+), joined AS (
+  SELECT a.term, a.r_df, b.r_tf FROM adf a JOIN atf b USING (term)
+)
+SELECT * FROM ({body}) ORDER BY p_pct
+"""
+
+
+SQL_RANK_BIASED_OVERLAP = _sql_rank_biased_overlap()
+
+
+# -- Wasserstein-1 drift --------------------------------------------------------------------------------------
+
+
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the document-length
+    distributions of the lang='en' slice and the rest — the same
+    monitor slice as `ks_drift` but the integral drift statistic
+    instead of the supremum: W1 = integral |F_a(v) - F_b(v)| dv =
+    sum over adjacent distinct lengths of |F_a - F_b| * gap. KS fires
+    on a single sharp divergence, W1 on sustained mass displacement;
+    production drift gates run both. Integer-EXACT: with counts
+    cum_a/na and cum_b/nb, each segment contributes
+    |cum_a*nb - cum_b*na| * gap on the common denominator na*nb — no
+    floating point anywhere, w1_milli = num * 1000 // (na*nb).
+
+    Scale shape: identical to ks_drift — grouped histogram (map-side
+    partials), ordered window over the tiny distinct-value frame,
+    1-row output."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").alias("is_a")
+    )
+    per_v = docs.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cb"),
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    wnext = Window.orderBy("n_chars")
+    seg = (
+        per_v.select(
+            "n_chars",
+            F.sum("ca").over(w).cast("bigint").alias("cum_a"),
+            F.sum("cb").over(w).cast("bigint").alias("cum_b"),
+        )
+        .withColumn("gap", F.lead("n_chars").over(wnext) - F.col("n_chars"))
+        .filter(F.col("gap").isNotNull())
+    )
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("na").cast("bigint").alias("n_en"),
+            F.max("nb").cast("bigint").alias("n_rest"),
+            F.sum(F.expr("abs(cum_a * nb - cum_b * na) * gap"))
+            .cast("bigint")
+            .alias("w1_num"),
+        )
+        .select(
+            "n_en",
+            "n_rest",
+            "w1_num",
+            F.expr("w1_num * 1000 div (n_en * n_rest)")
+            .cast("bigint")
+            .alias("w1_chars_milli"),
+        )
+    )
+
+
+SQL_WASSERSTEIN_DRIFT = """
+WITH per_v AS (
+  SELECT n_chars,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cb
+  FROM documents GROUP BY n_chars
+), tot AS (
+  SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM per_v
+), seg AS (
+  SELECT n_chars,
+         sum(ca) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_a,
+         sum(cb) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_b,
+         lead(n_chars) OVER (ORDER BY n_chars) - n_chars AS gap
+  FROM per_v
+)
+SELECT max(na)::BIGINT AS n_en, max(nb)::BIGINT AS n_rest,
+       sum(abs(cum_a * nb - cum_b * na) * gap)::BIGINT AS w1_num,
+       (sum(abs(cum_a * nb - cum_b * na) * gap) * 1000 // (max(na) * max(nb)))::BIGINT AS w1_chars_milli
+FROM seg CROSS JOIN tot
+WHERE gap IS NOT NULL
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -17103,6 +17373,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
     "kaplan_meier_survival": (q_kaplan_meier_survival, SQL_KAPLAN_MEIER_SURVIVAL),
     "gorilla_timestamp_bits": (q_gorilla_timestamp_bits, SQL_GORILLA_TIMESTAMP_BITS),
+    "elias_fano_bits": (q_elias_fano_bits, SQL_ELIAS_FANO_BITS),
+    "rank_biased_overlap": (q_rank_biased_overlap, SQL_RANK_BIASED_OVERLAP),
+    "wasserstein_drift": (q_wasserstein_drift, SQL_WASSERSTEIN_DRIFT),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
