@@ -1069,3 +1069,31 @@ def test_gorilla_single_partitioned_window_no_join(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p
     assert "Window" in p
+
+
+def test_elias_fano_broadcast_universe_no_cartesian(spark):
+    p = plan_str(_q("elias_fano_bits", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # 1-row universe broadcast into the per-term frame, CASE-ladder
+    # log2 is pure map-side arithmetic
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_rank_biased_overlap_bounded_topk(spark):
+    simple = plan_str(_q("rank_biased_overlap", spark), "simple")
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+    # both rankings come from TakeOrdered (K=50), never a global sort
+    # of the vocabulary; the windows then rank only 50 rows
+    assert "TakeOrderedAndProject" in simple
+    assert "CartesianProduct" not in simple
+
+
+def test_wasserstein_drift_grouped_before_window(spark):
+    p = plan_str(_q("wasserstein_drift", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    simple = plan_str(_q("wasserstein_drift", spark), "simple")
+    # CDF window runs over the distinct-length histogram (grouped
+    # first, map-side partials), never the raw documents
+    assert "HashAggregate" in simple and "Window" in simple
