@@ -1097,3 +1097,28 @@ def test_wasserstein_drift_grouped_before_window(spark):
     # CDF window runs over the distinct-length histogram (grouped
     # first, map-side partials), never the raw documents
     assert "HashAggregate" in simple and "Window" in simple
+
+
+def test_benford_broadcast_total_map_side_digits(spark):
+    p = plan_str(_q("benford_deviation", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # digit extraction is map-side string math; the 1-row total
+    # broadcasts back into the 9-row digit frame
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "HashAggregate" in p
+
+
+def test_for_block_bits_single_window(spark):
+    p = plan_str(_q("for_block_bits", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("for_block_bits", spark), "simple")
+    # lag + row_number share ONE window over (term, doc_id) — a second
+    # Window exec would be a silent extra sort at scale
+    assert simple.count("Window") == 1
+
+
+def test_wl_refinement_no_cartesian(spark):
+    p = plan_str(_q("wl_refinement", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p

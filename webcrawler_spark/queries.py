@@ -17134,6 +17134,250 @@ WHERE gap IS NOT NULL
 """
 
 
+# -- Benford first-digit deviation ---------------------------------------------------------------------------
+
+#: floor(1e9 * log10(1 + 1/d)) — computed once driver-side and injected as
+#: the SAME literal into both engines so parity never rests on log() ulps.
+_BENFORD_NANO = {d: int(math.floor(1e9 * math.log10(1.0 + 1.0 / d))) for d in range(1, 10)}
+_BENFORD_CASE = (
+    "case digit "
+    + " ".join(f"when '{d}' then {v}" for d, v in _BENFORD_NANO.items())
+    + " end"
+)
+
+
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over event values —
+    the classic anomaly/fabrication monitor (Hill, Statistical Science
+    1995): naturally-grown magnitudes put P(d) = log10(1+1/d) mass on
+    leading digit d; synthetic or gamed streams (click fraud, spam
+    traffic, bulk-generated pages) flatten it. Output per digit: the
+    observed count, the Benford-expected count in milli-units, and the
+    signed deviation in nano-fractions — integer-exact because the
+    digit comes from a decimal string cast (never a floating log) and
+    the expected probabilities are driver-side literals shared with
+    the oracle.
+
+    Scale shape: map-side digit extraction, 9-group aggregation with
+    partials, 1-row total broadcast back in; 9 output rows at any
+    corpus size. At 10^10 events the only care is obs*1e9 nearing
+    int64 — switch dev to ppm at that magnitude."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("value") >= 1)
+    obs = (
+        ev.select(
+            F.substring(
+                F.floor("value").cast("bigint").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    tot = obs.agg(F.sum("obs").cast("bigint").alias("n"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .withColumn("p_nano", F.expr(_BENFORD_CASE).cast("bigint"))
+        .select(
+            "digit",
+            "obs",
+            "n",
+            F.expr("n * p_nano div 1000000").cast("bigint").alias("expected_milli"),
+            F.expr("obs * 1000000000 - n * p_nano").cast("bigint").alias("dev_nano"),
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_BENFORD_DEVIATION = f"""
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+  FROM events WHERE value >= 1
+), obs AS (
+  SELECT digit, count(*)::BIGINT AS obs FROM d GROUP BY digit
+), tot AS (SELECT sum(obs)::BIGINT AS n FROM obs)
+SELECT digit, obs, n,
+       (n * ({_BENFORD_CASE}) // 1000000)::BIGINT AS expected_milli,
+       (obs * 1000000000 - n * ({_BENFORD_CASE}))::BIGINT AS dev_nano
+FROM obs CROSS JOIN tot ORDER BY digit
+"""
+
+
+# -- frame-of-reference posting block bits ---------------------------------------------------------------------
+
+_FOR_BLOCK = 128
+
+
+def q_for_block_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-of-reference (FOR) posting compression cost model
+    (Goldstein/Ramakrishnan/Shaft ICDE'98; the PackedInts block format
+    in Lucene): per term, sorted doc-id gaps are cut into 128-entry
+    blocks, each block stored at the fixed bit width of its LARGEST
+    gap (width = floor(log2(max_gap)) + 1) plus a 1-byte width header.
+    Completes the posting-format trio — varint (`posting_delta_bytes`),
+    Elias-Fano (`elias_fano_bits`), FOR — that the `inverted_index`
+    plan chooses between at 10^10 docs: FOR trades a few bits/posting
+    for SIMD-decodable fixed-width blocks. Integer-exact via the same
+    CASE-ladder log2 as Elias-Fano; first posting stored as id+1 so
+    doc 0 still costs width.
+
+    Scale shape: explode -> distinct postings (one shuffle); lag +
+    row_number share ONE window partitioned by term (no second
+    exchange); (term, block) agg then term agg, partials on both."""
+    post = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select(F.explode("toks").alias("term"), "doc_id")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    g = post.select(
+        "term",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id") + 1
+        ).alias("g"),
+        ((F.row_number().over(w) - 1) - ((F.row_number().over(w) - 1) % _FOR_BLOCK))
+        .alias("blk"),
+    )
+    per_blk = (
+        g.groupBy("term", "blk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.max("g").cast("bigint").alias("q"),
+        )
+        .withColumn("width", F.expr(_LOG2_CASE).cast("bigint") + 1)
+    )
+    return (
+        per_blk.groupBy("term")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("df"),
+            F.count(F.lit(1)).cast("bigint").alias("nblocks"),
+            F.sum(F.expr("cnt * width + 8")).cast("bigint").alias("for_bits"),
+        )
+        .withColumn(
+            "bits_per_posting_milli", F.expr("for_bits * 1000 div df").cast("bigint")
+        )
+        .orderBy("term")
+    )
+
+
+SQL_FOR_BLOCK_BITS = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+post AS (SELECT DISTINCT t.term, toks.doc_id FROM toks, unnest(toks.toks) AS t(term)),
+gaps AS (
+  SELECT term,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                  doc_id + 1) AS g,
+         (row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1)
+           - ((row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1) % {_FOR_BLOCK}) AS blk
+  FROM post
+), per_blk AS (
+  SELECT term, blk, count(*)::BIGINT AS cnt, max(g)::BIGINT AS q
+  FROM gaps GROUP BY term, blk
+), widths AS (
+  SELECT term, cnt, ({_LOG2_CASE})::BIGINT + 1 AS width FROM per_blk
+), per_term AS (
+  SELECT term, sum(cnt)::BIGINT AS df, count(*)::BIGINT AS nblocks,
+         sum(cnt * width + 8)::BIGINT AS for_bits
+  FROM widths GROUP BY term
+)
+SELECT term, df, nblocks, for_bits,
+       (for_bits * 1000 // df)::BIGINT AS bits_per_posting_milli
+FROM per_term ORDER BY term
+"""
+
+
+# -- Weisfeiler-Lehman color refinement -------------------------------------------------------------------------
+
+_WL_ITERS = 2
+
+
+def q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-dimensional Weisfeiler-Lehman color refinement (the WL graph
+    isomorphism test; Shervashidze et al JMLR'11 use it as a graph
+    kernel) on the undirected host graph: every node starts colored by
+    its degree, then each round recolors to
+    hash(own_color | sorted multiset of neighbor colors). Two rounds
+    of refinement give each host a structural fingerprint of its
+    2-hop neighborhood — the mirror-site / template-farm detector
+    that degree alone misses (two hosts with equal degree but
+    different neighbor-degree profiles split at round 1). Colors are
+    md5 prefixes of canonical strings, so both engines agree
+    bit-for-bit.
+
+    Scale shape: per round exactly one join (labels into the
+    adjacency list) + one groupBy(node) with a sorted-array
+    signature; labels localCheckpoint()ed between rounds to keep the
+    plan flat. At 10^10 edges this is the standard iterated
+    join-aggregate — same shuffle skeleton as PageRank."""
+    edges = _pagerank_edges(spark, sf_dir)
+    adj = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .union(edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    lab = deg.select("node", F.col("deg").cast("string").alias("lbl"))
+    rounds = []
+    for i in range(_WL_ITERS):
+        sig = (
+            adj.join(
+                lab.select(F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.array_join(F.array_sort(F.collect_list("nlbl")), ",").alias("sig"))
+        )
+        lab = (
+            lab.join(sig, "node")
+            .select(
+                "node",
+                F.substring(F.md5(F.concat_ws("|", "lbl", "sig")), 1, 8).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        rounds.append(lab.select("node", F.col("lbl").alias(f"c{i + 1}")))
+    out = deg
+    for r in rounds:
+        out = out.join(r, "node")
+    return out.orderBy("node")
+
+
+SQL_WL_REFINEMENT = f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+), adj AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT src AS node, dst AS nbr FROM edges
+    UNION ALL SELECT dst AS node, src AS nbr FROM edges
+  )
+), deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM adj GROUP BY node
+), l0 AS (
+  SELECT node, deg::VARCHAR AS lbl FROM deg
+), s1 AS (
+  SELECT a.node, string_agg(l.lbl, ',' ORDER BY l.lbl) AS sig
+  FROM adj a JOIN l0 l ON a.nbr = l.node GROUP BY a.node
+), l1 AS (
+  SELECT l0.node, substr(md5(concat_ws('|', l0.lbl, s1.sig)), 1, 8) AS lbl
+  FROM l0 JOIN s1 ON l0.node = s1.node
+), s2 AS (
+  SELECT a.node, string_agg(l.lbl, ',' ORDER BY l.lbl) AS sig
+  FROM adj a JOIN l1 l ON a.nbr = l.node GROUP BY a.node
+), l2 AS (
+  SELECT l1.node, substr(md5(concat_ws('|', l1.lbl, s2.sig)), 1, 8) AS lbl
+  FROM l1 JOIN s2 ON l1.node = s2.node
+)
+SELECT deg.node, deg.deg, l1.lbl AS c1, l2.lbl AS c2
+FROM deg
+JOIN l1 ON deg.node = l1.node
+JOIN l2 ON deg.node = l2.node
+ORDER BY deg.node
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -17376,6 +17620,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "elias_fano_bits": (q_elias_fano_bits, SQL_ELIAS_FANO_BITS),
     "rank_biased_overlap": (q_rank_biased_overlap, SQL_RANK_BIASED_OVERLAP),
     "wasserstein_drift": (q_wasserstein_drift, SQL_WASSERSTEIN_DRIFT),
+    "benford_deviation": (q_benford_deviation, SQL_BENFORD_DEVIATION),
+    "for_block_bits": (q_for_block_bits, SQL_FOR_BLOCK_BITS),
+    "wl_refinement": (q_wl_refinement, SQL_WL_REFINEMENT),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
