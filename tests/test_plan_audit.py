@@ -1122,3 +1122,29 @@ def test_wl_refinement_no_cartesian(spark):
     p = plan_str(_q("wl_refinement", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_roaring_single_window_no_join(spark):
+    p = plan_str(_q("roaring_container_plan", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("roaring_container_plan", spark), "simple")
+    # run detection rides ONE (term, chunk) window; container choice
+    # and byte mins are pure map-side CASE/least over the chunk agg
+    assert simple.count("Window") == 1
+
+
+def test_odds_ratio_broadcast_totals(spark):
+    p = plan_str(_q("odds_ratio_keyness", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # 1-row corpus totals broadcast into the per-term contingency frame
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "HashAggregate" in p
+
+
+def test_interarrival_window_partitioned_by_type(spark):
+    p = plan_str(_q("interarrival_burstiness", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("interarrival_burstiness", spark), "simple")
+    assert simple.count("Window") == 1

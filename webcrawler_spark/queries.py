@@ -17378,6 +17378,263 @@ ORDER BY deg.node
 """
 
 
+# -- Roaring bitmap container plan -----------------------------------------------------------------------------
+
+#: scaled-down container span (real Roaring uses 2^16; the decision rule
+#: is span-relative, so the model keeps its shape at any span)
+_ROAR_SPAN = 1024
+
+
+def q_roaring_container_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roaring-bitmap container planning (Chambi, Lemire et al.
+    Software P&E 2016): each posting list is cut into fixed doc-id
+    spans and every span independently picks the cheapest container —
+    sorted array (2 bytes/id), bitmap (span/8 bytes flat), or run
+    container (2 + 4 bytes/run) — exactly the decision
+    `RoaringBitmap.runOptimize` makes. Completes the index-layout
+    family (varint / Elias-Fano / FOR / Roaring): Roaring is what you
+    pick when the index must also answer fast AND/OR for faceted or
+    filtered crawls. Span scaled to {span} (vs 2^16 in the library) so
+    small-SF tests exercise all three container types; the byte
+    formulas keep their real-library shape.
+
+    Scale shape: explode -> distinct postings (one shuffle); run
+    detection is a lag over ONE (term, chunk)-partitioned window; two
+    grouped aggs with partials; integer arithmetic only."""
+    post = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select(F.explode("toks").alias("term"), "doc_id")
+        .distinct()
+        .withColumn("chunk", (F.col("doc_id") - F.col("doc_id") % _ROAR_SPAN))
+    )
+    w = Window.partitionBy("term", "chunk").orderBy("doc_id")
+    runs = post.withColumn(
+        "newrun",
+        F.when(F.col("doc_id") - F.lag("doc_id").over(w) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    per_chunk = (
+        runs.groupBy("term", "chunk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("newrun").cast("bigint").alias("r"),
+        )
+        .withColumn("array_b", F.expr("2 * c"))
+        .withColumn("bitmap_b", F.lit(_ROAR_SPAN // 8).cast("bigint"))
+        .withColumn("run_b", F.expr("2 + 4 * r"))
+        .withColumn(
+            "kind",
+            F.expr(
+                "case when run_b <= array_b and run_b <= bitmap_b then 'run' "
+                "when array_b <= bitmap_b then 'array' else 'bitmap' end"
+            ),
+        )
+        .withColumn("bytes", F.least("array_b", "bitmap_b", "run_b"))
+    )
+    return (
+        per_chunk.groupBy("term")
+        .agg(
+            F.sum("c").cast("bigint").alias("df"),
+            F.count(F.lit(1)).cast("bigint").alias("nchunks"),
+            F.sum(F.expr("cast(kind = 'array' as bigint)")).alias("n_array"),
+            F.sum(F.expr("cast(kind = 'bitmap' as bigint)")).alias("n_bitmap"),
+            F.sum(F.expr("cast(kind = 'run' as bigint)")).alias("n_run"),
+            F.sum("bytes").cast("bigint").alias("roaring_bytes"),
+        )
+        .select(
+            "term",
+            "df",
+            "nchunks",
+            "n_array",
+            "n_bitmap",
+            "n_run",
+            "roaring_bytes",
+            F.expr("(df * 4 - roaring_bytes) * 1000000 div (df * 4)")
+            .cast("bigint")
+            .alias("savings_ppm"),
+        )
+        .orderBy("term")
+    )
+
+
+q_roaring_container_plan.__doc__ = q_roaring_container_plan.__doc__.format(
+    span=_ROAR_SPAN
+)
+
+
+SQL_ROARING_CONTAINER_PLAN = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+post AS (SELECT DISTINCT t.term, toks.doc_id FROM toks, unnest(toks.toks) AS t(term)),
+runs AS (
+  SELECT term, doc_id - doc_id % {_ROAR_SPAN} AS chunk,
+         CASE WHEN doc_id - lag(doc_id) OVER (
+                PARTITION BY term, doc_id - doc_id % {_ROAR_SPAN} ORDER BY doc_id
+              ) = 1 THEN 0 ELSE 1 END AS newrun
+  FROM post
+), per_chunk AS (
+  SELECT term, chunk, count(*)::BIGINT AS c, sum(newrun)::BIGINT AS r
+  FROM runs GROUP BY term, chunk
+), sized AS (
+  SELECT term, c,
+         2 * c AS array_b, {_ROAR_SPAN // 8}::BIGINT AS bitmap_b, 2 + 4 * r AS run_b
+  FROM per_chunk
+), chosen AS (
+  SELECT term, c,
+         CASE WHEN run_b <= array_b AND run_b <= bitmap_b THEN 'run'
+              WHEN array_b <= bitmap_b THEN 'array' ELSE 'bitmap' END AS kind,
+         least(array_b, bitmap_b, run_b) AS bytes
+  FROM sized
+)
+SELECT term, sum(c)::BIGINT AS df, count(*)::BIGINT AS nchunks,
+       sum((kind = 'array')::BIGINT)::BIGINT AS n_array,
+       sum((kind = 'bitmap')::BIGINT)::BIGINT AS n_bitmap,
+       sum((kind = 'run')::BIGINT)::BIGINT AS n_run,
+       sum(bytes)::BIGINT AS roaring_bytes,
+       ((sum(c) * 4 - sum(bytes)) * 1000000 // (sum(c) * 4))::BIGINT AS savings_ppm
+FROM chosen GROUP BY term ORDER BY term
+"""
+
+
+# -- odds-ratio keyness ------------------------------------------------------------------------------------------
+
+
+def q_odds_ratio_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-comparison keyness by document-frequency odds ratio: for
+    each term, how much more likely is an English document to contain
+    it than a non-English one — the workhorse behind 'what words
+    characterize slice A vs slice B' (Monroe/Colaresi/Quinn 'Fightin'
+    Words' 2008 §3.1 use its log; the ratio itself needs no
+    transcendentals). Haldane-Anscombe +1/2 smoothing keeps zero cells
+    finite; doubling both sides ((2a+1)(2d+1) / (2b+1)(2c+1)) keeps
+    every operand integral, so both engines agree exactly. The slice
+    audit a training-data pipeline runs after language routing: terms
+    with extreme keyness in the 'wrong' slice expose lang-ID errors
+    and template contamination.
+
+    Scale shape: per-doc distinct terms (one shuffle), one contingency
+    groupBy with partials, 1-row corpus totals broadcast back;
+    |vocab| output rows, pure integer map-side math after the aggs."""
+    docs = _docs_parallel(spark, sf_dir).select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_en")
+    )
+    dt = (
+        _tokens(docs)
+        .select("doc_id", "is_en", F.explode("toks").alias("term"))
+        .distinct()
+    )
+    per_term = dt.groupBy("term").agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("is_en"), 0).otherwise(1)).cast("bigint").alias("c"),
+    )
+    tot = docs.agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("bigint").alias("n_en"),
+        F.sum(F.when(F.col("is_en"), 0).otherwise(1)).cast("bigint").alias("n_rest"),
+    )
+    return (
+        per_term.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "a",
+            F.expr("n_en - a").cast("bigint").alias("b"),
+            "c",
+            F.expr("n_rest - c").cast("bigint").alias("d"),
+        )
+        .withColumn(
+            "odds_ratio_ppm",
+            F.expr(
+                "(2*a + 1) * (2*d + 1) * 1000000 div ((2*b + 1) * (2*c + 1))"
+            ).cast("bigint"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_ODDS_RATIO_KEYNESS = f"""
+WITH docs AS (
+  SELECT doc_id, (lang = 'en') AS is_en, {_SQL_TOKS} AS toks FROM documents
+), dt AS (
+  SELECT DISTINCT doc_id, is_en, unnest(toks) AS term FROM docs
+), per_term AS (
+  SELECT term,
+         sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN is_en THEN 0 ELSE 1 END)::BIGINT AS c
+  FROM dt GROUP BY term
+), tot AS (
+  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS n_rest
+  FROM documents
+)
+SELECT term, a, (n_en - a)::BIGINT AS b, c, (n_rest - c)::BIGINT AS d,
+       ((2*a + 1) * (2*(n_rest - c) + 1) * 1000000
+        // ((2*(n_en - a) + 1) * (2*c + 1)))::BIGINT AS odds_ratio_ppm
+FROM per_term CROSS JOIN tot ORDER BY term
+"""
+
+
+# -- inter-arrival burstiness ------------------------------------------------------------------------------------
+
+
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion of the request stream, per event type:
+    CV^2 = Var(d)/E[d]^2 over inter-arrival gaps d — CV^2 = 1 is
+    Poisson traffic, >> 1 bursty (flash crowds, retry storms, bot
+    bursts), << 1 regular (pacing/rate limiting working as intended).
+    The scheduler-side complement to `term_burstiness` (content) and
+    `host_fairness` (allocation): politeness budgets sized for mean
+    rate melt under the same mean delivered as bursts. Closed form on
+    three integer partials — cv2_milli = (n*Sum(d^2) - Sum(d)^2) * 1000
+    div Sum(d)^2 — with gaps in whole seconds (epoch_us div 1e6), so
+    both engines agree exactly; gap ties make the statistic invariant
+    to tie order.
+
+    Scale shape: one lag window per event type (the natural stream
+    partitioning), one groupBy with integer partials; |types| rows."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", (_us("ts") / F.lit(1000000)).cast("bigint").alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("s")
+    gaps = ev.withColumn("d", F.col("s") - F.lag("s").over(w)).filter(
+        F.col("d").isNotNull()
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("d").cast("bigint").alias("sum_d"),
+            F.sum(F.expr("d * d")).cast("bigint").alias("sum_d2"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            F.expr("sum_d div n_gaps").cast("bigint").alias("mean_gap_s"),
+            F.expr("(n_gaps * sum_d2 - sum_d * sum_d) * 1000 div (sum_d * sum_d)")
+            .cast("bigint")
+            .alias("cv2_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_INTERARRIVAL_BURSTINESS = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS s FROM events
+), gaps AS (
+  SELECT event_type,
+         s - lag(s) OVER (PARTITION BY event_type ORDER BY s) AS d
+  FROM ev
+), agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_gaps,
+         sum(d)::BIGINT AS sum_d, sum(d * d)::BIGINT AS sum_d2
+  FROM gaps WHERE d IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       (sum_d // n_gaps)::BIGINT AS mean_gap_s,
+       ((n_gaps * sum_d2 - sum_d * sum_d) * 1000 // (sum_d * sum_d))::BIGINT AS cv2_milli
+FROM agg ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -17623,6 +17880,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "benford_deviation": (q_benford_deviation, SQL_BENFORD_DEVIATION),
     "for_block_bits": (q_for_block_bits, SQL_FOR_BLOCK_BITS),
     "wl_refinement": (q_wl_refinement, SQL_WL_REFINEMENT),
+    "roaring_container_plan": (q_roaring_container_plan, SQL_ROARING_CONTAINER_PLAN),
+    "odds_ratio_keyness": (q_odds_ratio_keyness, SQL_ODDS_RATIO_KEYNESS),
+    "interarrival_burstiness": (
+        q_interarrival_burstiness,
+        SQL_INTERARRIVAL_BURSTINESS,
+    ),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
