@@ -1148,3 +1148,27 @@ def test_interarrival_window_partitioned_by_type(spark):
     assert "Join" not in p
     simple = plan_str(_q("interarrival_burstiness", spark), "simple")
     assert simple.count("Window") == 1
+
+
+def test_capture_recapture_single_pass_no_join(spark):
+    p = plan_str(_q("capture_recapture", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("capture_recapture", spark), "simple")
+    # both hash samples fold into ONE aggregate over one corpus scan
+    assert simple.count("HashAggregate") == 2  # partial + final
+
+
+def test_chao1_two_grouped_aggs_no_join(spark):
+    p = plan_str(_q("chao1_richness", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+
+
+def test_readability_map_only(spark):
+    p = plan_str(_q("readability_grade", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p
+    simple = plan_str(_q("readability_grade", spark), "simple")
+    # map-side regexp counting + arithmetic, then only the output sort
+    assert "HashAggregate" not in simple

@@ -17635,6 +17635,200 @@ FROM agg ORDER BY event_type
 """
 
 
+# -- capture-recapture frontier-size estimate --------------------------------------------------------------------
+
+#: per-mille inclusion threshold for the two independent hash samples
+_CR_PCT = 30
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman 1951) corpus-size estimation: two
+    independent deterministic hash samples of the document space play
+    the role of two independent crawls; the overlap between them
+    estimates the TRUE population size N ~ (n1+1)(n2+1)/(m+1) - 1 —
+    the classic technique for estimating the size of the indexable web
+    from overlapping crawler indexes (Lawrence & Giles, Science 1998).
+    At 10^10 URLs nobody can count the frontier's complement; two
+    cheap Bernoulli crawls + this 1-row estimate is how coverage gets
+    audited. Samples are md5-derived, so membership is bit-reproducible
+    in both engines; the Chapman form is integer-exact.
+
+    Scale shape: single pass over the corpus — two map-side hash
+    predicates folded into ONE aggregate of four conditional counts;
+    no join, no shuffle beyond the 1-row agg."""
+    docs = _read(spark, sf_dir, "documents").select(
+        (
+            F.expr(
+                "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)"
+            )
+            % 100
+            < _CR_PCT
+        ).alias("in_a"),
+        (
+            F.expr(
+                "cast(conv(substring(md5(cast(doc_id as string)), 5, 4), 16, 10) as bigint)"
+            )
+            % 100
+            < _CR_PCT
+        ).alias("in_b"),
+    )
+    return (
+        docs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("bigint").alias("n2"),
+            F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("m"),
+        )
+        .withColumn(
+            "chapman_est",
+            F.expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").cast("bigint"),
+        )
+        .withColumn(
+            "abs_err_ppm",
+            F.expr("abs(chapman_est - n_true) * 1000000 div n_true").cast("bigint"),
+        )
+    )
+
+
+SQL_CAPTURE_RECAPTURE = f"""
+WITH tagged AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < {_CR_PCT} AS in_a,
+         ('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::BIGINT % 100 < {_CR_PCT} AS in_b
+  FROM documents
+), agg AS (
+  SELECT count(*)::BIGINT AS n_true,
+         sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN in_b THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)::BIGINT AS m
+  FROM tagged
+)
+SELECT n_true, n1, n2, m,
+       ((n1 + 1) * (n2 + 1) // (m + 1) - 1)::BIGINT AS chapman_est,
+       (abs((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true) * 1000000 // n_true)::BIGINT AS abs_err_ppm
+FROM agg
+"""
+
+
+# -- Chao1 vocabulary richness ------------------------------------------------------------------------------------
+
+
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimation per language slice: the
+    lower-bound estimate of TRUE vocabulary size from the observed
+    type counts and the singleton/doubleton frequencies —
+    S_chao1 = S_obs + f1^2/(2 f2) (bias-corrected f1(f1-1)/2 when
+    f2 = 0). Completes the vocabulary triptych: Heaps
+    (`vocab_growth_curve`) says how vocab GROWS, Good-Turing
+    (`unseen_mass_gt`) how much probability mass is unseen, Chao1 how
+    many TYPES are unseen — the number that decides whether a
+    tokenizer's vocab budget has converged per language. Integer-exact
+    milli arithmetic; the f2 = 0 branch keeps the numerator
+    non-negative so truncating division agrees across engines.
+
+    Scale shape: (lang, term) count groupBy (one shuffle) -> per-lang
+    fold of S_obs/f1/f2 integer partials; |langs| output rows."""
+    per = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select("lang", F.explode("toks").alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+            F.sum(F.expr("cast(c = 1 as bigint)")).alias("f1"),
+            F.sum(F.expr("cast(c = 2 as bigint)")).alias("f2"),
+        )
+        .withColumn(
+            "chao1_milli",
+            F.expr(
+                "s_obs * 1000 + case when f2 > 0 then f1 * f1 * 1000 div (2 * f2) "
+                "else f1 * (f1 - 1) * 1000 div 2 end"
+            ).cast("bigint"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CHAO1_RICHNESS = f"""
+WITH toks AS (
+  SELECT lang, {_SQL_TOKS} AS toks FROM documents
+), per AS (
+  SELECT lang, term, count(*)::BIGINT AS c
+  FROM (SELECT lang, unnest(toks) AS term FROM toks) GROUP BY lang, term
+), agg AS (
+  SELECT lang, count(*)::BIGINT AS s_obs,
+         sum((c = 1)::BIGINT)::BIGINT AS f1,
+         sum((c = 2)::BIGINT)::BIGINT AS f2
+  FROM per GROUP BY lang
+)
+SELECT lang, s_obs, f1, f2,
+       (s_obs * 1000 + CASE WHEN f2 > 0 THEN f1 * f1 * 1000 // (2 * f2)
+                            ELSE f1 * (f1 - 1) * 1000 // 2 END)::BIGINT AS chao1_milli
+FROM agg ORDER BY lang
+"""
+
+
+# -- Flesch-Kincaid readability -----------------------------------------------------------------------------------
+
+
+def q_readability_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document (Kincaid et al 1975):
+    0.39·(words/sentences) + 11.8·(syllables/words) − 15.59, with
+    sentences counted as terminal-punctuation groups and syllables as
+    vowel-letter groups — the standard cheap proxies. A workhorse
+    curation signal orthogonal to `quality_score`'s stopword/length
+    heuristics: grade bands drive mixing (children's text vs technical
+    prose) and flag machine-generated run-ons. Integer-exact on the
+    common denominator s·w with the numerator clamped at 0 (grades
+    below 0 report 0), so truncating division agrees across engines
+    and no floating point appears.
+
+    Scale shape: pure map-side regexp counting + arithmetic — zero
+    shuffles, scales linearly; the regexes are single-pass RE2-safe
+    character classes."""
+    docs = _tokens(_docs_parallel(spark, sf_dir)).select(
+        "doc_id",
+        F.greatest(F.expr("size(toks)"), F.lit(1)).cast("bigint").alias("w"),
+        F.greatest(
+            F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+        .cast("bigint")
+        .alias("syl"),
+    )
+    return docs.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("syl").alias("n_syllables"),
+        F.expr(
+            "greatest(390 * w * w + 11800 * syl * s - 15590 * s * w, 0) div (s * w)"
+        )
+        .cast("bigint")
+        .alias("fk_grade_milli"),
+    ).orderBy("doc_id")
+
+
+SQL_READABILITY_GRADE = f"""
+WITH base AS (
+  SELECT doc_id,
+         greatest(len({_SQL_TOKS}), 1)::BIGINT AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS syl
+  FROM documents
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+       (greatest(390 * w * w + 11800 * syl * s - 15590 * s * w, 0) // (s * w))::BIGINT AS fk_grade_milli
+FROM base ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -17886,6 +18080,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_interarrival_burstiness,
         SQL_INTERARRIVAL_BURSTINESS,
     ),
+    "capture_recapture": (q_capture_recapture, SQL_CAPTURE_RECAPTURE),
+    "chao1_richness": (q_chao1_richness, SQL_CHAO1_RICHNESS),
+    "readability_grade": (q_readability_grade, SQL_READABILITY_GRADE),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
