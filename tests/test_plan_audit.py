@@ -1172,3 +1172,29 @@ def test_readability_map_only(spark):
     simple = plan_str(_q("readability_grade", spark), "simple")
     # map-side regexp counting + arithmetic, then only the output sort
     assert "HashAggregate" not in simple
+
+
+def test_brier_bin_table_only_crosses_wire(spark):
+    p = plan_str(_q("brier_decomposition", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # 10-bin table + 1-row totals compose via broadcasts, never a
+    # wide shuffle join
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_wilson_single_groupby_map_side_bound(spark):
+    p = plan_str(_q("wilson_lower_bound", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("wilson_lower_bound", spark), "simple")
+    assert simple.count("HashAggregate") == 2  # partial + final
+
+
+def test_amoc_window_over_daily_rollup(spark):
+    p = plan_str(_q("amoc_changepoint", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    simple = plan_str(_q("amoc_changepoint", spark), "simple")
+    # the CUSUM window runs over the T-row daily rollup, after the agg
+    assert "HashAggregate" in simple and "Window" in simple

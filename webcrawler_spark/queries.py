@@ -17829,6 +17829,251 @@ FROM base ORDER BY doc_id
 """
 
 
+# -- Brier score decomposition ------------------------------------------------------------------------------------
+
+_BRIER_BINS = 10
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score into
+    RELIABILITY − RESOLUTION + UNCERTAINTY over {bins} confidence bins:
+    REL measures how far bin-mean confidence sits from bin accuracy
+    (what `calibration_bins`' ECE L1-summarizes, here in its proper
+    quadratic form), RES how much the bins separate outcomes (a
+    classifier can be perfectly calibrated and useless — RES ~ 0 tells
+    you), UNC the outcome base-rate entropy floor. The audit that says
+    WHY a quality classifier's Brier is bad, not just that it is.
+    Predictions/labels are the same md5-derived calibrated pair as
+    `calibration_bins`, so both engines audit identical data.
+    Integer-exact: every component is a ratio of integer partial sums
+    with non-negative numerators (micro prob^2 units), divisions
+    truncate identically in both engines.
+
+    Scale shape: map-side hash scoring -> {bins}-row groupBy -> 1-row
+    fold; only the bin table crosses the wire."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    scored = docs.select(
+        (F.floor(u * _BRIER_BINS / F.lit(2**32))).cast("int").alias("bin"),
+        F.expr(f"cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) * 1000 div {2**32}").alias("conf_milli"),
+        (v < u).cast("bigint").alias("label"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("label").cast("bigint").alias("s_b"),
+        F.sum("conf_milli").cast("bigint").alias("sp_b"),
+    )
+    return (
+        bins.agg(
+            F.sum("n_b").cast("bigint").alias("n"),
+            F.sum("s_b").cast("bigint").alias("s"),
+            # Sum_b (sp_b - 1000 s_b)^2 / n_b  — milli^2 * n units
+            F.sum(
+                F.expr("(sp_b - 1000 * s_b) * (sp_b - 1000 * s_b) div n_b")
+            )
+            .cast("bigint")
+            .alias("rel_num"),
+        )
+        .crossJoin(
+            F.broadcast(
+                bins.crossJoin(
+                    F.broadcast(
+                        bins.agg(
+                            F.sum("n_b").alias("nn"), F.sum("s_b").alias("ss")
+                        )
+                    )
+                ).agg(
+                    # Sum_b (s_b*N - S*n_b)^2 / n_b
+                    F.sum(
+                        F.expr(
+                            "(s_b * nn - ss * n_b) * (s_b * nn - ss * n_b) div n_b"
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("res_num")
+                )
+            )
+        )
+        .select(
+            "n",
+            "s",
+            F.expr("rel_num div n").cast("bigint").alias("rel_micro"),
+            F.expr("res_num * 1000000 div (n * n * n)")
+            .cast("bigint")
+            .alias("res_micro"),
+            F.expr("s * (n - s) * 1000000 div (n * n)")
+            .cast("bigint")
+            .alias("unc_micro"),
+            F.expr(
+                "rel_num div n - res_num * 1000000 div (n * n * n)"
+                " + s * (n - s) * 1000000 div (n * n)"
+            )
+            .cast("bigint")
+            .alias("brier_micro"),
+        )
+    )
+
+
+q_brier_decomposition.__doc__ = q_brier_decomposition.__doc__.format(bins=_BRIER_BINS)
+
+
+SQL_BRIER_DECOMPOSITION = f"""
+WITH scored AS (
+  SELECT floor(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT * {_BRIER_BINS} / 4294967296)::INTEGER AS bin,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT * 1000 // 4294967296)::BIGINT AS conf_milli,
+         (('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT
+            < ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::BIGINT AS label
+  FROM documents
+), bins AS (
+  SELECT bin, count(*)::BIGINT AS n_b, sum(label)::BIGINT AS s_b,
+         sum(conf_milli)::BIGINT AS sp_b
+  FROM scored GROUP BY bin
+), tot AS (SELECT sum(n_b)::BIGINT AS n, sum(s_b)::BIGINT AS s FROM bins),
+parts AS (
+  SELECT sum((sp_b - 1000 * s_b) * (sp_b - 1000 * s_b) // n_b)::BIGINT AS rel_num,
+         sum((s_b * t.n - t.s * n_b) * (s_b * t.n - t.s * n_b) // n_b)::BIGINT AS res_num
+  FROM bins CROSS JOIN tot t
+)
+SELECT t.n, t.s,
+       (rel_num // t.n)::BIGINT AS rel_micro,
+       (res_num * 1000000 // (t.n * t.n * t.n))::BIGINT AS res_micro,
+       (t.s * (t.n - t.s) * 1000000 // (t.n * t.n))::BIGINT AS unc_micro,
+       (rel_num // t.n - res_num * 1000000 // (t.n * t.n * t.n)
+        + t.s * (t.n - t.s) * 1000000 // (t.n * t.n))::BIGINT AS brier_micro
+FROM parts CROSS JOIN tot t
+"""
+
+
+# -- Wilson lower bound -------------------------------------------------------------------------------------------
+
+
+def q_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% lower confidence bound on each source's
+    English-document rate — the small-sample-honest way to RANK slices
+    by a success rate (the 'how not to sort by average rating' bound):
+    a source at 3/3 must not outrank one at 80/100. At crawl scale
+    this is the host/source promotion criterion: allocate budget by
+    the rate you can PROVE, not the rate you observed. IEEE 754
+    requires /, *, sqrt all correctly rounded, so the identical
+    expression tree over exact integer inputs yields bit-identical
+    doubles in both engines; the result is then rounded to 6 decimals
+    (the comparison precision).
+
+    Scale shape: one groupBy(source) with integer partials; the bound
+    is map-side math on the |sources|-row result."""
+    per = (
+        _read(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("lang") == "en").cast("bigint")).cast("bigint").alias("s"),
+        )
+    )
+    # z = 1.96: z^2 = 3.8416, z^2/2 = 1.9208, z^2/4 = 0.9604 — written as
+    # the SAME literals in the oracle so the double trees are identical
+    lb = (
+        "(cast(s as double) / n + 1.9208 / n "
+        "- 1.96 * sqrt((cast(s as double) / n) * (1.0 - cast(s as double) / n) / n "
+        "+ 0.9604 / (cast(n as double) * n))) / (1.0 + 3.8416 / n)"
+    )
+    return per.select(
+        "source",
+        "n",
+        "s",
+        F.expr("round(cast(s as double) / n, 6)").alias("p_hat"),
+        F.expr(f"round({lb}, 6)").alias("wilson_lb"),
+    ).orderBy(F.col("wilson_lb").desc(), "source")
+
+
+SQL_WILSON_LOWER_BOUND = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n,
+         sum((lang = 'en')::BIGINT)::BIGINT AS s
+  FROM documents GROUP BY source
+)
+SELECT source, n, s,
+       round(s::DOUBLE / n, 6) AS p_hat,
+       round((s::DOUBLE / n + 1.9208 / n
+              - 1.96 * sqrt((s::DOUBLE / n) * (1.0 - s::DOUBLE / n) / n
+                            + 0.9604 / (n::DOUBLE * n))) / (1.0 + 3.8416 / n),
+             6) AS wilson_lb
+FROM per ORDER BY wilson_lb DESC, source
+"""
+
+
+# -- at-most-one changepoint scan ----------------------------------------------------------------------------------
+
+
+def q_amoc_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-most-one-changepoint (AMOC) scan over the daily event-value
+    series: for every candidate split t the CUSUM-type statistic
+    G(t) = (cum_t·T − Tot·t)² / (t·(T−t)) — proportional to
+    t(T−t)(mean_L − mean_R)², the squared standardized mean gap that
+    binary segmentation maximizes (Scott & Knott 1974; the inner step
+    of PELT). The monitor that answers WHEN a metric shifted, where
+    `ks_drift`/`psi_drift` only answer WHETHER two windows differ.
+    Values are floored to whole units so every cumulative is integral
+    and G's numerator/denominator are exact in both engines; at 10^10
+    events rescale units (the statistic is scale-equivariant).
+
+    Scale shape: daily groupBy with partials collapses the stream to T
+    rows; ONE ordered window over those T rows forms cumulatives; the
+    scan emits the full T−1-row curve (argmax = first row by score)."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.floor("value").cast("bigint").alias("v")
+    )
+    daily = ev.groupBy("day").agg(F.sum("v").cast("bigint").alias("dv"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.sum("dv").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("t_days"),
+    )
+    cum = daily.select(
+        "day",
+        F.sum("dv").over(w).cast("bigint").alias("cum"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("t") < F.col("t_days"))
+        .select(
+            "day",
+            "t",
+            "t_days",
+            F.expr(
+                "(cum * t_days - tot * t) * (cum * t_days - tot * t)"
+                " div (t * (t_days - t))"
+            )
+            .cast("bigint")
+            .alias("g_score"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_AMOC_CHANGEPOINT = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(floor(value) AS BIGINT))::BIGINT AS dv
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(dv)::BIGINT AS tot, count(*)::BIGINT AS t_days FROM daily
+), cum AS (
+  SELECT day,
+         sum(dv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         row_number() OVER (ORDER BY day)::BIGINT AS t
+  FROM daily
+)
+SELECT day, t, t_days,
+       ((cum * t_days - tot * t) * (cum * t_days - tot * t)
+        // (t * (t_days - t)))::BIGINT AS g_score
+FROM cum CROSS JOIN tot
+WHERE t < t_days ORDER BY day
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -18083,6 +18328,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "capture_recapture": (q_capture_recapture, SQL_CAPTURE_RECAPTURE),
     "chao1_richness": (q_chao1_richness, SQL_CHAO1_RICHNESS),
     "readability_grade": (q_readability_grade, SQL_READABILITY_GRADE),
+    "brier_decomposition": (q_brier_decomposition, SQL_BRIER_DECOMPOSITION),
+    "wilson_lower_bound": (q_wilson_lower_bound, SQL_WILSON_LOWER_BOUND),
+    "amoc_changepoint": (q_amoc_changepoint, SQL_AMOC_CHANGEPOINT),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
