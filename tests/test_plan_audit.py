@@ -1198,3 +1198,26 @@ def test_amoc_window_over_daily_rollup(spark):
     simple = plan_str(_q("amoc_changepoint", spark), "simple")
     # the CUSUM window runs over the T-row daily rollup, after the agg
     assert "HashAggregate" in simple and "Window" in simple
+
+
+def test_skyline_window_over_distinct_x_rollup(spark):
+    p = plan_str(_q("skyline_pareto", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the dominance window rides the distinct-x rollup; survivors
+    # broadcast back into the corpus — never an all-pairs join
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+    simple = plan_str(_q("skyline_pareto", spark), "simple")
+    assert "HashAggregate" in simple and "Window" in simple
+
+
+def test_katz_iterated_join_agg_no_cartesian(spark):
+    p = plan_str(_q("katz_centrality", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_front_coding_single_global_window_on_vocab(spark):
+    p = plan_str(_q("front_coding_bytes", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p

@@ -18074,6 +18074,256 @@ WHERE t < t_days ORDER BY day
 """
 
 
+# -- Pareto skyline ------------------------------------------------------------------------------------------------
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-dominance) operator (Borzsony/Kossmann/Stocker
+    ICDE'01) over two maximized document objectives — length (n_chars)
+    and lexical variety (distinct tokens): keep every doc not dominated
+    by another that is >= on both axes and > on at least one. The
+    multi-objective selection primitive behind 'pick training docs that
+    are both long AND diverse' where any scalarized score imposes an
+    arbitrary trade-off. Spark has no SKYLINE clause; the scale-correct
+    2D composition is sort-by-x + running-max-of-y — two window frames
+    (strictly-greater-x via a range frame, equal-x via a partition),
+    never the quadratic all-pairs dominance join.
+
+    Scale shape: one token-count agg, then two windows that share one
+    global sort of the (x, y) projection; at 10^10 docs the projection
+    is 2 ints/doc and the skyline of random data is O(log^2 n) rows."""
+    d = _tokens(_docs_parallel(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.expr("size(array_distinct(toks))").cast("bigint").alias("y"),
+    )
+    # collapse to one row per distinct x first (distributed agg); the
+    # ordered window then runs over |distinct x| rows, not the corpus
+    xmax = d.groupBy("x").agg(F.max("y").alias("ymax"))
+    w_gt = Window.orderBy(F.col("x").asc()).rangeBetween(1, Window.unboundedFollowing)
+    sky_x = xmax.select(
+        "x", "ymax", F.max("ymax").over(w_gt).alias("max_y_gt")
+    ).filter(F.col("max_y_gt").isNull() | (F.col("ymax") > F.col("max_y_gt")))
+    return (
+        d.join(F.broadcast(sky_x), "x")
+        .filter(F.col("y") == F.col("ymax"))
+        .select("doc_id", F.col("x").alias("n_chars"), F.col("y").alias("n_distinct"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_SKYLINE_PARETO = f"""
+WITH d AS (
+  SELECT doc_id, n_chars::BIGINT AS x,
+         len(list_distinct({_SQL_TOKS}))::BIGINT AS y
+  FROM documents
+), xmax AS (
+  SELECT x, max(y) AS ymax FROM d GROUP BY x
+), sky_x AS (
+  SELECT x, ymax,
+         max(ymax) OVER (ORDER BY x RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS max_y_gt
+  FROM xmax
+)
+SELECT doc_id, d.x AS n_chars, d.y AS n_distinct
+FROM d JOIN sky_x USING (x)
+WHERE (max_y_gt IS NULL OR ymax > max_y_gt) AND d.y = ymax
+ORDER BY doc_id
+"""
+
+
+# -- Katz centrality -----------------------------------------------------------------------------------------------
+
+_KATZ_ITERS = 3
+
+
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953) on the host graph:
+    x_(k+1)(v) = 1 + alpha * sum over in-neighbors u of x_k(u), run
+    {iters} rounds with alpha = 1/4 — counts attenuated walks of
+    length <= {iters} INTO each node. Complements the spectral family
+    (PageRank normalizes by out-degree, HITS/SALSA by mutual
+    reinforcement); Katz is the one that rewards sheer reachable
+    volume, the signal used for link-farm AMPLIFICATION (a farm of
+    leaf pages raises Katz but not PageRank, since PR divides by the
+    farm's out-degree — the two diverging IS the detector). Integer
+    milli arithmetic: the quarter-attenuation is applied once per
+    round to the integral neighbor sum, so both engines truncate
+    identically.
+
+    Scale shape: per round one join (ranks into edges on src) + one
+    groupBy(dst) with partials + a left join back over the node set —
+    the same iterated shuffle skeleton as PageRank, checkpointed
+    per round to keep plans flat."""
+    edges = _pagerank_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    x = nodes.select("node", F.lit(1000).cast("bigint").alias("katz_milli"))
+    for _ in range(_KATZ_ITERS):
+        contrib = (
+            edges.join(
+                x.select(F.col("node").alias("src"), F.col("katz_milli").alias("xs")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("xs").cast("bigint").alias("insum"))
+        )
+        x = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(1000) + F.expr("coalesce(insum, 0) div 4"))
+                .cast("bigint")
+                .alias("katz_milli"),
+            )
+            .localCheckpoint()
+        )
+    return x.orderBy("node")
+
+
+q_katz_centrality.__doc__ = q_katz_centrality.__doc__.format(iters=_KATZ_ITERS)
+
+
+def _sql_katz_iter(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT n.node,
+         (1000 + coalesce(c.insum, 0) // 4)::BIGINT AS katz_milli
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.katz_milli)::BIGINT AS insum
+    FROM edges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+
+
+SQL_KATZ_CENTRALITY = f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), x0 AS (
+  SELECT node, 1000::BIGINT AS katz_milli FROM nodes
+),
+{_sql_katz_iter('x0', 'x1')},
+{_sql_katz_iter('x1', 'x2')},
+{_sql_katz_iter('x2', 'x3')}
+SELECT node, katz_milli FROM x3 ORDER BY node
+"""
+
+
+# -- dictionary front coding ---------------------------------------------------------------------------------------
+
+_FC_BLOCK = 16
+_FC_MAXLEN = 24
+
+
+def q_front_coding_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-dictionary front coding (Witten/Moffat/Bell 'Managing
+    Gigabytes' ch.4): the sorted dictionary is cut into {block}-term
+    blocks; each block head is stored verbatim, every other term as
+    (shared-prefix len, suffix len, suffix bytes) — 2 header bytes +
+    the unshared tail. Completes the index-storage family on the
+    DICTIONARY side (postings got varint/EF/FOR/Roaring): at 10^8+
+    distinct terms the dictionary itself is gigabytes and front coding
+    is the standard 2-4x. The shared-prefix length is computed as a
+    sum of prefix-equality indicators over k = 1..{maxlen} — exact in
+    both engines because prefix equality is monotone in k (no loop,
+    no UDF).
+
+    Scale shape: vocab agg (one shuffle), ONE ordered window supplying
+    lag + row_number together, per-block groupBy; output is
+    O(vocab/{block}) rows."""
+    vocab = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select(F.explode("toks").alias("term"))
+        .distinct()
+    )
+    w = Window.orderBy("term")
+    plen = " + ".join(
+        f"cast(substring(prev, 1, {k}) = substring(term, 1, {k}) as int)"
+        for k in range(1, _FC_MAXLEN + 1)
+    )
+    rows = vocab.select(
+        "term",
+        F.lag("term").over(w).alias("prev"),
+        ((F.row_number().over(w) - 1) - ((F.row_number().over(w) - 1) % _FC_BLOCK))
+        .alias("blk"),
+    ).withColumn(
+        "plen",
+        F.when(F.col("prev").isNull(), F.lit(0)).otherwise(F.expr(f"({plen})")),
+    )
+    # the block head resets the prefix chain: stored verbatim
+    head_reset = rows.withColumn(
+        "head",
+        (F.row_number().over(Window.partitionBy("blk").orderBy("term")) == 1),
+    ).withColumn(
+        "entry_bytes",
+        F.when(F.col("head"), 1 + F.length("term"))
+        .otherwise(2 + F.length("term") - F.col("plen"))
+        .cast("bigint"),
+    )
+    return (
+        head_reset.groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum(F.expr("1 + length(term)")).cast("bigint").alias("raw_bytes"),
+            F.sum("entry_bytes").cast("bigint").alias("fc_bytes"),
+        )
+        .withColumn(
+            "savings_ppm",
+            F.expr("(raw_bytes - fc_bytes) * 1000000 div raw_bytes").cast("bigint"),
+        )
+        .orderBy("blk")
+    )
+
+
+q_front_coding_bytes.__doc__ = q_front_coding_bytes.__doc__.format(
+    block=_FC_BLOCK, maxlen=_FC_MAXLEN
+)
+
+
+def _sql_front_coding() -> str:
+    plen = " + ".join(
+        f"(substr(prev, 1, {k}) = substr(term, 1, {k}))::INTEGER"
+        for k in range(1, _FC_MAXLEN + 1)
+    )
+    return f"""
+WITH toks AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+vocab AS (SELECT DISTINCT unnest(toks) AS term FROM toks),
+seq AS (
+  SELECT term, lag(term) OVER (ORDER BY term) AS prev,
+         (row_number() OVER (ORDER BY term) - 1)
+           - ((row_number() OVER (ORDER BY term) - 1) % {_FC_BLOCK}) AS blk
+  FROM vocab
+), entries AS (
+  SELECT term, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY term) = 1 AS head,
+         CASE WHEN prev IS NULL THEN 0 ELSE ({plen}) END AS plen
+  FROM seq
+), sized AS (
+  SELECT blk, term,
+         CASE WHEN head THEN 1 + length(term)
+              ELSE 2 + length(term) - plen END::BIGINT AS entry_bytes
+  FROM entries
+)
+SELECT blk, count(*)::BIGINT AS n_terms,
+       sum(1 + length(term))::BIGINT AS raw_bytes,
+       sum(entry_bytes)::BIGINT AS fc_bytes,
+       ((sum(1 + length(term)) - sum(entry_bytes)) * 1000000
+        // sum(1 + length(term)))::BIGINT AS savings_ppm
+FROM sized GROUP BY blk ORDER BY blk
+"""
+
+
+SQL_FRONT_CODING_BYTES = _sql_front_coding()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -18331,6 +18581,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "brier_decomposition": (q_brier_decomposition, SQL_BRIER_DECOMPOSITION),
     "wilson_lower_bound": (q_wilson_lower_bound, SQL_WILSON_LOWER_BOUND),
     "amoc_changepoint": (q_amoc_changepoint, SQL_AMOC_CHANGEPOINT),
+    "skyline_pareto": (q_skyline_pareto, SQL_SKYLINE_PARETO),
+    "katz_centrality": (q_katz_centrality, SQL_KATZ_CENTRALITY),
+    "front_coding_bytes": (q_front_coding_bytes, SQL_FRONT_CODING_BYTES),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
