@@ -1221,3 +1221,30 @@ def test_front_coding_single_global_window_on_vocab(spark):
     p = plan_str(_q("front_coding_bytes", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p
+
+
+def test_theil_sen_pairs_after_daily_collapse(spark):
+    p = plan_str(_q("theil_sen_trend", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    simple = plan_str(_q("theil_sen_trend", spark), "simple")
+    # O(T^2) pair join happens AFTER the calendar-bounded daily agg:
+    # aggregation precedes the join in the plan
+    # aggregation (the daily collapse) appears below the pair join
+    assert "HashAggregate" in simple
+
+
+def test_acf_lag_join_on_tiny_rollup(spark):
+    p = plan_str(_q("acf_lags", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # centering stats + denominator enter as 1-row broadcasts
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_ordinal_patterns_single_window(spark):
+    p = plan_str(_q("ordinal_patterns", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    simple = plan_str(_q("ordinal_patterns", spark), "simple")
+    # both leads share ONE ordered window over the daily rollup (and the
+    # 6-row counts frame is materialized, so it may not appear at all)
+    assert simple.count("Window") <= 1

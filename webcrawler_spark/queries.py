@@ -18324,6 +18324,227 @@ FROM sized GROUP BY blk ORDER BY blk
 SQL_FRONT_CODING_BYTES = _sql_front_coding()
 
 
+# -- Theil-Sen robust trend ------------------------------------------------------------------------------------------
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator (Theil 1950/Sen 1968) of the daily
+    event-volume trend: the MEDIAN of all pairwise slopes
+    (x_j - x_i)/(j - i) — robust to ~29% outliers where OLS is
+    wrecked by one flash-crowd day. The trend companion to
+    `amoc_changepoint` (level shift) and `rolling_stats` (local
+    noise): the number a capacity planner actually extrapolates.
+    Slopes are integer milli-units (both engines truncate identically,
+    including negatives — verified -7 div 2 = -3 in both); the median
+    is the lower median picked by row_number, so ties are exact.
+
+    Scale shape: the stream collapses to T daily rows (bounded by the
+    calendar, NOT the corpus) before the O(T^2) pair join — at any
+    corpus size the pair frame is tiny; one window picks the median."""
+    daily = (
+        _read(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), F.floor("value").cast("bigint").alias("v"))
+        .groupBy("day")
+        .agg(F.sum("v").cast("bigint").alias("sv"), F.count(F.lit(1)).alias("c"))
+        .select("day", F.expr("sv div c").cast("bigint").alias("x"))
+        .withColumn("t", F.row_number().over(Window.orderBy("day")).cast("bigint"))
+        .localCheckpoint()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, F.col("b.t") > F.col("a.t"))
+        .select(
+            F.expr("(b.x - a.x) * 1000 div (b.t - a.t)").cast("bigint").alias("s")
+        )
+    )
+    n = slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    ranked = slopes.withColumn(
+        "r", F.row_number().over(Window.orderBy("s")).cast("bigint")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("r") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "n_pairs",
+            F.col("s").alias("slope_milli_per_day"),
+        )
+    )
+
+
+SQL_THEIL_SEN_TREND = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         (sum(CAST(floor(value) AS BIGINT)) // count(*))::BIGINT AS x
+  FROM events GROUP BY 1
+), seq AS (
+  SELECT x, row_number() OVER (ORDER BY day)::BIGINT AS t FROM daily
+), slopes AS (
+  SELECT ((b.x - a.x) * 1000 // (b.t - a.t))::BIGINT AS s
+  FROM seq a JOIN seq b ON b.t > a.t
+), n AS (SELECT count(*)::BIGINT AS n_pairs FROM slopes),
+ranked AS (SELECT s, row_number() OVER (ORDER BY s)::BIGINT AS r FROM slopes)
+SELECT n_pairs, s AS slope_milli_per_day
+FROM ranked CROSS JOIN n WHERE r = (n_pairs + 1) // 2
+"""
+
+
+# -- autocorrelation function ----------------------------------------------------------------------------------------
+
+_ACF_MAXLAG = 7
+
+
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-volume series at lags
+    1..{maxlag} (Box-Jenkins identification step): the weekly-rhythm
+    detector — acf(7) >> acf(1..6) means weekday seasonality a naive
+    recrawl scheduler would alias. Exact integers end to end: with
+    daily means x_t, n days and total S, each term uses the centered
+    value scaled by n (n*x_t - S), so acf_milli = 1000 * sum of
+    centered cross-products div the centered sum of squares — both
+    engines truncate identically (negatives included).
+
+    Scale shape: the corpus collapses to the T-day rollup (bounded by
+    calendar); the lag frame is a T x {maxlag} self-join on t + k over
+    that tiny rollup; 1-row centering stats broadcast in."""
+    daily = (
+        _read(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), F.floor("value").cast("bigint").alias("v"))
+        .groupBy("day")
+        .agg(F.sum("v").cast("bigint").alias("sv"), F.count(F.lit(1)).alias("c"))
+        .select("day", F.expr("sv div c").cast("bigint").alias("x"))
+        .withColumn("t", F.row_number().over(Window.orderBy("day")).cast("bigint"))
+        .localCheckpoint()
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        # den scaled by n^2: Sum (n*x - S)^2
+    )
+    lags = spark.range(1, _ACF_MAXLAG + 1).select(F.col("id").cast("bigint").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        lags.join(a, F.lit(True))
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("lag"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "lag",
+            F.expr("(n * a.x - s) * (n * b.x - s)").cast("bigint").alias("xprod"),
+        )
+    )
+    den = (
+        daily.crossJoin(F.broadcast(stats))
+        .agg(F.sum(F.expr("(n * x - s) * (n * x - s)")).cast("bigint").alias("den"))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(F.sum("xprod").cast("bigint").alias("num"))
+        .crossJoin(F.broadcast(den))
+        .select("lag", F.expr("num * 1000 div den").cast("bigint").alias("acf_milli"))
+        .orderBy("lag")
+    )
+
+
+q_acf_lags.__doc__ = q_acf_lags.__doc__.format(maxlag=_ACF_MAXLAG)
+
+
+SQL_ACF_LAGS = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         (sum(CAST(floor(value) AS BIGINT)) // count(*))::BIGINT AS x
+  FROM events GROUP BY 1
+), seq AS (
+  SELECT x, row_number() OVER (ORDER BY day)::BIGINT AS t FROM daily
+), stats AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM seq
+), den AS (
+  SELECT sum((n * x - s) * (n * x - s))::BIGINT AS den
+  FROM seq CROSS JOIN stats
+), lags AS (
+  SELECT unnest(range(1, {_ACF_MAXLAG + 1}))::BIGINT AS lag
+), pairs AS (
+  SELECT lag, ((n * a.x - s) * (n * b.x - s))::BIGINT AS xprod
+  FROM lags, seq a
+  JOIN seq b ON b.t = a.t + lag
+  CROSS JOIN stats
+)
+SELECT lag, (sum(xprod) * 1000 // den)::BIGINT AS acf_milli
+FROM pairs CROSS JOIN den GROUP BY lag, den ORDER BY lag
+"""
+
+
+# -- ordinal patterns ---------------------------------------------------------------------------------------------
+
+
+def q_ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-pattern census of the daily series (Bandt & Pompe PRL
+    2002, the basis of permutation entropy): every consecutive triple
+    of daily means maps to one of six order patterns (rising, falling,
+    peak, valley, ...); the pattern histogram is a model-free
+    complexity/determinism probe — white noise spreads mass evenly,
+    trends and cycles concentrate it. Ties break toward the earlier
+    day (the standard convention), encoded as three <=-comparisons, so
+    the census is integer-exact in both engines.
+
+    Scale shape: corpus -> T-day rollup (calendar-bounded) -> two
+    leads over ONE ordered window -> 6-row groupBy; nothing about the
+    corpus size survives past the first agg."""
+    daily = (
+        _read(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), F.floor("value").cast("bigint").alias("v"))
+        .groupBy("day")
+        .agg(F.sum("v").cast("bigint").alias("sv"), F.count(F.lit(1)).alias("c"))
+        .select("day", F.expr("sv div c").cast("bigint").alias("x"))
+    )
+    w = Window.orderBy("day")
+    tri = (
+        daily.select(
+            "x",
+            F.lead("x", 1).over(w).alias("y"),
+            F.lead("x", 2).over(w).alias("z"),
+        )
+        .filter(F.col("z").isNotNull())
+        .select(
+            F.expr(
+                "cast(x <= y as int) * 4 + cast(x <= z as int) * 2 + cast(y <= z as int)"
+            ).alias("pattern")
+        )
+    )
+    counts = (
+        tri.groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()  # 6 rows; stops the total from re-running the rollup
+    )
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("n_tri"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "pattern",
+            "cnt",
+            F.expr("cnt * 1000000 div n_tri").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("pattern")
+    )
+
+
+SQL_ORDINAL_PATTERNS = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         (sum(CAST(floor(value) AS BIGINT)) // count(*))::BIGINT AS x
+  FROM events GROUP BY 1
+), tri AS (
+  SELECT x, lead(x, 1) OVER (ORDER BY day) AS y, lead(x, 2) OVER (ORDER BY day) AS z
+  FROM daily
+), pat AS (
+  SELECT (x <= y)::INTEGER * 4 + (x <= z)::INTEGER * 2 + (y <= z)::INTEGER AS pattern
+  FROM tri WHERE z IS NOT NULL
+), counts AS (
+  SELECT pattern, count(*)::BIGINT AS cnt FROM pat GROUP BY pattern
+), tot AS (SELECT sum(cnt)::BIGINT AS n_tri FROM counts)
+SELECT pattern, cnt, (cnt * 1000000 // n_tri)::BIGINT AS share_ppm
+FROM counts CROSS JOIN tot ORDER BY pattern
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -18584,6 +18805,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "skyline_pareto": (q_skyline_pareto, SQL_SKYLINE_PARETO),
     "katz_centrality": (q_katz_centrality, SQL_KATZ_CENTRALITY),
     "front_coding_bytes": (q_front_coding_bytes, SQL_FRONT_CODING_BYTES),
+    "theil_sen_trend": (q_theil_sen_trend, SQL_THEIL_SEN_TREND),
+    "acf_lags": (q_acf_lags, SQL_ACF_LAGS),
+    "ordinal_patterns": (q_ordinal_patterns, SQL_ORDINAL_PATTERNS),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
