@@ -1248,3 +1248,31 @@ def test_ordinal_patterns_single_window(spark):
     # both leads share ONE ordered window over the daily rollup (and the
     # 6-row counts frame is materialized, so it may not appear at all)
     assert simple.count("Window") <= 1
+
+
+def test_mmr_shortlist_is_bounded_takeordered(spark):
+    from webcrawler_spark.queries import REGISTRY as _R
+    df = _R["mmr_diversify"][0](spark, SF)
+    # greedy runs driver-side on the bounded shortlist; the returned
+    # frame is the 8-step trajectory
+    assert df.count() == 8
+    rows = df.orderBy("step").collect()
+    # step 1 is the pure-relevance pick; scores are non-increasing in
+    # the 2x-MMR objective after step 1
+    s2x = [r["score2x"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(s2x, s2x[1:]))
+
+
+def test_chisq_broadcast_marginals(spark):
+    p = plan_str(_q("chisq_independence", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_assoc_rules_basket_bounded_selfjoin(spark):
+    p = plan_str(_q("assoc_rules_lift", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # marginals and the user count enter as broadcasts
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p

@@ -18545,6 +18545,286 @@ FROM counts CROSS JOIN tot ORDER BY pattern
 """
 
 
+# -- maximal marginal relevance -------------------------------------------------------------------------------------
+
+_MMR_POOL = 32
+_MMR_K = 8
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98), lambda = 1/2, squared-Euclidean form: greedily pick {k}
+    of the top-{pool} candidates nearest the query (vec 0), each step
+    maximizing (min sq-distance to the already-picked set) minus
+    (sq-distance to the query) — the diversity selector that keeps a
+    RAG context or a dedup-aware training batch from being {k}
+    near-copies of the same best hit. Embedding components are
+    quantized once to integer milli-units (round(x*1000): a single
+    correctly-rounded double multiply + the shared half-away-from-zero
+    rule, so both engines quantize identically); every distance and
+    comparison after that is exact integer arithmetic — the greedy
+    trajectory is bit-stable at any scale, with vec_id tie-breaks.
+
+    Scale shape: one corpus scan -> TakeOrdered {pool} (the O(corpus)
+    stage); the pool^2 distance matrix and {k}-step greedy are O(1)
+    driver work on the bounded shortlist, like ann_ivf's centroid
+    training."""
+    qint = "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(qint).alias("q")
+    )
+    ref = e.filter(F.col("vec_id") == 0).select(F.col("q").alias("rq"))
+    sqd = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "vec_id",
+            "q",
+            F.expr(sqd.format(a="q", b="rq")).cast("bigint").alias("d2q"),
+        )
+        .orderBy(F.asc("d2q"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .localCheckpoint()
+    )
+    a = cand.select(
+        F.col("vec_id").alias("va"), F.col("q").alias("qa"), F.col("d2q").alias("da")
+    )
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("q").alias("qb"))
+    pairs = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select(
+            "va", "da", "vb",
+            F.expr(sqd.format(a="qa", b="qb")).cast("bigint").alias("d2p"),
+        )
+        .collect()
+    )
+    d2q = {}
+    d2 = {}
+    for r in pairs:
+        d2q[r["va"]] = r["da"]
+        d2[(r["va"], r["vb"])] = r["d2p"]
+    picked = []
+    remaining = set(d2q)
+    out_rows = []
+    for step in range(1, _MMR_K + 1):
+        if step == 1:
+            best = min(remaining, key=lambda v: (d2q[v], v))
+            score = -d2q[best]
+        else:
+            def key(v):
+                mind = min(d2[(v, p)] for p in picked)
+                return (-(mind - d2q[v]), v)
+            best = min(remaining, key=key)
+            score = min(d2[(best, p)] for p in picked) - d2q[best]
+        picked.append(best)
+        remaining.discard(best)
+        out_rows.append((step, int(best), int(d2q[best]), int(score)))
+    return spark.createDataFrame(
+        out_rows, "step int, vec_id bigint, d2q bigint, score2x bigint"
+    ).orderBy("step")
+
+
+q_mmr_diversify.__doc__ = q_mmr_diversify.__doc__.format(k=_MMR_K, pool=_MMR_POOL)
+
+
+def _sql_mmr() -> str:
+    qint = "list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)"
+    sqd = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT"
+    )
+    parts = [
+        f"""qv AS MATERIALIZED (
+  SELECT vec_id, {qint} AS q FROM embeddings
+), cand AS MATERIALIZED (
+  SELECT c.vec_id, c.q, {sqd.format(a='c.q', b='r.q')} AS d2q
+  FROM qv c CROSS JOIN (SELECT q FROM qv WHERE vec_id = 0) r
+  WHERE c.vec_id <> 0
+  ORDER BY d2q ASC, c.vec_id ASC LIMIT {_MMR_POOL}
+), sims AS MATERIALIZED (
+  SELECT x.vec_id AS va, y.vec_id AS vb, {sqd.format(a='x.q', b='y.q')} AS d2p
+  FROM cand x JOIN cand y ON x.vec_id <> y.vec_id
+), p1 AS (
+  SELECT 1 AS step, vec_id, d2q, -d2q AS score2x
+  FROM cand ORDER BY d2q ASC, vec_id ASC LIMIT 1
+), sel1 AS MATERIALIZED (SELECT * FROM p1)"""
+    ]
+    for k in range(2, _MMR_K + 1):
+        parts.append(
+            f"""p{k} AS (
+  SELECT {k} AS step, vec_id, d2q, score2x FROM (
+    SELECT c.vec_id, c.d2q, min(s.d2p) - c.d2q AS score2x
+    FROM cand c
+    JOIN sims s ON s.va = c.vec_id
+    JOIN sel{k - 1} p ON s.vb = p.vec_id
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+    GROUP BY c.vec_id, c.d2q
+  ) ORDER BY score2x DESC, vec_id ASC LIMIT {1}
+), sel{k} AS MATERIALIZED (SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM p{k})"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT step, vec_id, d2q, score2x FROM sel{_MMR_K} ORDER BY step"
+
+
+SQL_MMR_DIVERSIFY = _sql_mmr()
+
+
+# -- chi-square independence ------------------------------------------------------------------------------------------
+
+
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document
+    language and source: chi2 = sum over cells of (o - rc/N)^2/(rc/N),
+    evaluated per cell as (o*N - r*c)^2 / (r*c*N) on exact integers —
+    the distribution-shift alarm a multi-source ingest runs per
+    snapshot (a source whose language mix diverges from the corpus-wide
+    mix inflates its cells). Complements `mutual_information` (effect
+    size in nats, different pair) with the classical test statistic;
+    dof = (|langs|-1)(|sources|-1) reported so the reader can look up
+    the critical value. Integer-exact micro units; truncation identical
+    in both engines.
+
+    Scale shape: one (lang, source) cell groupBy with partials, tiny
+    marginal re-aggs broadcast back in, 1-row output."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rowm = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
+    colm = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    return (
+        cells.join(F.broadcast(rowm), "lang")
+        .join(F.broadcast(colm), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.max("n").cast("bigint").alias("n"),
+            F.sum(F.expr("(o * n - r * c) * (o * n - r * c) div (r * c)"))
+            .cast("bigint")
+            .alias("u"),
+        )
+        .select(
+            "n",
+            "n_cells",
+            F.expr("(n_langs - 1) * (n_sources - 1)").cast("bigint").alias("dof"),
+            F.expr("u * 1000000 div n").cast("bigint").alias("chi2_micro"),
+        )
+    )
+
+
+SQL_CHISQ_INDEPENDENCE = """
+WITH cells AS (
+  SELECT lang, source, count(*)::BIGINT AS o FROM documents GROUP BY lang, source
+), rowm AS (SELECT lang, sum(o)::BIGINT AS r FROM cells GROUP BY lang),
+colm AS (SELECT source, sum(o)::BIGINT AS c FROM cells GROUP BY source),
+tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+agg AS (
+  SELECT count(*)::BIGINT AS n_cells,
+         count(DISTINCT cells.lang)::BIGINT AS n_langs,
+         count(DISTINCT cells.source)::BIGINT AS n_sources,
+         max(n)::BIGINT AS n,
+         sum((o * n - r * c) * (o * n - r * c) // (r * c))::BIGINT AS u
+  FROM cells
+  JOIN rowm ON cells.lang = rowm.lang
+  JOIN colm ON cells.source = colm.source
+  CROSS JOIN tot
+)
+SELECT n, n_cells,
+       ((n_langs - 1) * (n_sources - 1))::BIGINT AS dof,
+       (u * 1000000 // n)::BIGINT AS chi2_micro
+FROM agg
+"""
+
+
+# -- association-rule lift ----------------------------------------------------------------------------------------------
+
+
+def q_assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over user event baskets (Agrawal & Srikant
+    VLDB'94 measures, pairwise): for every ordered event-type pair
+    (a -> b), support = P(a,b), confidence = P(b|a), lift =
+    P(a,b)/(P(a)P(b)) — the co-behavior miner ('users who search also
+    convert?') and, on a crawl, the fetch-pattern correlator. Baskets
+    are per-user DISTINCT type sets, so the pair join is bounded by
+    |types|^2 per user, never events^2; all three measures are exact
+    integer ratios in ppm / milli.
+
+    Scale shape: distinct (user, type) (one shuffle), per-user
+    self-join on the tiny type set, per-type marginals broadcast back;
+    |types|^2 output rows."""
+    bask = (
+        _read(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint()
+    )
+    n_users = bask.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    marg = bask.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    a = bask.select(F.col("user_id").alias("u"), F.col("event_type").alias("ante"))
+    b = bask.select(F.col("user_id").alias("u"), F.col("event_type").alias("cons"))
+    pair = (
+        a.join(b, "u")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    return (
+        pair.join(
+            F.broadcast(marg.select(F.col("event_type").alias("ante"), F.col("cnt").alias("c_a"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("event_type").alias("cons"), F.col("cnt").alias("c_b"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ante",
+            "cons",
+            "c_ab",
+            F.expr("c_ab * 1000000 div n_users").cast("bigint").alias("support_ppm"),
+            F.expr("c_ab * 1000 div c_a").cast("bigint").alias("confidence_milli"),
+            F.expr("c_ab * n_users * 1000 div (c_a * c_b)")
+            .cast("bigint")
+            .alias("lift_milli"),
+        )
+        .orderBy("ante", "cons")
+    )
+
+
+SQL_ASSOC_RULES_LIFT = """
+WITH bask AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM bask),
+marg AS (SELECT event_type, count(*)::BIGINT AS cnt FROM bask GROUP BY event_type),
+pair AS (
+  SELECT a.event_type AS ante, b.event_type AS cons, count(*)::BIGINT AS c_ab
+  FROM bask a JOIN bask b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT ante, cons, c_ab,
+       (c_ab * 1000000 // n_users)::BIGINT AS support_ppm,
+       (c_ab * 1000 // ma.cnt)::BIGINT AS confidence_milli,
+       (c_ab * n_users * 1000 // (ma.cnt * mb.cnt))::BIGINT AS lift_milli
+FROM pair
+JOIN marg ma ON pair.ante = ma.event_type
+JOIN marg mb ON pair.cons = mb.event_type
+CROSS JOIN n
+ORDER BY ante, cons
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -18808,6 +19088,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "theil_sen_trend": (q_theil_sen_trend, SQL_THEIL_SEN_TREND),
     "acf_lags": (q_acf_lags, SQL_ACF_LAGS),
     "ordinal_patterns": (q_ordinal_patterns, SQL_ORDINAL_PATTERNS),
+    "mmr_diversify": (q_mmr_diversify, SQL_MMR_DIVERSIFY),
+    "chisq_independence": (q_chisq_independence, SQL_CHISQ_INDEPENDENCE),
+    "assoc_rules_lift": (q_assoc_rules_lift, SQL_ASSOC_RULES_LIFT),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
