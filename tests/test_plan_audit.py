@@ -1276,3 +1276,32 @@ def test_assoc_rules_basket_bounded_selfjoin(spark):
     assert "CartesianProduct" not in p
     # marginals and the user count enter as broadcasts
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_sort_rle_sharded_window_no_global_sort(spark):
+    p = plan_str(_q("sort_rle_benefit", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # run counting is PARTITIONED by shard — a global-order window here
+    # would serialize the corpus through one task
+    simple = plan_str(_q("sort_rle_benefit", spark), "simple")
+    assert "Window" in simple
+    # every Window spec carries the shard partition key
+    for line in simple.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "shard" in line
+
+
+def test_join_card_single_key_shuffle(spark):
+    p = plan_str(_q("join_card_estimate", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("join_card_estimate", spark), "simple")
+    # per-key count -> bucket rollup -> 1-row fold: three agg levels
+    assert simple.count("HashAggregate") >= 4
+
+
+def test_lead_lag_join_on_bounded_grid(spark):
+    p = plan_str(_q("lead_lag_beta", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # centering stats and per-type denominators broadcast in
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p

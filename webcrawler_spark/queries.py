@@ -18825,6 +18825,281 @@ ORDER BY ante, cons
 """
 
 
+# -- sort-for-RLE layout benefit ----------------------------------------------------------------------------------
+
+_RLE_SHARD = 10000
+
+
+def q_sort_rle_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the encoding win of sorting before writing: for the
+    low-cardinality columns (lang, source), count the value RUNS a
+    run-length/dictionary encoder sees in natural doc_id order vs
+    sorted order (where runs = distinct values) — the concrete number
+    behind the 'sort your partitions' advice that `zorder_keys` and
+    `write_shard_plan` assume (Parquet RLE_DICTIONARY page size is
+    ~linear in runs). Runs are counted per {shard}-row shard, matching
+    the row-group granularity an encoder actually works in, so the
+    count is shuffle-free and the statistic is exactly what a writer
+    would produce.
+
+    Scale shape: per column one lag window PARTITIONED by shard (no
+    global sort), one agg; two columns unioned — map-side otherwise."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+
+    def runs_for(col: str) -> DataFrame:
+        w = Window.partitionBy("shard").orderBy("doc_id")
+        base = docs.select(
+            "doc_id", F.col(col).alias("v"),
+            (F.col("doc_id") - F.col("doc_id") % _RLE_SHARD).alias("shard"),
+        )
+        nat = base.select(
+            F.when(
+                F.lag("v").over(w).isNull() | (F.lag("v").over(w) != F.col("v")), 1
+            )
+            .otherwise(0)
+            .alias("newrun")
+        ).agg(F.sum("newrun").cast("bigint").alias("runs_natural"))
+        srt = base.agg(
+            F.countDistinct("v").cast("bigint").alias("runs_sorted"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        return (
+            nat.crossJoin(F.broadcast(srt))
+            .select(
+                F.lit(col).alias("column"),
+                "n_rows",
+                "runs_natural",
+                "runs_sorted",
+                F.expr("runs_sorted * 1000000 div runs_natural")
+                .cast("bigint")
+                .alias("sorted_runs_ppm"),
+            )
+        )
+
+    return runs_for("lang").unionAll(runs_for("source")).orderBy("column")
+
+
+q_sort_rle_benefit.__doc__ = q_sort_rle_benefit.__doc__.format(shard=_RLE_SHARD)
+
+
+def _sql_sort_rle() -> str:
+    parts = []
+    for col in ("lang", "source"):
+        parts.append(
+            f"""SELECT '{col}' AS "column", n_rows, runs_natural, runs_sorted,
+       (runs_sorted * 1000000 // runs_natural)::BIGINT AS sorted_runs_ppm
+FROM (
+  SELECT sum(CASE WHEN prev IS NULL OR prev <> v THEN 1 ELSE 0 END)::BIGINT AS runs_natural
+  FROM (
+    SELECT {col} AS v,
+           lag({col}) OVER (PARTITION BY doc_id - doc_id % {_RLE_SHARD} ORDER BY doc_id) AS prev
+    FROM documents
+  )
+) CROSS JOIN (
+  SELECT count(DISTINCT {col})::BIGINT AS runs_sorted, count(*)::BIGINT AS n_rows
+  FROM documents
+)"""
+        )
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ') ORDER BY "column"'
+
+
+SQL_SORT_RLE_BENEFIT = _sql_sort_rle()
+
+
+# -- histogram join-cardinality estimate ---------------------------------------------------------------------------
+
+_JCE_BUCKETS = 64
+
+
+def q_join_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based join cardinality estimation, audited against
+    truth: the self-equi-join of events on user_id has TRUE cardinality
+    sum over keys of c_k^2; an optimizer that only keeps a {b}-bucket
+    hash histogram estimates it as sum over buckets of h_b^2/d_b
+    (uniformity within bucket — Selinger-style). The output pins the
+    estimator's skew bias in ppm — exactly the calibration a
+    cost-based planner (or our own broadcast-vs-shuffle choice in
+    skew_salt_plan) needs before trusting histogram estimates at
+    10^10 rows. Buckets are md5-derived so both engines bucket
+    identically; everything is integer.
+
+    Scale shape: one per-key count (the only data shuffle), then a
+    {b}-row bucket rollup; truth and estimate fold in the same pass."""
+    per_key = (
+        _read(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "cast(conv(substring(md5(cast(user_id as string)), 1, 4), 16, 10) as bigint)"
+            )
+            % _JCE_BUCKETS,
+        )
+    )
+    buckets = per_key.groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("h"),
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("truth_b"),
+    )
+    return buckets.agg(
+        F.lit(_JCE_BUCKETS).cast("int").alias("n_buckets"),
+        F.sum("truth_b").cast("bigint").alias("true_card"),
+        F.sum(F.expr("h * h div d")).cast("bigint").alias("est_card"),
+    ).select(
+        "n_buckets",
+        "true_card",
+        "est_card",
+        F.expr("(est_card - true_card) * 1000000 div true_card")
+        .cast("bigint")
+        .alias("bias_ppm"),
+    )
+
+
+q_join_card_estimate.__doc__ = q_join_card_estimate.__doc__.format(b=_JCE_BUCKETS)
+
+
+SQL_JOIN_CARD_ESTIMATE = f"""
+WITH per_key AS (
+  SELECT user_id, count(*)::BIGINT AS c,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT % {_JCE_BUCKETS} AS bucket
+  FROM events GROUP BY user_id
+), buckets AS (
+  SELECT bucket, sum(c)::BIGINT AS h, count(*)::BIGINT AS d,
+         sum(c * c)::BIGINT AS truth_b
+  FROM per_key GROUP BY bucket
+)
+SELECT {_JCE_BUCKETS}::INTEGER AS n_buckets,
+       sum(truth_b)::BIGINT AS true_card,
+       sum(h * h // d)::BIGINT AS est_card,
+       ((sum(h * h // d) - sum(truth_b)) * 1000000 // sum(truth_b))::BIGINT AS bias_ppm
+FROM buckets
+"""
+
+
+# -- lead-lag cross-series regression --------------------------------------------------------------------------------
+
+_LLB_MAXLAG = 3
+
+
+def q_lead_lag_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-series regression between event types: for every
+    ordered type pair (a, b) and lag k in 1..{maxlag}, the slope of
+    regressing b's daily count at day t+k on a's at day t —
+    beta = Cov(x_t, y_(t+k)) / Var(x) on the common T-day grid
+    (missing days count 0, as they truly are). The lead-lag detector
+    behind 'does search volume LEAD conversions by two days?' — and on
+    a crawl, whether discovery of host A's pages predicts later load
+    on host B. The `acf_lags` machinery generalized across series:
+    integer-exact via n-scaled centered values, truncating division
+    identical in both engines.
+
+    Scale shape: corpus -> (day, type) grid (calendar x |types|,
+    bounded), per-type centering stats, a lag join on the tiny grid;
+    |types|^2 * {maxlag} output rows."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    days = ev.select("day").distinct()
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(types)
+    counts = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    series = (
+        grid.join(counts, ["day", "event_type"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("x"),
+        )
+        .withColumn(
+            "t",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("day"))
+            .cast("bigint"),
+        )
+        .localCheckpoint()
+    )
+    stats = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    centered = (
+        series.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type", "t", F.expr("n * x - s").cast("bigint").alias("cx"), "n"
+        )
+        .localCheckpoint()
+    )
+    denx = centered.groupBy("event_type").agg(
+        F.sum(F.expr("cx * cx")).cast("bigint").alias("den")
+    )
+    lags = spark.range(1, _LLB_MAXLAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = centered.select(
+        F.col("event_type").alias("ta"), F.col("t").alias("i"), F.col("cx").alias("ca")
+    )
+    b = centered.select(
+        F.col("event_type").alias("tb"), F.col("t").alias("j"), F.col("cx").alias("cb")
+    )
+    num = (
+        lags.join(a, F.lit(True))
+        .join(b, (F.col("j") == F.col("i") + F.col("lag")) & (F.col("ta") != F.col("tb")))
+        .groupBy("ta", "tb", "lag")
+        .agg(F.sum(F.expr("ca * cb")).cast("bigint").alias("num"))
+    )
+    return (
+        num.join(
+            F.broadcast(denx.select(F.col("event_type").alias("ta"), "den")), "ta"
+        )
+        .select(
+            "ta",
+            "tb",
+            "lag",
+            F.expr("num * 1000 div den").cast("bigint").alias("beta_milli"),
+        )
+        .orderBy("ta", "tb", "lag")
+    )
+
+
+q_lead_lag_beta.__doc__ = q_lead_lag_beta.__doc__.format(maxlag=_LLB_MAXLAG)
+
+
+SQL_LEAD_LAG_BETA = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type FROM events
+), days AS (SELECT DISTINCT day FROM ev),
+types AS (SELECT DISTINCT event_type FROM ev),
+counts AS (SELECT day, event_type, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+series AS (
+  SELECT t.event_type, d.day, coalesce(c.c, 0)::BIGINT AS x,
+         row_number() OVER (PARTITION BY t.event_type ORDER BY d.day)::BIGINT AS t
+  FROM days d CROSS JOIN types t
+  LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+), stats AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+  FROM series GROUP BY event_type
+), centered AS (
+  SELECT series.event_type, series.t, (n * x - s)::BIGINT AS cx
+  FROM series JOIN stats ON series.event_type = stats.event_type
+), denx AS (
+  SELECT event_type, sum(cx * cx)::BIGINT AS den FROM centered GROUP BY event_type
+), lags AS (SELECT unnest(range(1, {_LLB_MAXLAG + 1}))::BIGINT AS lag),
+num AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, lag,
+         sum(a.cx * b.cx)::BIGINT AS num
+  FROM lags, centered a
+  JOIN centered b ON b.t = a.t + lag AND a.event_type <> b.event_type
+  GROUP BY 1, 2, 3
+)
+SELECT ta, tb, lag, (num * 1000 // den)::BIGINT AS beta_milli
+FROM num JOIN denx ON num.ta = denx.event_type
+ORDER BY ta, tb, lag
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -19091,6 +19366,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mmr_diversify": (q_mmr_diversify, SQL_MMR_DIVERSIFY),
     "chisq_independence": (q_chisq_independence, SQL_CHISQ_INDEPENDENCE),
     "assoc_rules_lift": (q_assoc_rules_lift, SQL_ASSOC_RULES_LIFT),
+    "sort_rle_benefit": (q_sort_rle_benefit, SQL_SORT_RLE_BENEFIT),
+    "join_card_estimate": (q_join_card_estimate, SQL_JOIN_CARD_ESTIMATE),
+    "lead_lag_beta": (q_lead_lag_beta, SQL_LEAD_LAG_BETA),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
