@@ -1305,3 +1305,31 @@ def test_lead_lag_join_on_bounded_grid(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # centering stats and per-type denominators broadcast in
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_t_closeness_bounded_grid_broadcasts(spark):
+    p = plan_str(_q("t_closeness_audit", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # segment marginals + 1-row total broadcast into the QI grid
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_anova_two_pass_no_join_blowup(spark):
+    p = plan_str(_q("anova_effect", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # the 1-row centering mean broadcasts into the corpus scan
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_tail_cvar_window_partitioned_by_type(spark):
+    p = plan_str(_q("tail_cvar", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    simple = plan_str(_q("tail_cvar", spark), "simple")
+    # the rank window carries the event_type partition key — never a
+    # global sort of the stream
+    for line in simple.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "event_type" in line

@@ -19100,6 +19100,226 @@ ORDER BY ta, tb, lag
 """
 
 
+# -- t-closeness audit ----------------------------------------------------------------------------------------------
+
+_TC_SEGMENTS = 10
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE'07) over the
+    same quasi-identifier grid as `k_anonymity_audit` (event_type x
+    3-hour bucket), sensitive attribute = user segment (user_id mod
+    {seg}, a planted categorical segmentation): per QI group, the total
+    variation distance between the group's segment distribution and the
+    corpus-wide one. Completes the release-audit triptych — k-anonymity
+    (group size), l-diversity (distinct sensitives), t-closeness
+    (distribution skew): a big, diverse group still leaks if 95% of it
+    is one segment. Integer-exact: tvd_milli = Sum_seg
+    |c_gs*N - C_s*n_g| * 1000 div (2*n_g*N), with absent segments
+    contributing their full global mass via a zero-filled grid.
+
+    Scale shape: one (QI, segment) groupBy, a zero-fill join against
+    the (QI x segment) grid (both sides bounded: |QI| x {seg}), global
+    marginals broadcast in; |QI| output rows."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        F.expr(
+            f"cast((unix_millis(cast(ts as timestamp)) div 3600000) % 24 div (24 div {_MI_HOD_BUCKETS}) as int)"
+        ).alias("hod"),
+        (F.col("user_id") % _TC_SEGMENTS).cast("int").alias("seg"),
+    )
+    cells = ev.groupBy("et", "hod", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    groups = cells.groupBy("et", "hod").agg(F.sum("c").cast("bigint").alias("n_g"))
+    segs = cells.groupBy("seg").agg(F.sum("c").cast("bigint").alias("c_s"))
+    tot = segs.agg(F.sum("c_s").cast("bigint").alias("n"))
+    grid = groups.crossJoin(F.broadcast(segs))
+    filled = grid.join(cells, ["et", "hod", "seg"], "left").select(
+        "et", "hod", "n_g", "c_s", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+    )
+    return (
+        filled.crossJoin(F.broadcast(tot))
+        .groupBy("et", "hod")
+        .agg(
+            F.max("n_g").cast("bigint").alias("n_g"),
+            F.sum(F.expr("abs(c * n - c_s * n_g)")).cast("bigint").alias("num"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+        .select(
+            "et",
+            "hod",
+            "n_g",
+            F.expr("num * 1000 div (2 * n_g * n)").cast("bigint").alias("tvd_milli"),
+        )
+        .orderBy("et", "hod")
+    )
+
+
+q_t_closeness_audit.__doc__ = q_t_closeness_audit.__doc__.format(seg=_TC_SEGMENTS)
+
+
+SQL_T_CLOSENESS_AUDIT = f"""
+WITH ev AS (
+  SELECT event_type AS et,
+         (((epoch_ms(ts) // 3600000) % 24) // (24 // {_MI_HOD_BUCKETS}))::INTEGER AS hod,
+         (user_id % {_TC_SEGMENTS})::INTEGER AS seg
+  FROM events
+), cells AS (
+  SELECT et, hod, seg, count(*)::BIGINT AS c FROM ev GROUP BY et, hod, seg
+), groups AS (
+  SELECT et, hod, sum(c)::BIGINT AS n_g FROM cells GROUP BY et, hod
+), segs AS (
+  SELECT seg, sum(c)::BIGINT AS c_s FROM cells GROUP BY seg
+), tot AS (SELECT sum(c_s)::BIGINT AS n FROM segs),
+filled AS (
+  SELECT g.et, g.hod, g.n_g, s.seg, s.c_s, coalesce(c.c, 0)::BIGINT AS c
+  FROM groups g CROSS JOIN segs s
+  LEFT JOIN cells c ON c.et = g.et AND c.hod = g.hod AND c.seg = s.seg
+)
+SELECT et, hod, max(n_g)::BIGINT AS n_g,
+       (sum(abs(c * n - c_s * n_g)) * 1000 // (2 * max(n_g) * max(n)))::BIGINT AS tvd_milli
+FROM filled CROSS JOIN tot GROUP BY et, hod ORDER BY et, hod
+"""
+
+
+# -- one-way ANOVA effect size -----------------------------------------------------------------------------------------
+
+
+def q_anova_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA decomposition of document length across sources:
+    eta-squared = SSB/SST (how much of the length variance the source
+    explains) and the F statistic — the variance-decomposition answer
+    to 'are sources actually different populations, or one corpus with
+    noise?' that drives whether per-source quality thresholds are
+    worth maintaining. Integer-exact via global-mean centering: lengths
+    are shifted by the integer corpus mean first (SSB/SST are
+    shift-invariant), which keeps every N-scaled square inside int64;
+    both engines then truncate identically.
+
+    Scale shape: two passes — a 1-row mean, then one groupBy(source)
+    of integer partials; the decomposition is driver-free map math on
+    the |sources|-row result."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("bigint").alias("y")
+    )
+    mean = docs.agg(
+        F.expr("sum(y) div count(1)").cast("bigint").alias("c0")
+    )
+    z = docs.crossJoin(F.broadcast(mean)).select(
+        "source", F.expr("y - c0").cast("bigint").alias("z")
+    )
+    per = z.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").cast("bigint").alias("t_g"),
+        F.sum(F.expr("z * z")).cast("bigint").alias("q_g"),
+    )
+    return per.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("t_g").cast("bigint").alias("s"),
+        F.sum("q_g").cast("bigint").alias("sumsq"),
+        F.sum(F.expr("t_g * t_g div n_g")).cast("bigint").alias("bsum"),
+    ).select(
+        "n",
+        "k",
+        # SSB = Sum t_g^2/n_g - S^2/N ; SST = Sum z^2 - S^2/N (N-scaled)
+        F.expr("(bsum * n - s * s) * 1000 div (sumsq * n - s * s)")
+        .cast("bigint")
+        .alias("eta2_milli"),
+        F.expr(
+            "((bsum * n - s * s) div (k - 1)) * 1000 div ((sumsq * n - bsum * n) div (n - k))"
+        )
+        .cast("bigint")
+        .alias("f_milli"),
+    )
+
+
+SQL_ANOVA_EFFECT = """
+WITH mean AS (
+  SELECT (sum(n_chars::BIGINT) // count(*))::BIGINT AS c0 FROM documents
+), z AS (
+  SELECT source, (n_chars::BIGINT - c0)::BIGINT AS z FROM documents CROSS JOIN mean
+), per AS (
+  SELECT source, count(*)::BIGINT AS n_g, sum(z)::BIGINT AS t_g,
+         sum(z * z)::BIGINT AS q_g
+  FROM z GROUP BY source
+), agg AS (
+  SELECT sum(n_g)::BIGINT AS n, count(*)::BIGINT AS k, sum(t_g)::BIGINT AS s,
+         sum(q_g)::BIGINT AS sumsq, sum(t_g * t_g // n_g)::BIGINT AS bsum
+  FROM per
+)
+SELECT n, k,
+       ((bsum * n - s * s) * 1000 // (sumsq * n - s * s))::BIGINT AS eta2_milli,
+       (((bsum * n - s * s) // (k - 1)) * 1000 // ((sumsq * n - bsum * n) // (n - k)))::BIGINT AS f_milli
+FROM agg
+"""
+
+
+# -- tail conditional value at risk ----------------------------------------------------------------------------------
+
+
+def q_tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail risk per event type: VaR_95 (the smallest value in the top
+    5%) and CVaR_95 / expected shortfall (the MEAN of that top 5%) —
+    the pair capacity planning actually budgets for, since p95 alone
+    says nothing about how bad the tail is once entered (Rockafellar &
+    Uryasev 2000). Tail membership is exact order statistics: values
+    quantized once to integer cents (round(value*100): one correctly
+    rounded double multiply + the shared half-away-from-zero rule),
+    ranked per type with event_id tie-breaks, top max(1, n div 20)
+    rows kept; the means are integer divisions.
+
+    Scale shape: one window ranked within each type partition (the
+    stream's natural key), a per-type count broadcast back, one
+    grouped agg of the tail — no global sort. At 10^10 events swap the
+    exact rank for the t-digest threshold and keep the same tail agg."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    n_per = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").desc(), F.col("event_id").asc()
+    )
+    ranked = ev.withColumn("r", F.row_number().over(w).cast("bigint"))
+    tail = ranked.join(F.broadcast(n_per), "event_type").filter(
+        F.col("r") <= F.greatest(F.lit(1), F.expr("n div 20"))
+    )
+    return (
+        tail.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+            F.min("cents").cast("bigint").alias("var_cents"),
+            F.expr("sum(cents) div count(1)").cast("bigint").alias("cvar_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TAIL_CVAR = """
+WITH ev AS (
+  SELECT event_type, event_id, round(value * 100)::BIGINT AS cents FROM events
+), n_per AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM ev GROUP BY event_type
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents DESC, event_id ASC)::BIGINT AS r
+  FROM ev
+), tail AS (
+  SELECT ranked.event_type, cents, n
+  FROM ranked JOIN n_per ON ranked.event_type = n_per.event_type
+  WHERE r <= greatest(1, n // 20)
+)
+SELECT event_type, max(n)::BIGINT AS n, count(*)::BIGINT AS n_tail,
+       min(cents)::BIGINT AS var_cents,
+       (sum(cents) // count(*))::BIGINT AS cvar_cents
+FROM tail GROUP BY event_type ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -19369,6 +19589,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sort_rle_benefit": (q_sort_rle_benefit, SQL_SORT_RLE_BENEFIT),
     "join_card_estimate": (q_join_card_estimate, SQL_JOIN_CARD_ESTIMATE),
     "lead_lag_beta": (q_lead_lag_beta, SQL_LEAD_LAG_BETA),
+    "t_closeness_audit": (q_t_closeness_audit, SQL_T_CLOSENESS_AUDIT),
+    "anova_effect": (q_anova_effect, SQL_ANOVA_EFFECT),
+    "tail_cvar": (q_tail_cvar, SQL_TAIL_CVAR),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
