@@ -1333,3 +1333,26 @@ def test_tail_cvar_window_partitioned_by_type(spark):
     for line in simple.splitlines():
         if "windowspecdefinition(" in line:
             assert "event_type" in line
+
+
+def test_kwic_broadcast_target_map_side_slices(spark):
+    p = plan_str(_q("kwic_concordance", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the 1-row target term broadcasts into the posexplode stream
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_prefix_completions_windows_partitioned_by_prefix(spark):
+    p = plan_str(_q("prefix_completions", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    simple = plan_str(_q("prefix_completions", spark), "simple")
+    for line in simple.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "prefix" in line
+
+
+def test_spearman_two_rank_sorts_one_fold(spark):
+    p = plan_str(_q("spearman_rho", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p

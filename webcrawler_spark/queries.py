@@ -19320,6 +19320,216 @@ FROM tail GROUP BY event_type ORDER BY event_type
 """
 
 
+# -- keyword-in-context concordance -----------------------------------------------------------------------------------
+
+_KWIC_WIN = 2
+_KWIC_RANK = 11  # df rank of the target term (skip the top-10 near-stopwords)
+
+
+def q_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance (the corpus linguist's KWIC view,
+    and the spot-check surface behind every 'show me how this term is
+    actually used' request during vocabulary/tokenizer debugging): all
+    occurrences of the target term — document-frequency rank
+    {rank} of the vocabulary, the same deterministic pick as
+    retrieval_eval's queries — with {win} tokens of left and right
+    context joined back into strings. Exact string output, so the
+    oracle pins tokenization AND windowing byte-for-byte.
+
+    Scale shape: one vocab agg -> TakeOrdered 1 (the target, broadcast),
+    one posexplode + semi-filter; context slices are map-side array
+    ops; output rows = term occurrences."""
+    toks = _tokens(_docs_parallel(spark, sf_dir)).select("doc_id", "toks")
+    target = (
+        toks.select(F.explode("toks").alias("term"), "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_KWIC_RANK)
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(1)
+        .select("term")
+    )
+    pos = toks.select("doc_id", "toks", F.posexplode("toks").alias("pos", "tok"))
+    hits = pos.join(F.broadcast(target), F.col("tok") == F.col("term"))
+    return (
+        hits.select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr(
+                f"array_join(slice(toks, greatest(1, pos + 1 - {_KWIC_WIN}), "
+                f"pos + 1 - greatest(1, pos + 1 - {_KWIC_WIN})), ' ')"
+            ).alias("left_ctx"),
+            F.col("tok").alias("term"),
+            F.expr(f"array_join(slice(toks, pos + 2, {_KWIC_WIN}), ' ')").alias(
+                "right_ctx"
+            ),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+q_kwic_concordance.__doc__ = q_kwic_concordance.__doc__.format(
+    rank=_KWIC_RANK, win=_KWIC_WIN
+)
+
+
+SQL_KWIC_CONCORDANCE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), df AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks
+  ) GROUP BY term
+), target AS (
+  SELECT term FROM (
+    SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {_KWIC_RANK}
+  ) ORDER BY df ASC, term ASC LIMIT 1
+), pos AS (
+  SELECT doc_id, toks, toks[u.i] AS tok, (u.i - 1)::BIGINT AS pos
+  FROM toks, unnest(range(1, len(toks) + 1)) AS u(i)
+)
+SELECT doc_id, pos,
+       coalesce(array_to_string(toks[greatest(1, pos + 1 - {_KWIC_WIN}):pos], ' '), '') AS left_ctx,
+       tok AS term,
+       coalesce(array_to_string(toks[pos + 2:least(len(toks), pos + 1 + {_KWIC_WIN})], ' '), '') AS right_ctx
+FROM pos JOIN target ON pos.tok = target.term
+ORDER BY doc_id, pos
+"""
+
+
+# -- prefix completions -------------------------------------------------------------------------------------------------
+
+_PFX_LENS = (1, 2, 3)
+
+
+def q_prefix_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete table build: for every term prefix of length
+    {lens}, the highest-total-frequency completion and its share of
+    the prefix's mass — the precomputed structure behind search-box
+    suggestions and the trie-pruning statistic for the dictionary
+    (`front_coding_bytes`) layout. Ties break lexicographically, so
+    the table is deterministic.
+
+    Scale shape: one vocab count agg, an explode to ({n_lens} prefixes
+    x vocab) rows, one rank window PARTITIONED by prefix plus the
+    prefix-mass sum over the same partitioning — bounded by the
+    dictionary, not the corpus."""
+    tf = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    lens = ", ".join(str(k) for k in _PFX_LENS)
+    pfx = tf.select(
+        "term", "tf", F.explode(F.expr(f"array({lens})")).alias("k")
+    ).filter(F.length("term") >= F.col("k")).select(
+        F.expr("substring(term, 1, k)").alias("prefix"), "term", "tf"
+    )
+    w = Window.partitionBy("prefix")
+    wr = Window.partitionBy("prefix").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        pfx.withColumn("mass", F.sum("tf").over(w).cast("bigint"))
+        .withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "prefix",
+            F.col("term").alias("top_term"),
+            "tf",
+            "mass",
+            F.expr("tf * 1000 div mass").cast("bigint").alias("share_milli"),
+        )
+        .orderBy("prefix")
+    )
+
+
+q_prefix_completions.__doc__ = q_prefix_completions.__doc__.format(
+    lens=_PFX_LENS, n_lens=len(_PFX_LENS)
+)
+
+
+SQL_PREFIX_COMPLETIONS = f"""
+WITH tf AS (
+  SELECT term, count(*)::BIGINT AS tf FROM (
+    SELECT unnest({_SQL_TOKS}) AS term FROM documents
+  ) GROUP BY term
+), pfx AS (
+  SELECT substr(term, 1, k) AS prefix, term, tf
+  FROM tf, unnest([{", ".join(str(k) for k in _PFX_LENS)}]) AS u(k)
+  WHERE length(term) >= k
+), ranked AS (
+  SELECT prefix, term, tf,
+         sum(tf) OVER (PARTITION BY prefix)::BIGINT AS mass,
+         row_number() OVER (PARTITION BY prefix ORDER BY tf DESC, term ASC) AS r
+  FROM pfx
+)
+SELECT prefix, term AS top_term, tf, mass,
+       (tf * 1000 // mass)::BIGINT AS share_milli
+FROM ranked WHERE r = 1 ORDER BY prefix
+"""
+
+
+# -- Spearman rank correlation --------------------------------------------------------------------------------------------
+
+
+def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two per-document signals —
+    length (n_chars) and lexical variety (distinct tokens) — via the
+    classical rho = 1 - 6*Sum(d^2) / (n(n^2-1)). The monotone-agreement
+    check that, unlike Pearson, ignores the signals' scales, and the
+    O(n log n) companion to `kendall_tau` (O(n^2) concordance):
+    production monitors run Spearman corpus-wide and Kendall on
+    samples. Ranks are row_number with doc_id tie-breaks (the
+    convention pinned here and in the oracle), so rho is integer-exact
+    in milli.
+
+    Scale shape: two rank windows over single-column sorts, one
+    map-side d^2, a 1-row fold; at 10^10 docs the ranks come from a
+    range-partitioned sort (Spark's global row_number), still one
+    shuffle each."""
+    d = _tokens(_docs_parallel(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.expr("size(array_distinct(toks))").cast("bigint").alias("y"),
+    )
+    rx = Window.orderBy(F.asc("x"), F.asc("doc_id"))
+    ry = Window.orderBy(F.asc("y"), F.asc("doc_id"))
+    ranked = d.select(
+        F.row_number().over(rx).cast("bigint").alias("r_x"),
+        F.row_number().over(ry).cast("bigint").alias("r_y"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("(r_x - r_y) * (r_x - r_y)")).cast("bigint").alias("sum_d2"),
+    ).select(
+        "n",
+        "sum_d2",
+        F.expr("(n * (n * n - 1) - 6 * sum_d2) * 1000 div (n * (n * n - 1))")
+        .cast("bigint")
+        .alias("rho_milli"),
+    )
+
+
+SQL_SPEARMAN_RHO = f"""
+WITH d AS (
+  SELECT doc_id, n_chars::BIGINT AS x,
+         len(list_distinct({_SQL_TOKS}))::BIGINT AS y
+  FROM documents
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY x ASC, doc_id ASC)::BIGINT AS r_x,
+         row_number() OVER (ORDER BY y ASC, doc_id ASC)::BIGINT AS r_y
+  FROM d
+)
+SELECT count(*)::BIGINT AS n,
+       sum((r_x - r_y) * (r_x - r_y))::BIGINT AS sum_d2,
+       ((count(*) * (count(*) * count(*) - 1) - 6 * sum((r_x - r_y) * (r_x - r_y))) * 1000
+        // (count(*) * (count(*) * count(*) - 1)))::BIGINT AS rho_milli
+FROM ranked
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -19592,6 +19802,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "t_closeness_audit": (q_t_closeness_audit, SQL_T_CLOSENESS_AUDIT),
     "anova_effect": (q_anova_effect, SQL_ANOVA_EFFECT),
     "tail_cvar": (q_tail_cvar, SQL_TAIL_CVAR),
+    "kwic_concordance": (q_kwic_concordance, SQL_KWIC_CONCORDANCE),
+    "prefix_completions": (q_prefix_completions, SQL_PREFIX_COMPLETIONS),
+    "spearman_rho": (q_spearman_rho, SQL_SPEARMAN_RHO),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
