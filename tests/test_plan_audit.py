@@ -1356,3 +1356,29 @@ def test_spearman_two_rank_sorts_one_fold(spark):
     p = plan_str(_q("spearman_rho", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p
+
+
+def test_min_pair_span_sweep_not_crossproduct(spark):
+    p = plan_str(_q("min_pair_span", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the 2-term query set broadcasts into the position stream; the
+    # sweep window is partitioned per doc
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+    simple = plan_str(_q("min_pair_span", spark), "simple")
+    for line in simple.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "doc_id" in line
+
+
+def test_spotsigs_bucket_join_with_df_cap(spark):
+    p = plan_str(_q("spotsigs_pairs", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_behavior_cosine_broadcast_marginals(spark):
+    p = plan_str(_q("behavior_cosine", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p

@@ -19530,6 +19530,269 @@ FROM ranked
 """
 
 
+# -- minimum pair span (proximity) ----------------------------------------------------------------------------------
+
+
+def q_min_pair_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum pair span — the positional-proximity primitive under
+    phrase/proximity ranking (Buttcher et al, and the SpanNear scorer
+    in Lucene): for the same two query terms as retrieval_eval's qid 0
+    (document-frequency ranks 11-12), the smallest position distance
+    between an occurrence of each within a document. BM25 says a doc
+    mentions both; span says whether they appear TOGETHER — the
+    re-ranking feature. Computed with the plane-sweep trick: all
+    positions of both terms sorted once per doc, the minimum
+    cross-term gap is over ADJACENT entries only — O(positions), never
+    the occurrence cross-product.
+
+    Scale shape: vocab agg -> 2-term broadcast; one posexplode +
+    semi-join; ONE window per doc (the natural partition); a per-doc
+    min agg. Output: docs containing both terms."""
+    toks = _tokens(_docs_parallel(spark, sf_dir)).select("doc_id", "toks")
+    terms = (
+        toks.select(F.explode("toks").alias("term"), "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(12)
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(2)
+        .select("term")
+    )
+    pos = (
+        toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+        .join(F.broadcast(terms), F.col("tok") == F.col("term"))
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gaps = pos.select(
+        "doc_id",
+        "term",
+        "pos",
+        F.lead("term").over(w).alias("nterm"),
+        F.lead("pos").over(w).alias("npos"),
+    ).filter(F.col("nterm").isNotNull() & (F.col("nterm") != F.col("term")))
+    return (
+        gaps.groupBy("doc_id")
+        .agg(F.min(F.expr("npos - pos")).cast("bigint").alias("min_span"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_MIN_PAIR_SPAN = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), df AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks
+  ) GROUP BY term
+), terms AS (
+  SELECT term FROM (
+    SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 12
+  ) ORDER BY df ASC, term ASC LIMIT 2
+), pos AS (
+  SELECT doc_id, (u.i - 1)::BIGINT AS pos, toks[u.i] AS term
+  FROM toks, unnest(range(1, len(toks) + 1)) AS u(i)
+  WHERE toks[u.i] IN (SELECT term FROM terms)
+), gaps AS (
+  SELECT doc_id, term, pos,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS npos
+  FROM pos
+)
+SELECT doc_id, min(npos - pos)::BIGINT AS min_span
+FROM gaps WHERE nterm IS NOT NULL AND nterm <> term
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# -- SpotSigs near-duplicate signatures ----------------------------------------------------------------------------
+
+_SPOT_WIN = 4
+_SPOT_CHAIN = 2
+_SPOT_MAXDF = 50
+_SPOT_MIN_SHARED = 2
+
+
+def q_spotsigs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpotSigs near-duplicate detection (Theobald, Siddharth &
+    Paepcke SIGIR'08): signatures are chains anchored at STOPWORD
+    occurrences — the anchor plus the next {chain} non-stopword tokens
+    within a {win}-token window — which naturally skips boilerplate
+    (navigation bars rarely carry stopword-anchored content chains)
+    and needs no shingle set over the full text. Docs sharing >=
+    {min_shared} signatures are near-dup candidates, scored by exact
+    Jaccard over their signature SETS. The boilerplate-robust member
+    of the dedup family (minhash/simhash/ngram hash everything;
+    SpotSigs samples where function words anchor real prose).
+
+    Scale shape: signature extraction is map-side array ops; the
+    candidate join is per-signature buckets with a df <= {maxdf}
+    hot-signature cap (the same quadratic-guard as
+    ngram_jaccard_capped); per-doc set sizes broadcast back for exact
+    Jaccard."""
+    toks = _tokens(_docs_parallel(spark, sf_dir)).select("doc_id", "toks")
+    chain = (
+        f"transform(filter(sequence(1, size(toks)), i -> array_contains({_SPARK_STOPLIST}, toks[i - 1])), "
+        f"i -> concat(toks[i - 1], ':', array_join(slice(filter(slice(toks, i + 1, {_SPOT_WIN}), "
+        f"t -> NOT array_contains({_SPARK_STOPLIST}, t)), 1, {_SPOT_CHAIN}), '_')))"
+    )
+    sigs = (
+        toks.select("doc_id", F.explode(F.expr(chain)).alias("sig"))
+        # a signature with an EMPTY chain (anchor at text end, or no
+        # non-stop continuation) ends in ':' — dropped on both engines
+        .filter((F.length("sig") > 0) & (~F.col("sig").endswith(":")))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sigs.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("nsig"))
+    capped = sigs.join(
+        sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("sdf")).filter(
+            F.col("sdf") <= _SPOT_MAXDF
+        ),
+        "sig",
+    )
+    a = capped.select(F.col("sig"), F.col("doc_id").alias("da"))
+    b = capped.select(F.col("sig"), F.col("doc_id").alias("db"))
+    shared = (
+        a.join(b, "sig")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= _SPOT_MIN_SHARED)
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("da"), F.col("nsig").alias("na"))),
+            "da",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("db"), F.col("nsig").alias("nb"))),
+            "db",
+        )
+        .select(
+            "da",
+            "db",
+            "shared",
+            F.expr("shared * 1000 div (na + nb - shared)")
+            .cast("bigint")
+            .alias("jaccard_milli"),
+        )
+        .orderBy("da", "db")
+    )
+
+
+q_spotsigs_pairs.__doc__ = q_spotsigs_pairs.__doc__.format(
+    chain=_SPOT_CHAIN, win=_SPOT_WIN, maxdf=_SPOT_MAXDF, min_shared=_SPOT_MIN_SHARED
+)
+
+
+SQL_SPOTSIGS_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sigs AS (
+  SELECT DISTINCT doc_id, sig FROM (
+    SELECT doc_id,
+           toks[u.i] || ':' || array_to_string(
+             (list_filter(toks[u.i + 1:least(len(toks), u.i + {_SPOT_WIN})],
+                          t -> NOT list_contains({_SQL_STOPLIST}, t)))[1:{_SPOT_CHAIN}], '_') AS sig
+    FROM toks, unnest(range(1, len(toks) + 1)) AS u(i)
+    WHERE list_contains({_SQL_STOPLIST}, toks[u.i])
+  ) WHERE sig IS NOT NULL AND length(sig) > 0 AND sig NOT LIKE '%:'
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS nsig FROM sigs GROUP BY doc_id
+), capped AS (
+  SELECT sigs.doc_id, sigs.sig FROM sigs
+  JOIN (SELECT sig, count(*) AS sdf FROM sigs GROUP BY sig HAVING count(*) <= {_SPOT_MAXDF}) f
+    ON sigs.sig = f.sig
+), shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS shared
+  FROM capped a JOIN capped b ON a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {_SPOT_MIN_SHARED}
+)
+SELECT da, db, shared,
+       (shared * 1000 // (sa.nsig + sb.nsig - shared))::BIGINT AS jaccard_milli
+FROM shared
+JOIN sizes sa ON shared.da = sa.doc_id
+JOIN sizes sb ON shared.db = sb.doc_id
+ORDER BY da, db
+"""
+
+
+# -- behavioral cosine between event types ------------------------------------------------------------------------------
+
+
+def q_behavior_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ochiai/cosine similarity between event types over their user
+    sets: sim(a,b) = |U_a n U_b| / sqrt(|U_a| |U_b|) — the
+    co-behavior geometry that `assoc_rules_lift` expresses as a ratio
+    of rates; cosine is the symmetric, scale-free version item-item
+    recommenders actually use (Sarwar et al WWW'01). Integer set
+    sizes feed one sqrt + one division — both IEEE-correctly-rounded
+    over exact integer inputs (the wilson_lower_bound determinism
+    argument), rounded to 6 decimals.
+
+    Scale shape: distinct (user, type) once, self-join on user bounded
+    by per-user type sets, |types| marginals broadcast back;
+    |types|^2/2 output rows."""
+    bask = (
+        _read(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint()
+    )
+    marg = bask.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    a = bask.select(F.col("user_id").alias("u"), F.col("event_type").alias("ta"))
+    b = bask.select(F.col("user_id").alias("u"), F.col("event_type").alias("tb"))
+    inter = (
+        a.join(b, "u")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    return (
+        inter.join(
+            F.broadcast(marg.select(F.col("event_type").alias("ta"), F.col("cnt").alias("c_a"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("event_type").alias("tb"), F.col("cnt").alias("c_b"))),
+            "tb",
+        )
+        .select(
+            "ta",
+            "tb",
+            "c_ab",
+            F.expr("round(cast(c_ab as double) / sqrt(cast(c_a as double) * c_b), 6)").alias(
+                "ochiai"
+            ),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+SQL_BEHAVIOR_COSINE = """
+WITH bask AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), marg AS (
+  SELECT event_type, count(*)::BIGINT AS cnt FROM bask GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*)::BIGINT AS c_ab
+  FROM bask a JOIN bask b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta, tb, c_ab,
+       round(c_ab::DOUBLE / sqrt(ma.cnt::DOUBLE * mb.cnt), 6) AS ochiai
+FROM inter
+JOIN marg ma ON inter.ta = ma.event_type
+JOIN marg mb ON inter.tb = mb.event_type
+ORDER BY ta, tb
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -19805,6 +20068,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kwic_concordance": (q_kwic_concordance, SQL_KWIC_CONCORDANCE),
     "prefix_completions": (q_prefix_completions, SQL_PREFIX_COMPLETIONS),
     "spearman_rho": (q_spearman_rho, SQL_SPEARMAN_RHO),
+    "min_pair_span": (q_min_pair_span, SQL_MIN_PAIR_SPAN),
+    "spotsigs_pairs": (q_spotsigs_pairs, SQL_SPOTSIGS_PAIRS),
+    "behavior_cosine": (q_behavior_cosine, SQL_BEHAVIOR_COSINE),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
