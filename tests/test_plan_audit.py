@@ -1382,3 +1382,27 @@ def test_behavior_cosine_broadcast_marginals(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_rich_club_hub_broadcast_semijoins(spark):
+    p = plan_str(_q("rich_club", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # hub sets broadcast into the edge list per threshold
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+
+
+def test_neyman_window_over_sources_only(spark):
+    p = plan_str(_q("neyman_allocation", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    simple = plan_str(_q("neyman_allocation", spark), "simple")
+    # the remainder-rank window orders the |sources| rollup, after the agg
+    assert "HashAggregate" in simple and "Window" in simple
+
+
+def test_sample_size_power_map_side_after_groupby(spark):
+    p = plan_str(_q("sample_size_power", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p

@@ -19793,6 +19793,269 @@ ORDER BY ta, tb
 """
 
 
+# -- rich-club coefficient ------------------------------------------------------------------------------------------
+
+_RC_KS = (2, 4, 8)
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the host graph (Zhou & Mondragon 2004;
+    Colizza et al Nature Physics 2006): for degree thresholds k in
+    {ks}, phi(k) = 2*E_k / (N_k*(N_k-1)) where N_k hubs have degree
+    > k and E_k edges run between them — how tightly the hubs
+    interconnect. The LINK-FARM macro-signature: organic webs show
+    moderate rich-clubs, spam farms show phi near 1 among their hub
+    layer (`link_farm_score` flags nodes; this flags the STRUCTURE).
+    Exact integer counts; phi reported in milli.
+
+    Scale shape: one degree agg, hub set broadcast (shrinks as k
+    grows), edge semi-join counted per threshold — thresholds fold in
+    one pass each over the edge list."""
+    edges = _pagerank_edges(spark, sf_dir).localCheckpoint()
+    und = (
+        edges.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint()
+    )
+    outs = []
+    for k in _RC_KS:
+        hubs = deg.filter(F.col("deg") > k).select("node")
+        nk = hubs.agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+        ek = (
+            und.join(F.broadcast(hubs.withColumnRenamed("node", "a")), "a")
+            .join(F.broadcast(hubs.withColumnRenamed("node", "b")), "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+        )
+        outs.append(
+            nk.crossJoin(ek).select(
+                F.lit(k).cast("int").alias("k"),
+                "n_k",
+                "e_k",
+                F.expr(
+                    "case when n_k >= 2 then 2 * e_k * 1000 div (n_k * (n_k - 1)) else 0 end"
+                )
+                .cast("bigint")
+                .alias("phi_milli"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("k")
+
+
+q_rich_club.__doc__ = q_rich_club.__doc__.format(ks=_RC_KS)
+
+
+def _sql_rich_club() -> str:
+    sels = []
+    for k in _RC_KS:
+        sels.append(
+            f"""SELECT {k}::INTEGER AS k, n_k, e_k,
+       (CASE WHEN n_k >= 2 THEN 2 * e_k * 1000 // (n_k * (n_k - 1)) ELSE 0 END)::BIGINT AS phi_milli
+FROM (SELECT count(*)::BIGINT AS n_k FROM deg WHERE deg > {k})
+CROSS JOIN (
+  SELECT count(*)::BIGINT AS e_k FROM und
+  WHERE a IN (SELECT node FROM deg WHERE deg > {k})
+    AND b IN (SELECT node FROM deg WHERE deg > {k})
+)"""
+        )
+    body = " UNION ALL ".join(sels)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % {_PR_NODES}
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+), deg AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+)
+SELECT * FROM ({body}) ORDER BY k
+"""
+
+
+SQL_RICH_CLUB = _sql_rich_club()
+
+
+# -- Neyman stratified-sampling allocation -----------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): split
+    a {budget}-doc inspection budget across sources proportional to
+    N_h * S_h (stratum size x stratum std-dev of document length) —
+    the design that minimizes estimator variance, vs naive
+    proportional allocation which oversamples homogeneous strata. The
+    audit-budget planner for 'how many docs per source must a human
+    QA pass look at'. Variances are exact integers via the n-scaled
+    centered form; S_h is one IEEE sqrt; seats are assigned by
+    largest remainder (the budget_allocation machinery), so the
+    allocation sums to exactly {budget} deterministically.
+
+    Scale shape: one groupBy(source) of integer partials, window rank
+    over the |sources|-row result — driver-free."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("bigint").alias("y")
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("y").cast("bigint").alias("s_h"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("q_h"),
+    )
+    # S_h in milli units: sqrt of the exact integer variance scaled by 1e6
+    weighted = per.select(
+        "source",
+        "n_h",
+        F.expr(
+            "cast(round(sqrt(cast((q_h * n_h - s_h * s_h) as double) / (n_h * n_h) * 1000000)) as bigint)"
+        ).alias("s_milli"),
+    ).withColumn("w", F.expr("n_h * s_milli").cast("bigint"))
+    tot = weighted.agg(F.sum("w").cast("bigint").alias("wsum"))
+    base = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_h",
+        "s_milli",
+        F.expr(f"w * {_NEY_BUDGET} div wsum").cast("bigint").alias("floor_n"),
+        F.expr(f"w * {_NEY_BUDGET} % wsum").cast("bigint").alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(_NEY_BUDGET) - F.sum("floor_n")).cast("bigint").alias("extra")
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        base.crossJoin(F.broadcast(short))
+        .withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .select(
+            "source",
+            "n_h",
+            "s_milli",
+            (F.col("floor_n") + (F.col("rk") <= F.col("extra")).cast("bigint"))
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+q_neyman_allocation.__doc__ = q_neyman_allocation.__doc__.format(budget=_NEY_BUDGET)
+
+
+SQL_NEYMAN_ALLOCATION = f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_h, sum(n_chars::BIGINT)::BIGINT AS s_h,
+         sum(n_chars::BIGINT * n_chars::BIGINT)::BIGINT AS q_h
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT source, n_h,
+         round(sqrt((q_h * n_h - s_h * s_h)::DOUBLE / (n_h * n_h) * 1000000))::BIGINT AS s_milli
+  FROM per
+), w2 AS (
+  SELECT source, n_h, s_milli, (n_h * s_milli)::BIGINT AS w FROM weighted
+), tot AS (SELECT sum(w)::BIGINT AS wsum FROM w2),
+base AS (
+  SELECT source, n_h, s_milli,
+         (w * {_NEY_BUDGET} // wsum)::BIGINT AS floor_n,
+         (w * {_NEY_BUDGET} % wsum)::BIGINT AS rem
+  FROM w2 CROSS JOIN tot
+), short AS (
+  SELECT ({_NEY_BUDGET} - sum(floor_n))::BIGINT AS extra FROM base
+), ranked AS (
+  SELECT source, n_h, s_milli, floor_n, extra,
+         row_number() OVER (ORDER BY rem DESC, source ASC)::BIGINT AS rk
+  FROM base CROSS JOIN short
+)
+SELECT source, n_h, s_milli,
+       (floor_n + (rk <= extra)::BIGINT)::BIGINT AS alloc
+FROM ranked ORDER BY source
+"""
+
+
+# -- two-proportion power analysis ---------------------------------------------------------------------------------------
+
+
+def q_sample_size_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required sample size per arm to detect the OBSERVED
+    English-rate gap between each source and the corpus rest, at
+    alpha = 0.05 two-sided / 80% power (two-proportion z-test,
+    Fleiss): n = (z_a*sqrt(2*pbar*qbar) + z_b*sqrt(p1*q1 + p2*q2))^2
+    / (p1 - p2)^2. The monitoring-design op: a drift alarm on a slice
+    is only actionable if the slice's daily volume can reach
+    significance — this reports, per source, how many docs/arm that
+    takes. z constants are shared literals; rates enter as exact
+    milli integers; the two sqrts and the square are IEEE
+    correctly-rounded doubles (wilson_lower_bound's determinism
+    argument), rounded to a whole-doc ceiling.
+
+    Scale shape: one groupBy(source) + a 1-row corpus total broadcast;
+    map-side math on |sources| rows."""
+    per = (
+        _read(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1"),
+            F.sum((F.col("lang") == "en").cast("bigint")).cast("bigint").alias("s1"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n1").cast("bigint").alias("n"), F.sum("s1").cast("bigint").alias("s")
+    )
+    # all in exact milli: p1, p2 (rest), pbar (pooled)
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n1",
+        F.expr("s1 * 1000 div n1").cast("bigint").alias("p1_milli"),
+        F.expr("(s - s1) * 1000 div (n - n1)").cast("bigint").alias("p2_milli"),
+        F.expr("s * 1000 div n").cast("bigint").alias("pbar_milli"),
+    )
+    expr = (
+        "case when p1_milli = p2_milli then cast(null as bigint) else "
+        "cast(ceil(pow(1.96 * sqrt(2.0 * (pbar_milli / 1000.0) * (1.0 - pbar_milli / 1000.0)) "
+        "+ 0.8416 * sqrt((p1_milli / 1000.0) * (1.0 - p1_milli / 1000.0) "
+        "+ (p2_milli / 1000.0) * (1.0 - p2_milli / 1000.0)), 2) "
+        "/ pow((p1_milli - p2_milli) / 1000.0, 2)) as bigint) end"
+    )
+    return base.select(
+        "source", "n1", "p1_milli", "p2_milli", F.expr(expr).alias("n_per_arm")
+    ).orderBy("source")
+
+
+SQL_SAMPLE_SIZE_POWER = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n1,
+         sum((lang = 'en')::BIGINT)::BIGINT AS s1
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n1)::BIGINT AS n, sum(s1)::BIGINT AS s FROM per),
+base AS (
+  SELECT source, n1,
+         (s1 * 1000 // n1)::BIGINT AS p1_milli,
+         ((s - s1) * 1000 // (n - n1))::BIGINT AS p2_milli,
+         (s * 1000 // n)::BIGINT AS pbar_milli
+  FROM per CROSS JOIN tot
+)
+SELECT source, n1, p1_milli, p2_milli,
+       CASE WHEN p1_milli = p2_milli THEN NULL ELSE
+         ceil(pow(1.96 * sqrt(2.0 * (pbar_milli / 1000.0) * (1.0 - pbar_milli / 1000.0))
+                  + 0.8416 * sqrt((p1_milli / 1000.0) * (1.0 - p1_milli / 1000.0)
+                                  + (p2_milli / 1000.0) * (1.0 - p2_milli / 1000.0)), 2)
+              / pow((p1_milli - p2_milli) / 1000.0, 2))::BIGINT END AS n_per_arm
+FROM base ORDER BY source
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -20071,6 +20334,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "min_pair_span": (q_min_pair_span, SQL_MIN_PAIR_SPAN),
     "spotsigs_pairs": (q_spotsigs_pairs, SQL_SPOTSIGS_PAIRS),
     "behavior_cosine": (q_behavior_cosine, SQL_BEHAVIOR_COSINE),
+    "rich_club": (q_rich_club, SQL_RICH_CLUB),
+    "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
+    "sample_size_power": (q_sample_size_power, SQL_SAMPLE_SIZE_POWER),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
