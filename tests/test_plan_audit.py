@@ -1406,3 +1406,26 @@ def test_sample_size_power_map_side_after_groupby(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_ipw_single_pass_fold(spark):
+    p = plan_str(_q("ipw_estimate", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("ipw_estimate", spark), "simple")
+    # truth + naive + weighted partials fold in ONE aggregate pass
+    assert simple.count("HashAggregate") == 2  # partial + final
+
+
+def test_yule_k_two_level_agg_no_join(spark):
+    p = plan_str(_q("yule_k", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+
+
+def test_zone_map_broadcast_thresholds(spark):
+    p = plan_str(_q("zone_map_pruning", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # the 1-row percentile frame broadcasts into the group stats
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p

@@ -20056,6 +20056,278 @@ FROM base ORDER BY source
 """
 
 
+# -- inverse-propensity-weighted estimation ------------------------------------------------------------------------
+
+#: per-source-parity sampling rates (percent) — a deliberately BIASED
+#: sample design, so the unweighted mean is visibly off and IPW fixes it
+_IPW_RATE_EVEN = 40
+_IPW_RATE_ODD = 10
+
+
+def q_ipw_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted (Horvitz-Thompson) estimation audit:
+    documents are hash-sampled at DIFFERENT known rates per source
+    parity ({even}% / {odd}%), then the corpus mean length is
+    estimated three ways — naive sample mean (biased), IPW mean
+    (weights 1/p, unbiased), and the truth — with both errors in ppm.
+    The debiasing discipline every sampled-telemetry pipeline needs:
+    quality metrics computed on non-uniform samples (and EVERY
+    politeness-constrained crawl sample is non-uniform) are wrong
+    until reweighted. md5 sampling + integer milli weights keep both
+    engines identical.
+
+    Scale shape: single corpus pass folding truth, naive, and weighted
+    partials in one aggregate — no join, 1-row output."""
+    rate = (
+        f"case when cast(substring(source, 4, 10) as int) % 2 = 0 "
+        f"then {_IPW_RATE_EVEN} else {_IPW_RATE_ODD} end"
+    )
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("y"),
+        F.expr(rate).cast("bigint").alias("rate"),
+        (
+            F.expr(
+                "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)"
+            )
+            % 100
+        ).alias("h"),
+    ).select(
+        "y", "rate", (F.col("h") < F.col("rate")).alias("in_s")
+    )
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.when(F.col("in_s"), 1).otherwise(0)).cast("bigint").alias("n_s"),
+        F.sum(F.when(F.col("in_s"), F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_s"),
+        # Horvitz-Thompson: weight 100/rate per sampled row, in exact
+        # centi units (y*100 div rate is NOT integer-safe; keep y*100/rate
+        # as y * 100 div rate only after summing numerators per rate —
+        # rates divide 100 exactly here: 100/40 -> 5/2, so scale by 2
+        F.sum(F.when(F.col("in_s"), F.expr("y * 200 div rate")).otherwise(0))
+        .cast("bigint")
+        .alias("ht_2x"),
+        F.sum(F.when(F.col("in_s"), F.expr("200 div rate")).otherwise(0))
+        .cast("bigint")
+        .alias("w_2x"),
+    ).select(
+        "n",
+        "n_s",
+        F.expr("sy * 1000 div n").cast("bigint").alias("true_mean_milli"),
+        F.expr("sy_s * 1000 div n_s").cast("bigint").alias("naive_mean_milli"),
+        F.expr("ht_2x * 1000 div w_2x").cast("bigint").alias("ipw_mean_milli"),
+        F.expr(
+            "abs(sy_s * 1000 div n_s - sy * 1000 div n) * 1000 div (sy * 1000 div n)"
+        )
+        .cast("bigint")
+        .alias("naive_err_milli"),
+        F.expr(
+            "abs(ht_2x * 1000 div w_2x - sy * 1000 div n) * 1000 div (sy * 1000 div n)"
+        )
+        .cast("bigint")
+        .alias("ipw_err_milli"),
+    )
+
+
+q_ipw_estimate.__doc__ = q_ipw_estimate.__doc__.format(
+    even=_IPW_RATE_EVEN, odd=_IPW_RATE_ODD
+)
+
+
+SQL_IPW_ESTIMATE = f"""
+WITH docs AS (
+  SELECT n_chars::BIGINT AS y,
+         (CASE WHEN substr(source, 4, 10)::INTEGER % 2 = 0
+               THEN {_IPW_RATE_EVEN} ELSE {_IPW_RATE_ODD} END)::BIGINT AS rate,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS h
+  FROM documents
+), tagged AS (
+  SELECT y, rate, h < rate AS in_s FROM docs
+), agg AS (
+  SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+         sum(CASE WHEN in_s THEN 1 ELSE 0 END)::BIGINT AS n_s,
+         sum(CASE WHEN in_s THEN y ELSE 0 END)::BIGINT AS sy_s,
+         sum(CASE WHEN in_s THEN y * 200 // rate ELSE 0 END)::BIGINT AS ht_2x,
+         sum(CASE WHEN in_s THEN 200 // rate ELSE 0 END)::BIGINT AS w_2x
+  FROM tagged
+)
+SELECT n, n_s,
+       (sy * 1000 // n)::BIGINT AS true_mean_milli,
+       (sy_s * 1000 // n_s)::BIGINT AS naive_mean_milli,
+       (ht_2x * 1000 // w_2x)::BIGINT AS ipw_mean_milli,
+       (abs(sy_s * 1000 // n_s - sy * 1000 // n) * 1000 // (sy * 1000 // n))::BIGINT AS naive_err_milli,
+       (abs(ht_2x * 1000 // w_2x - sy * 1000 // n) * 1000 // (sy * 1000 // n))::BIGINT AS ipw_err_milli
+FROM agg
+"""
+
+
+# -- Yule's K -------------------------------------------------------------------------------------------------------------
+
+
+def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per language slice (Yule 1944):
+    K = 10^4 * (sum_m m^2*V(m) - N) / N^2 over the frequency spectrum
+    V(m) = number of types occurring m times — the repeat-rate
+    vocabulary-richness constant that, unlike raw type counts, is
+    ~invariant to corpus length (Tweedie & Baayen 1998), so slices of
+    different sizes are comparable. The third face of the spectrum
+    family: Chao1 reads the LOW end (f1, f2) for unseen types, Yule's
+    K the whole spectrum for concentration; template-generated text
+    shows K an order of magnitude above human prose. Integer-exact
+    (milli).
+
+    Scale shape: (lang, term) counts (one shuffle), per-lang integer
+    fold of sum m^2 and N; |langs| output rows."""
+    per = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select("lang", F.explode("toks").alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("types"),
+            F.sum("m").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("m * m")).cast("bigint").alias("m2"),
+        )
+        .select(
+            "lang",
+            "types",
+            "n_tokens",
+            F.expr("(m2 - n_tokens) * 10000000 div (n_tokens * n_tokens)")
+            .cast("bigint")
+            .alias("yule_k_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_YULE_K = f"""
+WITH per AS (
+  SELECT lang, term, count(*)::BIGINT AS m FROM (
+    SELECT lang, unnest({_SQL_TOKS}) AS term FROM documents
+  ) GROUP BY lang, term
+)
+SELECT lang, count(*)::BIGINT AS types, sum(m)::BIGINT AS n_tokens,
+       ((sum(m * m) - sum(m)) * 10000000 // (sum(m) * sum(m)))::BIGINT AS yule_k_milli
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+# -- zone-map pruning benefit ------------------------------------------------------------------------------------------
+
+_ZM_GROUP = 1000
+
+
+def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / row-group data-skipping audit (the min-max statistics
+    behind Parquet row-group pruning, ORC stripe stats, and every
+    lakehouse 'data skipping' feature): cut the corpus into
+    {group}-doc row groups in layout order, record each group's
+    [min, max] of n_chars, and for three selectivity thresholds (the
+    exact 50/90/99th length percentiles) report how many groups a
+    filter could SKIP as stored vs how many it would skip if the table
+    were SORTED by the column (= optimal). The skipped-fraction gap is
+    the concrete read-amplification cost of the current layout — the
+    number that justifies `zorder_keys` / `sort_rle_benefit` work.
+
+    Scale shape: group stats are one grouped agg; thresholds come from
+    one exact-percentile agg (1 row, broadcast); the sorted-layout
+    counterfactual needs only the VALUE DISTRIBUTION (rank arithmetic),
+    not an actual sort."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("y")
+    )
+    groups = (
+        docs.withColumn("grp", F.col("doc_id") - F.col("doc_id") % _ZM_GROUP)
+        .groupBy("grp")
+        .agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
+        .localCheckpoint()
+    )
+    thr = docs.agg(
+        F.expr("cast(floor(percentile(y, 0.5)) as bigint)").alias("t50"),
+        F.expr("cast(floor(percentile(y, 0.9)) as bigint)").alias("t90"),
+        F.expr("cast(floor(percentile(y, 0.99)) as bigint)").alias("t99"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    outs = []
+    for name, col in (("p50", "t50"), ("p90", "t90"), ("p99", "t99")):
+        # filter: y > t  — a group is skippable iff hi <= t
+        stats = (
+            groups.crossJoin(F.broadcast(thr))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.expr(f"cast(hi <= {col} as bigint)"))
+                .cast("bigint")
+                .alias("skipped"),
+                F.max(col).cast("bigint").alias("t"),
+                F.max("n").cast("bigint").alias("n"),
+            )
+        )
+        # sorted-layout optimum: rows with y <= t fill floor(cnt/{group})
+        # full groups — needs only the count of qualifying rows
+        qual = docs.crossJoin(F.broadcast(thr)).agg(
+            F.sum(F.expr(f"cast(y <= {col} as bigint)")).cast("bigint").alias("q")
+        )
+        outs.append(
+            stats.crossJoin(F.broadcast(qual)).select(
+                F.lit(name).alias("threshold"),
+                "t",
+                "n_groups",
+                "skipped",
+                F.expr(f"q div {_ZM_GROUP}").cast("bigint").alias("skipped_sorted"),
+                F.expr("skipped * 1000 div n_groups")
+                .cast("bigint")
+                .alias("skip_milli"),
+                F.expr(f"(q div {_ZM_GROUP}) * 1000 div n_groups")
+                .cast("bigint")
+                .alias("skip_sorted_milli"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("threshold")
+
+
+q_zone_map_pruning.__doc__ = q_zone_map_pruning.__doc__.format(group=_ZM_GROUP)
+
+
+def _sql_zone_map() -> str:
+    sels = []
+    for name, col in (("p50", "t50"), ("p90", "t90"), ("p99", "t99")):
+        sels.append(
+            f"""SELECT '{name}' AS threshold, (SELECT {col} FROM thr)::BIGINT AS t,
+       (SELECT count(*) FROM groups)::BIGINT AS n_groups,
+       (SELECT sum((hi <= (SELECT {col} FROM thr))::BIGINT) FROM groups)::BIGINT AS skipped,
+       (SELECT sum((y <= (SELECT {col} FROM thr))::BIGINT) // {_ZM_GROUP} FROM docs)::BIGINT AS skipped_sorted,
+       (SELECT sum((hi <= (SELECT {col} FROM thr))::BIGINT) FROM groups) * 1000
+         // (SELECT count(*) FROM groups) AS skip_milli,
+       ((SELECT sum((y <= (SELECT {col} FROM thr))::BIGINT) // {_ZM_GROUP} FROM docs) * 1000
+         // (SELECT count(*) FROM groups))::BIGINT AS skip_sorted_milli"""
+        )
+    body = " UNION ALL ".join(sels)
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, n_chars::BIGINT AS y FROM documents
+), groups AS MATERIALIZED (
+  SELECT doc_id - doc_id % {_ZM_GROUP} AS grp, min(y) AS lo, max(y) AS hi
+  FROM docs GROUP BY 1
+), thr AS MATERIALIZED (
+  SELECT CAST(floor(quantile_cont(y, 0.5)) AS BIGINT) AS t50,
+         CAST(floor(quantile_cont(y, 0.9)) AS BIGINT) AS t90,
+         CAST(floor(quantile_cont(y, 0.99)) AS BIGINT) AS t99
+  FROM docs
+)
+SELECT * FROM ({body}) ORDER BY threshold
+"""
+
+
+SQL_ZONE_MAP_PRUNING = _sql_zone_map()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -20337,6 +20609,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rich_club": (q_rich_club, SQL_RICH_CLUB),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "sample_size_power": (q_sample_size_power, SQL_SAMPLE_SIZE_POWER),
+    "ipw_estimate": (q_ipw_estimate, SQL_IPW_ESTIMATE),
+    "yule_k": (q_yule_k, SQL_YULE_K),
+    "zone_map_pruning": (q_zone_map_pruning, SQL_ZONE_MAP_PRUNING),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
