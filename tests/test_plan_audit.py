@@ -1429,3 +1429,26 @@ def test_zone_map_broadcast_thresholds(spark):
     assert "SortMergeJoin" not in p
     # the 1-row percentile frame broadcasts into the group stats
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_intersection_cost_pairframe_is_bounded(spark):
+    p = plan_str(_q("intersection_cost_model", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # top-8 term frame is materialized; pair costs are broadcast-side
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_term_expansion_broadcast_query_docs(spark):
+    p = plan_str(_q("term_expansion", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+
+
+def test_aa_single_pass_after_centering(spark):
+    p = plan_str(_q("aa_test_calibration", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    simple = plan_str(_q("aa_test_calibration", spark), "simple")
+    # both arms fold in one aggregate over one corpus scan
+    assert "HashAggregate" in simple

@@ -20328,6 +20328,276 @@ SELECT * FROM ({body}) ORDER BY threshold
 SQL_ZONE_MAP_PRUNING = _sql_zone_map()
 
 
+# -- posting intersection cost model ---------------------------------------------------------------------------------
+
+_IXC_TOP = 8  # model the all-pairs costs over the top-df terms
+
+
+def q_intersection_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-at-a-time AND-query cost model: for every pair of the
+    top-{top} df terms, the three classic posting-intersection costs —
+    linear merge (df1 + df2), galloping/SVS search from the short list
+    into the long (min_df * (1 + floor(log2(max_df / min_df))),
+    Demaine et al SODA'00), and bitmap AND (universe/64 words) — plus
+    which strategy wins. The query-processing companion to the storage
+    family (varint/EF/FOR/Roaring store the lists; this decides how to
+    INTERSECT them), and exactly the adaptive choice Lucene makes per
+    query. Integer-exact: the log2 is the CASE ladder, the argmin has
+    a fixed tie order (merge < gallop < bitmap).
+
+    Scale shape: one vocab agg -> TakeOrdered {top} (broadcast both
+    sides of the tiny pair frame), 1-row universe broadcast; costs are
+    map-side arithmetic on {top} * ({top}-1) / 2 rows."""
+    post = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select(F.explode("toks").alias("term"), "doc_id")
+        .distinct()
+    )
+    uni = post.agg((F.max("doc_id") + 1).cast("bigint").alias("u"))
+    top = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_IXC_TOP)
+        .localCheckpoint()
+    )
+    a = top.select(F.col("term").alias("ta"), F.col("df").alias("dfa"))
+    b = top.select(F.col("term").alias("tb"), F.col("df").alias("dfb"))
+    pairs = a.join(b, F.col("ta") < F.col("tb")).select(
+        "ta",
+        "tb",
+        F.least("dfa", "dfb").alias("df_min"),
+        F.greatest("dfa", "dfb").alias("df_max"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(uni))
+        .withColumn("q", F.expr("df_max div df_min"))
+        .withColumn("merge_ops", F.expr("df_min + df_max").cast("bigint"))
+        .withColumn(
+            "gallop_ops",
+            F.expr(f"df_min * (1 + ({_LOG2_CASE}))").cast("bigint"),
+        )
+        .withColumn("bitmap_ops", F.expr("(u + 63) div 64").cast("bigint"))
+        .withColumn(
+            "best",
+            F.expr(
+                "case when merge_ops <= gallop_ops and merge_ops <= bitmap_ops then 'merge' "
+                "when gallop_ops <= bitmap_ops then 'gallop' else 'bitmap' end"
+            ),
+        )
+        .select("ta", "tb", "df_min", "df_max", "merge_ops", "gallop_ops", "bitmap_ops", "best")
+        .orderBy("ta", "tb")
+    )
+
+
+q_intersection_cost_model.__doc__ = q_intersection_cost_model.__doc__.format(
+    top=_IXC_TOP
+)
+
+
+SQL_INTERSECTION_COST_MODEL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+post AS (SELECT DISTINCT t.term, toks.doc_id FROM toks, unnest(toks.toks) AS t(term)),
+uni AS (SELECT (max(doc_id) + 1)::BIGINT AS u FROM post),
+top AS (
+  SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term
+  ORDER BY df DESC, term ASC LIMIT {_IXC_TOP}
+), pairs AS (
+  SELECT a.term AS ta, b.term AS tb,
+         least(a.df, b.df) AS df_min, greatest(a.df, b.df) AS df_max
+  FROM top a JOIN top b ON a.term < b.term
+), costs AS (
+  SELECT ta, tb, df_min, df_max,
+         (df_min + df_max)::BIGINT AS merge_ops,
+         (df_min * (1 + ({_LOG2_CASE.replace("q", "(df_max // df_min)")})))::BIGINT AS gallop_ops,
+         ((u + 63) // 64)::BIGINT AS bitmap_ops
+  FROM pairs CROSS JOIN uni
+)
+SELECT ta, tb, df_min, df_max, merge_ops, gallop_ops, bitmap_ops,
+       CASE WHEN merge_ops <= gallop_ops AND merge_ops <= bitmap_ops THEN 'merge'
+            WHEN gallop_ops <= bitmap_ops THEN 'gallop' ELSE 'bitmap' END AS best
+FROM costs ORDER BY ta, tb
+"""
+
+
+# -- query expansion by co-occurrence lift --------------------------------------------------------------------------------
+
+_TEXP_TOP = 10
+
+
+def q_term_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance query expansion by document-level co-occurrence
+    lift: for the deterministic query term (df rank {rank}, the same
+    pick as kwic_concordance), the top {top} expansion candidates by
+    lift = P(t | q-docs) / P(t | corpus), computed on exact document
+    frequencies — the association-mining view of Rocchio expansion,
+    and distinct from `pmi_collocations` (ADJACENT-bigram phrases):
+    this finds topically-bound vocabulary anywhere in the document.
+    Integer ppm lift with (term) tie-breaks.
+
+    Scale shape: vocab df agg, the 1-row query term broadcast, one
+    semi-join to mark query-docs, a second df agg over that slice —
+    both aggs shuffle the (term, doc) frame once each; TakeOrdered
+    {top}."""
+    post = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .distinct()
+        .localCheckpoint()
+    )
+    df = post.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    target = (
+        df.orderBy(F.desc("df"), F.asc("term"))
+        .limit(_KWIC_RANK)
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(1)
+        .select(F.col("term").alias("qterm"))
+    )
+    n_docs = post.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    qdocs = (
+        post.join(F.broadcast(target), F.col("term") == F.col("qterm"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    nq = qdocs.agg(F.count(F.lit(1)).cast("bigint").alias("nq"))
+    co = (
+        post.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df_q"))
+    )
+    return (
+        co.join(df, "term")
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("term") != F.col("qterm"))
+        .select(
+            "qterm",
+            "term",
+            "df_q",
+            "df",
+            F.expr("df_q * n * 1000000 div (df * nq)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), F.asc("term"))
+        .limit(_TEXP_TOP)
+    )
+
+
+q_term_expansion.__doc__ = q_term_expansion.__doc__.format(
+    rank=_KWIC_RANK, top=_TEXP_TOP
+)
+
+
+SQL_TERM_EXPANSION = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+post AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks),
+df AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+target AS (
+  SELECT term AS qterm FROM (
+    SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {_KWIC_RANK}
+  ) ORDER BY df ASC, term ASC LIMIT 1
+), n_docs AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM post),
+qdocs AS (
+  SELECT doc_id FROM post JOIN target ON post.term = target.qterm
+), nq AS (SELECT count(*)::BIGINT AS nq FROM qdocs),
+co AS (
+  SELECT term, count(*)::BIGINT AS df_q
+  FROM post JOIN qdocs USING (doc_id) GROUP BY term
+)
+SELECT qterm, co.term, df_q, df,
+       (df_q * n * 1000000 // (df * nq))::BIGINT AS lift_ppm
+FROM co
+JOIN df ON co.term = df.term
+CROSS JOIN nq CROSS JOIN n_docs CROSS JOIN target
+WHERE co.term <> qterm
+ORDER BY lift_ppm DESC, co.term ASC LIMIT {_TEXP_TOP}
+"""
+
+
+# -- A/A test calibration ---------------------------------------------------------------------------------------------------
+
+
+def q_aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A-test calibration (the experimentation-hygiene null check):
+    split the corpus into two arms by a hash bit, compare mean document
+    length with the pooled two-sample z^2 statistic — on a correct
+    split this must hover near its null expectation (z^2 ~ chi2_1,
+    median ~ 0.45), and any systematic excess means the assignment or
+    the metric pipeline is broken BEFORE anyone runs a real A/B test
+    (Kohavi's 'trustworthy experiments' checklist). Integer-exact:
+    z^2 = n1*n2*(n2*s1 - n1*s2)^2 / (n1*n2*(n1+n2)*SS_pooled) collapses
+    to a ratio of integer products; reported in milli.
+
+    Scale shape: single pass, one aggregate folding both arms'
+    (n, sum, sumsq) with the corpus mean centered first (1-row
+    broadcast) to keep squares small — no join, 1-row output."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("y")
+    )
+    mean = docs.agg(F.expr("sum(y) div count(1)").cast("bigint").alias("c0"))
+    z = docs.crossJoin(F.broadcast(mean)).select(
+        (
+            F.expr(
+                "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)"
+            )
+            % 2
+            == 0
+        ).alias("arm_a"),
+        F.expr("y - c0").cast("bigint").alias("z"),
+    )
+    agg = z.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("arm_a"), F.col("z")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(~F.col("arm_a"), F.col("z")).otherwise(0))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.expr("z * z")).cast("bigint").alias("qq"),
+    )
+    # pooled variance (uncentered-by-arm is fine under the null):
+    # z^2 = (n2*s1 - n1*s2)^2 * (n1 + n2) / (n1 * n2 * ((n1+n2)*qq - (s1+s2)^2))
+    return agg.select(
+        "n1",
+        "n2",
+        F.expr("s1 * 1000 div n1").cast("bigint").alias("mean1_delta_milli"),
+        F.expr("s2 * 1000 div n2").cast("bigint").alias("mean2_delta_milli"),
+        F.expr(
+            "(n2 * s1 - n1 * s2) * (n2 * s1 - n1 * s2) div (n1 * n2) * (n1 + n2) * 1000 "
+            "div ((n1 + n2) * qq - (s1 + s2) * (s1 + s2))"
+        )
+        .cast("bigint")
+        .alias("z2_milli"),
+    )
+
+
+SQL_AA_TEST_CALIBRATION = """
+WITH mean AS (
+  SELECT (sum(n_chars::BIGINT) // count(*))::BIGINT AS c0 FROM documents
+), z AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 2 = 0 AS arm_a,
+         (n_chars::BIGINT - c0)::BIGINT AS z
+  FROM documents CROSS JOIN mean
+), agg AS (
+  SELECT sum(CASE WHEN arm_a THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN arm_a THEN 0 ELSE 1 END)::BIGINT AS n2,
+         sum(CASE WHEN arm_a THEN z ELSE 0 END)::BIGINT AS s1,
+         sum(CASE WHEN arm_a THEN 0 ELSE z END)::BIGINT AS s2,
+         sum(z * z)::BIGINT AS qq
+  FROM z
+)
+SELECT n1, n2,
+       (s1 * 1000 // n1)::BIGINT AS mean1_delta_milli,
+       (s2 * 1000 // n2)::BIGINT AS mean2_delta_milli,
+       ((n2 * s1 - n1 * s2) * (n2 * s1 - n1 * s2) // (n1 * n2) * (n1 + n2) * 1000
+        // ((n1 + n2) * qq - (s1 + s2) * (s1 + s2)))::BIGINT AS z2_milli
+FROM agg
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -20612,6 +20882,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ipw_estimate": (q_ipw_estimate, SQL_IPW_ESTIMATE),
     "yule_k": (q_yule_k, SQL_YULE_K),
     "zone_map_pruning": (q_zone_map_pruning, SQL_ZONE_MAP_PRUNING),
+    "intersection_cost_model": (
+        q_intersection_cost_model,
+        SQL_INTERSECTION_COST_MODEL,
+    ),
+    "term_expansion": (q_term_expansion, SQL_TERM_EXPANSION),
+    "aa_test_calibration": (q_aa_test_calibration, SQL_AA_TEST_CALIBRATION),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
