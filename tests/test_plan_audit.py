@@ -1452,3 +1452,52 @@ def test_aa_single_pass_after_centering(spark):
     simple = plan_str(_q("aa_test_calibration", spark), "simple")
     # both arms fold in one aggregate over one corpus scan
     assert "HashAggregate" in simple
+
+
+def test_poisson_bootstrap_single_groupby(spark):
+    p = plan_str(_q("poisson_bootstrap_ci", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # the 2-row CI frame broadcasts into the 1-row point estimate
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    simple = plan_str(_q("poisson_bootstrap_ci", spark), "simple")
+    # replicate means fold map-side: explode -> partial -> final, no resample
+    assert "Generate" in simple and "HashAggregate" in simple
+
+
+def test_design_effect_two_level_agg_no_join(spark):
+    p = plan_str(_q("design_effect_icc", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p
+
+
+def test_mcnemar_single_pass_no_shuffle_joins(spark):
+    p = plan_str(_q("mcnemar_paired", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p
+    simple = plan_str(_q("mcnemar_paired", spark), "simple")
+    # the four counters fold in one aggregate over one corpus scan
+    assert simple.count("HashAggregate") == 2  # partial + final
+
+
+def test_dict_encoding_two_level_agg_no_join(spark):
+    p = plan_str(_q("dict_encoding_benefit", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p
+    # bit widths computed on the tiny per-col rollup, not per row
+    assert "Union" in p
+
+
+def test_markov_entropy_broadcast_iteration(spark):
+    p = plan_str(_q("markov_entropy_rate", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # the checkpointed |states|^2 transition frame broadcasts into pi
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_bcubed_contingency_only_broadcasts(spark):
+    p = plan_str(_q("bcubed_eval", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p

@@ -20598,6 +20598,608 @@ FROM agg
 """
 
 
+# -- Poisson bootstrap confidence interval ---------------------------------------------------------------------------
+
+_PBOOT_B = 40
+
+# floor(1e6 * CDF(k)) of Poisson(1) for k = 0..8; draws >= the last
+# threshold get weight 9. Hardcoded so both engines share one ladder.
+_PBOOT_CDF_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989, 999998)
+
+_PBOOT_LADDER = (
+    "case "
+    + " ".join(
+        f"when u < {t} then {k}" for k, t in enumerate(_PBOOT_CDF_PPM)
+    )
+    + " else 9 end"
+)
+
+
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean token count per document
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012): each of B={b} replicates re-weights every doc by an
+    independent Poisson(1) draw instead of resampling n-out-of-n — the
+    only bootstrap that works when n is unknown until the scan ends and
+    the data never fits one machine, because the weights are generated
+    row-locally and every replicate mean is a plain weighted aggregate
+    with map-side partials. The draw is the repo's standard cross-engine
+    uniform (md5(doc_id|b) first 8 hex digits -> ppm) pushed through the
+    hardcoded Poisson(1) CDF ladder, so both engines materialize
+    bit-identical weight matrices. Replicate means in integer micro-units
+    (1e6*Sigma(w*len) div Sigma(w)); the 95% CI is the rank-1 / rank-{hi}
+    order statistic of the {b} means (ceil(0.025*B), ceil(0.975*B)).
+
+    Scale shape: one map pass computes len, explode x{b} replicate ids,
+    ONE groupBy(b) with map-side combine -> {b} rows; the rank window
+    orders {b} rows. At 100 TB the explode never materializes a resample
+    — it is {b} counters per input split."""
+    lens = (
+        _tokens(_docs_parallel(spark, sf_dir))
+        .select("doc_id", F.expr("cast(size(toks) as bigint)").alias("len"))
+    )
+    reps = lens.select(
+        "doc_id",
+        "len",
+        F.explode(F.sequence(F.lit(0), F.lit(_PBOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "u",
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(doc_id as string), '|', "
+            "cast(b as string))), 1, 8), 16, 10) as bigint) % 1000000"
+        ),
+    ).withColumn("w", F.expr(_PBOOT_LADDER).cast("bigint"))
+    means = reps.groupBy("b").agg(
+        F.expr("1000000 * sum(w * len) div greatest(sum(w), 1)")
+        .cast("bigint")
+        .alias("mean_micro")
+    )
+    rk = F.row_number().over(Window.orderBy(F.asc("mean_micro"), F.asc("b")))
+    lo_rk = math.ceil(0.025 * _PBOOT_B)
+    hi_rk = math.ceil(0.975 * _PBOOT_B)
+    ci = (
+        means.withColumn("rk", rk)
+        .filter(F.col("rk").isin(lo_rk, hi_rk))
+        .groupBy()
+        .agg(
+            F.min("mean_micro").cast("bigint").alias("boot_lo_micro"),
+            F.max("mean_micro").cast("bigint").alias("boot_hi_micro"),
+        )
+    )
+    point = lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("1000000 * sum(len) div count(*)").cast("bigint").alias("point_mean_micro"),
+    )
+    return (
+        point.crossJoin(F.broadcast(ci))
+        .withColumn(
+            "width_micro",
+            F.expr("boot_hi_micro - boot_lo_micro").cast("bigint"),
+        )
+        .select("n_docs", "point_mean_micro", "boot_lo_micro", "boot_hi_micro", "width_micro")
+    )
+
+
+q_poisson_bootstrap_ci.__doc__ = q_poisson_bootstrap_ci.__doc__.format(
+    b=_PBOOT_B, hi=math.ceil(0.975 * _PBOOT_B)
+)
+
+
+SQL_POISSON_BOOTSTRAP_CI = f"""
+WITH lens AS (
+  SELECT doc_id, len({_SQL_TOKS})::BIGINT AS len FROM documents
+), reps AS (
+  SELECT doc_id, len, b,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|' || b::VARCHAR), 1, 8))::BIGINT
+           % 1000000 AS u
+  FROM lens CROSS JOIN (SELECT range::INTEGER AS b FROM range({_PBOOT_B})) r
+), weighted AS (
+  SELECT b, len, ({_PBOOT_LADDER})::BIGINT AS w FROM reps
+), means AS (
+  SELECT b, (1000000 * sum(w * len) // greatest(sum(w), 1))::BIGINT AS mean_micro
+  FROM weighted GROUP BY b
+), ranked AS (
+  SELECT mean_micro,
+         row_number() OVER (ORDER BY mean_micro ASC, b ASC) AS rk
+  FROM means
+), ci AS (
+  SELECT min(mean_micro)::BIGINT AS boot_lo_micro,
+         max(mean_micro)::BIGINT AS boot_hi_micro
+  FROM ranked WHERE rk IN ({math.ceil(0.025 * _PBOOT_B)}, {math.ceil(0.975 * _PBOOT_B)})
+), point AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         (1000000 * sum(len) // count(*))::BIGINT AS point_mean_micro
+  FROM lens
+)
+SELECT n_docs, point_mean_micro, boot_lo_micro, boot_hi_micro,
+       (boot_hi_micro - boot_lo_micro)::BIGINT AS width_micro
+FROM point CROSS JOIN ci
+"""
+
+
+# -- clustered-sampling design effect (intraclass correlation) -------------------------------------------------------
+
+
+def q_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-sampling design effect of cluster sampling by source
+    (Kish 1965): one-way ANOVA over y = n_chars grouped by the source
+    cluster gives the intraclass correlation
+    ICC = (MSB - MSW) / (MSB + (m0 - 1) * MSW) and
+    DEFF = 1 + (m_bar - 1) * ICC — how much variance a host/source-
+    clustered crawl sample costs vs simple random sampling, i.e. the
+    multiplier on every sample-size calculation (`sample_size_power`)
+    when the sample is drawn crawl-style (whole hosts at a time) rather
+    than doc-at-a-time. All ANOVA inputs (per-cluster n_i, S_i, Q_i and
+    their squares) stay exact integers; the three closed forms are the
+    only doubles, composed identically on both engines and rounded 6dp.
+
+    Scale shape: ONE groupBy(source) with map-side partials -> k rows,
+    then a 1-row aggregate; no joins, no windows."""
+    per = (
+        _read(spark, sf_dir, "documents")
+        .select("source", F.col("n_chars").cast("bigint").alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum("y").cast("bigint").alias("s_i"),
+            F.sum(F.expr("y * y")).cast("bigint").alias("q_i"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("s_i").cast("bigint").alias("g"),
+        F.sum("q_i").cast("bigint").alias("qq"),
+        F.sum(F.expr("s_i * s_i div n_i")).cast("bigint").alias("t"),
+        F.sum(F.expr("n_i * n_i")).cast("bigint").alias("sn2"),
+    )
+    return agg.select(
+        F.col("k").alias("k_clusters"),
+        F.col("n").alias("n_total"),
+        F.round(
+            F.expr("cast(t - g * g div n as double) / cast(k - 1 as double)"), 6
+        ).alias("msb"),
+        F.round(
+            F.expr("cast(qq - t as double) / cast(n - k as double)"), 6
+        ).alias("msw"),
+        F.round(
+            F.expr(
+                "(cast(t - g * g div n as double) / cast(k - 1 as double)"
+                " - cast(qq - t as double) / cast(n - k as double))"
+                " / (cast(t - g * g div n as double) / cast(k - 1 as double)"
+                " + (cast(n - sn2 div n as double) / cast(k - 1 as double) - 1.0)"
+                " * cast(qq - t as double) / cast(n - k as double))"
+            ),
+            6,
+        ).alias("icc"),
+        F.round(
+            F.expr(
+                "1.0 + (cast(n as double) / cast(k as double) - 1.0) * ("
+                "(cast(t - g * g div n as double) / cast(k - 1 as double)"
+                " - cast(qq - t as double) / cast(n - k as double))"
+                " / (cast(t - g * g div n as double) / cast(k - 1 as double)"
+                " + (cast(n - sn2 div n as double) / cast(k - 1 as double) - 1.0)"
+                " * cast(qq - t as double) / cast(n - k as double)))"
+            ),
+            6,
+        ).alias("deff"),
+    )
+
+
+SQL_DESIGN_EFFECT_ICC = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_i,
+         sum(n_chars::BIGINT)::BIGINT AS s_i,
+         sum(n_chars::BIGINT * n_chars::BIGINT)::BIGINT AS q_i
+  FROM documents GROUP BY source
+), agg AS (
+  SELECT count(*)::BIGINT AS k, sum(n_i)::BIGINT AS n, sum(s_i)::BIGINT AS g,
+         sum(q_i)::BIGINT AS qq, sum(s_i * s_i // n_i)::BIGINT AS t,
+         sum(n_i * n_i)::BIGINT AS sn2
+  FROM per
+)
+SELECT k AS k_clusters, n AS n_total,
+       round((t - g * g // n)::DOUBLE / (k - 1)::DOUBLE, 6) AS msb,
+       round((qq - t)::DOUBLE / (n - k)::DOUBLE, 6) AS msw,
+       round(((t - g * g // n)::DOUBLE / (k - 1)::DOUBLE
+              - (qq - t)::DOUBLE / (n - k)::DOUBLE)
+             / ((t - g * g // n)::DOUBLE / (k - 1)::DOUBLE
+                + ((n - sn2 // n)::DOUBLE / (k - 1)::DOUBLE - 1.0)
+                  * (qq - t)::DOUBLE / (n - k)::DOUBLE), 6) AS icc,
+       round(1.0 + (n::DOUBLE / k::DOUBLE - 1.0) * (
+             ((t - g * g // n)::DOUBLE / (k - 1)::DOUBLE
+              - (qq - t)::DOUBLE / (n - k)::DOUBLE)
+             / ((t - g * g // n)::DOUBLE / (k - 1)::DOUBLE
+                + ((n - sn2 // n)::DOUBLE / (k - 1)::DOUBLE - 1.0)
+                  * (qq - t)::DOUBLE / (n - k)::DOUBLE)), 6) AS deff
+FROM agg
+"""
+
+
+# -- McNemar paired classifier comparison ----------------------------------------------------------------------------
+
+
+def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test comparing two rule-based English detectors
+    on the SAME documents against the lang label: classifier A predicts
+    'en' when 16*stopword_count >= token_count (ratio >= 1/16),
+    classifier B when the token 'the' occurs. Discordant pairs
+    b (A right, B wrong) and c (A wrong, B right) drive the
+    continuity-corrected statistic chi2 = (|b-c|-1)^2/(b+c) — the test
+    you must use when A/B-ing a filter revision on a shared corpus
+    (paired designs kill the between-doc variance that a two-proportion
+    z-test would drown in). Integer-exact: chi2 in micro-units by
+    cross-multiplication; the significance flag compares against
+    3.841459 (chi2_1, alpha=0.05) in integers.
+
+    Scale shape: pure map (two token predicates) + ONE 1-row aggregate
+    with map-side partials; no joins, no windows, no shuffle beyond the
+    4-counter combine."""
+    marked = _tokens(_read(spark, sf_dir, "documents")).select(
+        (F.col("lang") == "en").alias("truth"),
+        F.expr(
+            f"16 * size(filter(toks, t -> array_contains({_SPARK_STOPLIST}, t)))"
+            " >= size(toks)"
+        ).alias("pred_a"),
+        F.expr("array_contains(toks, 'the')").alias("pred_b"),
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.expr(
+                "cast((pred_a = truth) and (pred_b <> truth) as bigint)"
+            )
+        ).cast("bigint").alias("b_discordant"),
+        F.sum(
+            F.expr(
+                "cast((pred_a <> truth) and (pred_b = truth) as bigint)"
+            )
+        ).cast("bigint").alias("c_discordant"),
+        F.sum(F.expr("cast((pred_a = truth) and (pred_b = truth) as bigint)"))
+        .cast("bigint")
+        .alias("both_right"),
+    )
+    return agg.select(
+        "n_docs",
+        "both_right",
+        "b_discordant",
+        "c_discordant",
+        F.expr(
+            "1000000 * (abs(b_discordant - c_discordant) - 1)"
+            " * (abs(b_discordant - c_discordant) - 1)"
+            " div greatest(b_discordant + c_discordant, 1)"
+        )
+        .cast("bigint")
+        .alias("chi2_micro"),
+        F.expr(
+            "1000000 * (abs(b_discordant - c_discordant) - 1)"
+            " * (abs(b_discordant - c_discordant) - 1)"
+            " div greatest(b_discordant + c_discordant, 1) > 3841459"
+        ).alias("significant"),
+    )
+
+
+SQL_MCNEMAR_PAIRED = f"""
+WITH toks AS (
+  SELECT lang, {_SQL_TOKS} AS toks FROM documents
+), marked AS (
+  SELECT (lang = 'en') AS truth,
+         16 * len(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t)))
+           >= len(toks) AS pred_a,
+         list_contains(toks, 'the') AS pred_b
+  FROM toks
+), agg AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN pred_a = truth AND pred_b <> truth THEN 1 ELSE 0 END)::BIGINT
+           AS b_discordant,
+         sum(CASE WHEN pred_a <> truth AND pred_b = truth THEN 1 ELSE 0 END)::BIGINT
+           AS c_discordant,
+         sum(CASE WHEN pred_a = truth AND pred_b = truth THEN 1 ELSE 0 END)::BIGINT
+           AS both_right
+  FROM marked
+)
+SELECT n_docs, both_right, b_discordant, c_discordant,
+       (1000000 * (abs(b_discordant - c_discordant) - 1)
+        * (abs(b_discordant - c_discordant) - 1)
+        // greatest(b_discordant + c_discordant, 1))::BIGINT AS chi2_micro,
+       (1000000 * (abs(b_discordant - c_discordant) - 1)
+        * (abs(b_discordant - c_discordant) - 1)
+        // greatest(b_discordant + c_discordant, 1)) > 3841459 AS significant
+FROM agg
+"""
+
+
+# -- dictionary-encoding benefit model -------------------------------------------------------------------------------
+
+
+def q_dict_encoding_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding size model for the low-cardinality string
+    columns (lang, source) of the documents table — the decision
+    Parquet/ORC writers make per column chunk: raw_bytes = sum of value
+    lengths vs enc_bytes = bit-packed codes (n * ceil(log2(ndv)) bits)
+    + the dictionary payload (each distinct value once). The planning
+    view for the catalog's file layout: a column whose savings_ppm is
+    high wants dictionary pages and dictionary-aware predicate pushdown
+    (compare `sort_rle_benefit`, which models run lengths AFTER a sort —
+    this models pure dictionary coding in arrival order).
+
+    Integer-exact throughout: ceil(log2(ndv)) is the shared CASE ladder
+    on ndv-1, byte counts are integer ceil-division. Scale shape: a
+    2-column union scan -> ONE (col, value) groupBy with map-side
+    partials -> per-col rollup of the tiny distinct frame; no joins."""
+    docs = _read(spark, sf_dir, "documents")
+    cols = docs.select(
+        F.lit("lang").alias("col"), F.col("lang").alias("v")
+    ).unionAll(docs.select(F.lit("source").alias("col"), F.col("source").alias("v")))
+    per_val = cols.groupBy("col", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    per_col = per_val.groupBy("col").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.sum(F.expr("cnt * length(v)")).cast("bigint").alias("raw_bytes"),
+        F.sum(F.expr("length(v)")).cast("bigint").alias("dict_bytes"),
+    )
+    bits = (
+        "case when ndv <= 1 then 0 else 1 + ("
+        + _LOG2_CASE.replace("q", "(ndv - 1)")
+        + ") end"
+    )
+    return (
+        per_col.withColumn("code_bits", F.expr(bits).cast("bigint"))
+        .withColumn(
+            "enc_bytes",
+            F.expr("(n * code_bits + 7) div 8 + dict_bytes").cast("bigint"),
+        )
+        .withColumn(
+            "savings_ppm",
+            F.expr(
+                "greatest(raw_bytes - enc_bytes, 0) * 1000000 div greatest(raw_bytes, 1)"
+            ).cast("bigint"),
+        )
+        .select("col", "n", "ndv", "raw_bytes", "code_bits", "enc_bytes", "savings_ppm")
+        .orderBy("col")
+    )
+
+
+SQL_DICT_ENCODING_BENEFIT = f"""
+WITH cols AS (
+  SELECT 'lang' AS col, lang AS v FROM documents
+  UNION ALL
+  SELECT 'source' AS col, source AS v FROM documents
+), per_val AS (
+  SELECT col, v, count(*)::BIGINT AS cnt FROM cols GROUP BY col, v
+), per_col AS (
+  SELECT col, sum(cnt)::BIGINT AS n, count(*)::BIGINT AS ndv,
+         sum(cnt * length(v))::BIGINT AS raw_bytes,
+         sum(length(v))::BIGINT AS dict_bytes
+  FROM per_val GROUP BY col
+), coded AS (
+  SELECT col, n, ndv, raw_bytes, dict_bytes,
+         (CASE WHEN ndv <= 1 THEN 0 ELSE 1 + ({_LOG2_CASE.replace("q", "(ndv - 1)")}) END)::BIGINT
+           AS code_bits
+  FROM per_col
+)
+SELECT col, n, ndv, raw_bytes, code_bits,
+       ((n * code_bits + 7) // 8 + dict_bytes)::BIGINT AS enc_bytes,
+       (greatest(raw_bytes - ((n * code_bits + 7) // 8 + dict_bytes), 0) * 1000000
+        // greatest(raw_bytes, 1))::BIGINT AS savings_ppm
+FROM coded ORDER BY col
+"""
+
+
+# -- Markov-chain entropy rate ---------------------------------------------------------------------------------------
+
+_MER_STEPS = 3
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain
+    (Shannon 1948; Cover & Thomas ch.4): H = sum_i pi_i * H(next | i)
+    with the stationary distribution pi approximated by {steps} unrolled
+    power-iteration steps from uniform — the behavioural randomness
+    score that separates bots (near-zero rate: deterministic loops)
+    from organic sessions (diffuse transitions). Composes the
+    transition counts of `markov_transitions` with an all-integer
+    pi iteration: pi'_j = sum_i (pi_i_nano * c_ij) div r_i, every term
+    an integer floor-division, so the trajectory is bit-identical on
+    both engines; per-term entropy contributions floor to integer
+    nano-bits BEFORE summation (order-independent).
+
+    Scale shape: one per-user window for transition pairs, one
+    (state, state) groupBy — the state space |event_types|^2 is tiny,
+    so the {steps} iteration joins are broadcast-trivial; output is one
+    row per state plus exact-integer contributions whose sum is the
+    rate."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _us("ts").alias("ts_us"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("i"),
+        F.lead("event_type").over(w).alias("j"),
+    ).filter(F.col("j").isNotNull())
+    counts = (
+        pairs.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    rows = counts.groupBy("i").agg(F.sum("c").cast("bigint").alias("r"))
+    trans = counts.join(F.broadcast(rows), "i").select(
+        "i",
+        "j",
+        "c",
+        "r",
+        # p_ppm >= 1: a transition observed at least once never floors to a
+        # zero probability (guards the log2 at r > 1e6 * c extremes)
+        F.expr("greatest(c * 1000000 div r, 1)").cast("bigint").alias("p_ppm"),
+    ).localCheckpoint()
+    k = rows.count()
+    pi = rows.select(F.col("i").alias("s"), F.lit(1_000_000_000 // k).cast("bigint").alias("pi_nano"))
+    for _ in range(_MER_STEPS):
+        pi = (
+            trans.join(F.broadcast(pi), trans["i"] == pi["s"])
+            .select("j", F.expr("pi_nano * c div r").cast("bigint").alias("m"))
+            .groupBy("j")
+            .agg(F.sum("m").cast("bigint").alias("pi_nano"))
+            .select(F.col("j").alias("s"), "pi_nano")
+            .localCheckpoint()
+        )
+    hstate = trans.groupBy("i").agg(
+        F.sum(
+            F.expr(
+                "cast(floor(cast(p_ppm as double) * 1000.0 * log2(1000000.0 / cast(p_ppm as double))) as bigint)"
+            )
+        )
+        .cast("bigint")
+        .alias("h_state_nano")
+    )
+    return (
+        hstate.join(F.broadcast(pi), hstate["i"] == pi["s"])
+        .select(
+            F.col("i").alias("state"),
+            "pi_nano",
+            "h_state_nano",
+            F.expr("pi_nano * h_state_nano div 1000000000").cast("bigint").alias("contrib_nano"),
+        )
+        .orderBy("state")
+    )
+
+
+def _sql_markov_entropy_rate() -> str:
+    steps = []
+    prev = "pi0"
+    for s in range(1, _MER_STEPS + 1):
+        steps.append(
+            f"pi{s} AS (SELECT t.j AS s, sum(p.pi_nano * t.c // t.r)::BIGINT AS pi_nano "
+            f"FROM trans t JOIN {prev} p ON t.i = p.s GROUP BY t.j)"
+        )
+        prev = f"pi{s}"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+), pairs AS (
+  SELECT event_type AS i,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS j
+  FROM ev
+), counts AS (
+  SELECT i, j, count(*)::BIGINT AS c FROM pairs WHERE j IS NOT NULL GROUP BY i, j
+), rows_t AS (
+  SELECT i, sum(c)::BIGINT AS r FROM counts GROUP BY i
+), trans AS (
+  SELECT c.i, c.j, c.c, r.r, greatest(c.c * 1000000 // r.r, 1)::BIGINT AS p_ppm
+  FROM counts c JOIN rows_t r ON c.i = r.i
+), pi0 AS (
+  SELECT i AS s,
+         (1000000000 // (SELECT count(*) FROM rows_t))::BIGINT AS pi_nano
+  FROM rows_t
+), {", ".join(steps)},
+hstate AS (
+  SELECT i,
+         sum(floor(p_ppm::DOUBLE * 1000.0 * log2(1000000.0 / p_ppm::DOUBLE))::BIGINT)::BIGINT
+           AS h_state_nano
+  FROM trans GROUP BY i
+)
+SELECT h.i AS state, p.pi_nano, h.h_state_nano,
+       (p.pi_nano * h.h_state_nano // 1000000000)::BIGINT AS contrib_nano
+FROM hstate h JOIN {prev} p ON h.i = p.s
+ORDER BY state
+"""
+
+
+SQL_MARKOV_ENTROPY_RATE = _sql_markov_entropy_rate()
+
+
+# -- B-cubed clustering evaluation -----------------------------------------------------------------------------------
+
+
+def q_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 of a predicted clustering against
+    gold labels (Bagga & Baldwin 1998; Amigo et al. 2009 showed it is
+    the only cluster metric satisfying all four formal constraints) —
+    predicted = source, gold = lang on the documents table. The
+    per-item averages reduce to closed forms over the (cluster, label)
+    contingency counts: B3P = (1/N) sum_cl n_cl^2 / n_cluster,
+    B3R = (1/N) sum_cl n_cl^2 / n_label — the metric a dedup or topic
+    clustering is graded with when pairwise P/R (`blocking_eval`) would
+    be dominated by the biggest clusters (B-cubed weights per item, not
+    per pair). Integer micro-units, per-term floor before summation.
+
+    Scale shape: ONE (cluster, label) groupBy; cluster sizes and label
+    sizes re-aggregate that tiny contingency frame (no second corpus
+    scan); broadcast joins only."""
+    cl = (
+        _read(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("c"), F.col("lang").alias("l"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cl"))
+        .localCheckpoint()
+    )
+    csz = cl.groupBy("c").agg(F.sum("n_cl").cast("bigint").alias("n_c"))
+    lsz = cl.groupBy("l").agg(F.sum("n_cl").cast("bigint").alias("n_l"))
+    terms = (
+        cl.join(F.broadcast(csz), "c")
+        .join(F.broadcast(lsz), "l")
+        .select(
+            F.expr("1000000 * n_cl * n_cl div n_c").cast("bigint").alias("tp"),
+            F.expr("1000000 * n_cl * n_cl div n_l").cast("bigint").alias("tr"),
+            "n_cl",
+        )
+    )
+    agg = terms.agg(
+        F.sum("n_cl").cast("bigint").alias("n"),
+        F.sum("tp").cast("bigint").alias("sp"),
+        F.sum("tr").cast("bigint").alias("sr"),
+    )
+    sizes = cl.agg(
+        F.countDistinct("c").cast("bigint").alias("n_clusters"),
+        F.countDistinct("l").cast("bigint").alias("n_labels"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(sizes))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_clusters",
+            "n_labels",
+            F.expr("sp div n").cast("bigint").alias("b3p_micro"),
+            F.expr("sr div n").cast("bigint").alias("b3r_micro"),
+            F.expr(
+                "2 * (sp div n) * (sr div n) div greatest(sp div n + sr div n, 1)"
+            )
+            .cast("bigint")
+            .alias("b3f1_micro"),
+        )
+    )
+
+
+SQL_BCUBED_EVAL = """
+WITH cl AS (
+  SELECT source AS c, lang AS l, count(*)::BIGINT AS n_cl
+  FROM documents GROUP BY source, lang
+), csz AS (SELECT c, sum(n_cl)::BIGINT AS n_c FROM cl GROUP BY c),
+lsz AS (SELECT l, sum(n_cl)::BIGINT AS n_l FROM cl GROUP BY l),
+terms AS (
+  SELECT (1000000 * cl.n_cl * cl.n_cl // csz.n_c)::BIGINT AS tp,
+         (1000000 * cl.n_cl * cl.n_cl // lsz.n_l)::BIGINT AS tr,
+         cl.n_cl
+  FROM cl JOIN csz ON cl.c = csz.c JOIN lsz ON cl.l = lsz.l
+), agg AS (
+  SELECT sum(n_cl)::BIGINT AS n, sum(tp)::BIGINT AS sp, sum(tr)::BIGINT AS sr
+  FROM terms
+), sizes AS (
+  SELECT count(DISTINCT c)::BIGINT AS n_clusters,
+         count(DISTINCT l)::BIGINT AS n_labels
+  FROM cl
+)
+SELECT n AS n_docs, n_clusters, n_labels,
+       (sp // n)::BIGINT AS b3p_micro,
+       (sr // n)::BIGINT AS b3r_micro,
+       (2 * (sp // n) * (sr // n) // greatest(sp // n + sr // n, 1))::BIGINT
+         AS b3f1_micro
+FROM agg CROSS JOIN sizes
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -20888,6 +21490,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "term_expansion": (q_term_expansion, SQL_TERM_EXPANSION),
     "aa_test_calibration": (q_aa_test_calibration, SQL_AA_TEST_CALIBRATION),
+    "poisson_bootstrap_ci": (q_poisson_bootstrap_ci, SQL_POISSON_BOOTSTRAP_CI),
+    "design_effect_icc": (q_design_effect_icc, SQL_DESIGN_EFFECT_ICC),
+    "mcnemar_paired": (q_mcnemar_paired, SQL_MCNEMAR_PAIRED),
+    "dict_encoding_benefit": (q_dict_encoding_benefit, SQL_DICT_ENCODING_BENEFIT),
+    "markov_entropy_rate": (q_markov_entropy_rate, SQL_MARKOV_ENTROPY_RATE),
+    "bcubed_eval": (q_bcubed_eval, SQL_BCUBED_EVAL),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
