@@ -1501,3 +1501,26 @@ def test_bcubed_contingency_only_broadcasts(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_simpsons_stratum_frame_broadcasts_pooled(spark):
+    p = plan_str(_q("simpsons_paradox", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # pooled direction re-aggregates the k-row stratum frame, no re-scan
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_fleiss_kappa_single_pass_after_means(spark):
+    p = plan_str(_q("fleiss_kappa", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+
+
+def test_sprt_walk_and_crossing_share_host_exchange(spark):
+    p = plan_str(_q("sprt_host_abort", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    simple = plan_str(_q("sprt_host_abort", spark), "simple")
+    # one host-keyed exchange feeds window + groupBy; plus the 1-row mean
+    assert simple.count("Exchange") <= 4

@@ -21200,6 +21200,289 @@ FROM agg CROSS JOIN sizes
 """
 
 
+# -- Simpson's paradox / aggregation-reversal audit ------------------------------------------------------------------
+
+
+def q_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-reversal (Simpson's paradox) audit: the association
+    between doc length (X: n_chars >= corpus mean) and English (Y:
+    lang = 'en'), pooled vs within each source stratum. The direction
+    is the sign of the 2x2 cross-product a*d - b*c (equivalent to odds
+    ratio vs 1 but integer-exact, no division) — a stratum whose sign
+    disagrees with the pooled sign is exactly the trap that makes
+    corpus-level quality dashboards lie when the source mix shifts
+    (Bickel et al., Science 1975, the canonical admissions case). The
+    audit every per-source rollup should run before trusting a pooled
+    trend.
+
+    Scale shape: 1-row mean broadcast into a pure map, ONE
+    groupBy(source) of four conditional counters, pooled = re-aggregate
+    of the k-row stratum frame broadcast back; no corpus re-scan."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("bigint").alias("nc"), "lang"
+    )
+    mean = docs.agg(F.expr("sum(nc) div count(*)").cast("bigint").alias("mu"))
+    marked = docs.crossJoin(F.broadcast(mean)).select(
+        "source",
+        (F.col("nc") >= F.col("mu")).alias("x"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    strata = marked.groupBy("source").agg(
+        F.sum(F.expr("cast(x and y as bigint)")).cast("bigint").alias("a"),
+        F.sum(F.expr("cast(x and not y as bigint)")).cast("bigint").alias("b"),
+        F.sum(F.expr("cast((not x) and y as bigint)")).cast("bigint").alias("c"),
+        F.sum(F.expr("cast((not x) and (not y) as bigint)")).cast("bigint").alias("d"),
+    ).localCheckpoint()
+    pooled = strata.agg(
+        F.expr("cast(sign(sum(a) * sum(d) - sum(b) * sum(c)) as bigint)").alias(
+            "pooled_dir"
+        )
+    )
+    return (
+        strata.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("source").alias("stratum"),
+            "a",
+            "b",
+            "c",
+            "d",
+            F.expr("cast(sign(a * d - b * c) as bigint)").alias("stratum_dir"),
+            "pooled_dir",
+            F.expr(
+                "sign(a * d - b * c) <> 0 and sign(a * d - b * c) <> pooled_dir"
+            ).alias("reversed"),
+        )
+        .orderBy("stratum")
+    )
+
+
+SQL_SIMPSONS_PARADOX = """
+WITH docs AS (
+  SELECT source, n_chars::BIGINT AS nc, lang FROM documents
+), mean AS (
+  SELECT (sum(nc) // count(*))::BIGINT AS mu FROM docs
+), marked AS (
+  SELECT source, (nc >= mu) AS x, (lang = 'en') AS y FROM docs CROSS JOIN mean
+), strata AS (
+  SELECT source,
+         sum(CASE WHEN x AND y THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN (NOT x) AND y THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN (NOT x) AND (NOT y) THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM marked GROUP BY source
+), pooled AS (
+  SELECT sign(sum(a) * sum(d) - sum(b) * sum(c))::BIGINT AS pooled_dir FROM strata
+)
+SELECT source AS stratum, a, b, c, d,
+       sign(a * d - b * c)::BIGINT AS stratum_dir,
+       pooled_dir,
+       (sign(a * d - b * c) <> 0 AND sign(a * d - b * c) <> pooled_dir) AS reversed
+FROM strata CROSS JOIN pooled
+ORDER BY stratum
+"""
+
+
+# -- Fleiss' kappa over rule-based raters ----------------------------------------------------------------------------
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa agreement of three rule-based quality raters on
+    every document (Fleiss 1971): r1 = n_chars >= corpus mean,
+    r2 = token count >= corpus token mean, r3 = stopword share >= 1/16
+    — the chance-corrected agreement score a labeling pipeline computes
+    before trusting an ensemble of cheap heuristic filters (kappa near
+    0 = the raters are independent noise; the ensemble vote means
+    nothing). For n=3 raters and 2 categories the whole statistic
+    collapses to three integer sums — N docs, G = total 'good' votes,
+    A = total agreeing pairs per doc (3 if unanimous, 1 if 2-1) —
+    giving kappa = (3NA - G^2 - (3N-G)^2) / (9N^2 - G^2 - (3N-G)^2),
+    computed in exact integers and reported in micro-units.
+
+    Scale shape: 1-row means broadcast into a pure map, then ONE 1-row
+    aggregate; no joins beyond the broadcast, no windows."""
+    docs = _tokens(_read(spark, sf_dir, "documents")).select(
+        F.col("n_chars").cast("bigint").alias("nc"),
+        F.expr("cast(size(toks) as bigint)").alias("nt"),
+        F.expr(
+            f"16 * size(filter(toks, t -> array_contains({_SPARK_STOPLIST}, t)))"
+            " >= size(toks)"
+        ).alias("r3"),
+    )
+    means = docs.agg(
+        F.expr("sum(nc) div count(*)").cast("bigint").alias("mu_c"),
+        F.expr("sum(nt) div count(*)").cast("bigint").alias("mu_t"),
+    )
+    votes = docs.crossJoin(F.broadcast(means)).select(
+        F.expr(
+            "cast(nc >= mu_c as bigint) + cast(nt >= mu_t as bigint)"
+            " + cast(r3 as bigint)"
+        ).alias("g")
+    )
+    agg = votes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("gt"),
+        # agreeing pairs per doc: C(g,2) + C(3-g,2) = 3 iff unanimous else 1
+        F.sum(F.expr("case when g = 0 or g = 3 then 3 else 1 end"))
+        .cast("bigint")
+        .alias("a"),
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("gt").alias("good_votes"),
+        F.col("a").alias("agree_pairs"),
+        F.expr("1000000 * a div (3 * n)").cast("bigint").alias("p_bar_micro"),
+        F.expr(
+            "1000000 * (gt * gt + (3 * n - gt) * (3 * n - gt)) div (9 * n * n)"
+        )
+        .cast("bigint")
+        .alias("p_e_micro"),
+        F.expr(
+            "1000000 * (3 * n * a - gt * gt - (3 * n - gt) * (3 * n - gt))"
+            " div (9 * n * n - gt * gt - (3 * n - gt) * (3 * n - gt))"
+        )
+        .cast("bigint")
+        .alias("kappa_micro"),
+    )
+
+
+SQL_FLEISS_KAPPA = f"""
+WITH docs AS (
+  SELECT n_chars::BIGINT AS nc,
+         len({_SQL_TOKS})::BIGINT AS nt,
+         16 * len(list_filter({_SQL_TOKS}, t -> list_contains({_SQL_STOPLIST}, t)))
+           >= len({_SQL_TOKS}) AS r3
+  FROM documents
+), means AS (
+  SELECT (sum(nc) // count(*))::BIGINT AS mu_c,
+         (sum(nt) // count(*))::BIGINT AS mu_t
+  FROM docs
+), votes AS (
+  SELECT (CASE WHEN nc >= mu_c THEN 1 ELSE 0 END
+          + CASE WHEN nt >= mu_t THEN 1 ELSE 0 END
+          + CASE WHEN r3 THEN 1 ELSE 0 END)::BIGINT AS g
+  FROM docs CROSS JOIN means
+), agg AS (
+  SELECT count(*)::BIGINT AS n, sum(g)::BIGINT AS gt,
+         sum(CASE WHEN g = 0 OR g = 3 THEN 3 ELSE 1 END)::BIGINT AS a
+  FROM votes
+)
+SELECT n AS n_docs, gt AS good_votes, a AS agree_pairs,
+       (1000000 * a // (3 * n))::BIGINT AS p_bar_micro,
+       (1000000 * (gt * gt + (3 * n - gt) * (3 * n - gt)) // (9 * n * n))::BIGINT
+         AS p_e_micro,
+       (1000000 * (3 * n * a - gt * gt - (3 * n - gt) * (3 * n - gt))
+        // (9 * n * n - gt * gt - (3 * n - gt) * (3 * n - gt)))::BIGINT
+         AS kappa_micro
+FROM agg
+"""
+
+
+# -- SPRT early host abandonment -------------------------------------------------------------------------------------
+
+# Wald SPRT for H0: p(good fetch) = 0.5 vs H1: p = 0.25, alpha = beta = 0.05.
+# LLR increments in integer milli-nats: x=1 -> ln(0.25/0.5) = -693,
+# x=0 -> ln(0.75/0.5) = +405; boundaries +-ln(19) = +-2944.
+_SPRT_INC1 = -693
+_SPRT_INC0 = 405
+_SPRT_BOUND = 2944
+
+
+def q_sprt_host_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test replayed over each host's
+    fetch log (Wald 1945): outcome x = (value_milli >= corpus mean) per
+    event in (ts, event_id) order, log-likelihood-ratio random walk with
+    hardcoded integer milli-nat increments ({inc1} per good fetch,
+    +{inc0} per bad one) and +-{bound} boundaries — the earliest-possible
+    abort decision for a misbehaving host with guaranteed error rates
+    (alpha = beta = 0.05), i.e. the principled version of "ban a host
+    after N bad fetches": SPRT needs ~half the observations of any
+    fixed-N rule at the same error guarantee. Crossing +{bound} accepts
+    H1 (bad host -> abort); crossing -{bound} accepts H0 (keep);
+    neither = undecided at log end.
+
+    Integer-exact: the mean threshold, every increment, the cumulative
+    walk and the first-crossing index are all bigint. Scale shape: the
+    prefix walk and the first-crossing groupBy share ONE host-keyed
+    exchange (partition = a host's history, bounded); the 1-row mean
+    broadcasts."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("host"),
+        "event_id",
+        _us("ts").alias("ts_us"),
+        F.expr("cast(floor(value * 1000) as bigint)").alias("v_milli"),
+    )
+    mean = ev.agg(F.expr("sum(v_milli) div count(*)").cast("bigint").alias("mu"))
+    w = Window.partitionBy("host").orderBy("ts_us", "event_id")
+    walk = (
+        ev.crossJoin(F.broadcast(mean))
+        .withColumn(
+            "inc",
+            F.expr(
+                f"case when v_milli >= mu then {_SPRT_INC1} else {_SPRT_INC0} end"
+            ).cast("bigint"),
+        )
+        .withColumn("s", F.sum("inc").over(w).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )
+    return (
+        walk.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.min(F.expr(f"case when s >= {_SPRT_BOUND} then rn end"))
+            .cast("bigint")
+            .alias("up_n"),
+            F.min(F.expr(f"case when s <= -{_SPRT_BOUND} then rn end"))
+            .cast("bigint")
+            .alias("dn_n"),
+        )
+        .select(
+            "host",
+            "n_obs",
+            F.expr("coalesce(least(up_n, dn_n), 0)").cast("bigint").alias("stop_n"),
+            F.expr(
+                "case when up_n is not null and (dn_n is null or up_n < dn_n)"
+                " then 'abort' when dn_n is not null then 'keep'"
+                " else 'undecided' end"
+            ).alias("decision"),
+        )
+        .orderBy("host")
+    )
+
+
+q_sprt_host_abort.__doc__ = q_sprt_host_abort.__doc__.format(
+    inc1=_SPRT_INC1, inc0=_SPRT_INC0, bound=_SPRT_BOUND
+)
+
+
+SQL_SPRT_HOST_ABORT = f"""
+WITH ev AS (
+  SELECT user_id AS host, event_id, epoch_us(ts) AS ts_us,
+         floor(value * 1000)::BIGINT AS v_milli
+  FROM events
+), mean AS (
+  SELECT (sum(v_milli) // count(*))::BIGINT AS mu FROM ev
+), walk AS (
+  SELECT host,
+         sum(CASE WHEN v_milli >= mu THEN {_SPRT_INC1} ELSE {_SPRT_INC0} END)
+           OVER (PARTITION BY host ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS s,
+         row_number() OVER (PARTITION BY host ORDER BY ts_us, event_id)::BIGINT
+           AS rn
+  FROM ev CROSS JOIN mean
+), agg AS (
+  SELECT host, count(*)::BIGINT AS n_obs,
+         min(CASE WHEN s >= {_SPRT_BOUND} THEN rn END)::BIGINT AS up_n,
+         min(CASE WHEN s <= -{_SPRT_BOUND} THEN rn END)::BIGINT AS dn_n
+  FROM walk GROUP BY host
+)
+SELECT host, n_obs,
+       coalesce(least(up_n, dn_n), 0)::BIGINT AS stop_n,
+       CASE WHEN up_n IS NOT NULL AND (dn_n IS NULL OR up_n < dn_n) THEN 'abort'
+            WHEN dn_n IS NOT NULL THEN 'keep' ELSE 'undecided' END AS decision
+FROM agg ORDER BY host
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
@@ -21496,6 +21779,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dict_encoding_benefit": (q_dict_encoding_benefit, SQL_DICT_ENCODING_BENEFIT),
     "markov_entropy_rate": (q_markov_entropy_rate, SQL_MARKOV_ENTROPY_RATE),
     "bcubed_eval": (q_bcubed_eval, SQL_BCUBED_EVAL),
+    "simpsons_paradox": (q_simpsons_paradox, SQL_SIMPSONS_PARADOX),
+    "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
+    "sprt_host_abort": (q_sprt_host_abort, SQL_SPRT_HOST_ABORT),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
