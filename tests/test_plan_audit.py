@@ -1524,3 +1524,28 @@ def test_sprt_walk_and_crossing_share_host_exchange(spark):
     simple = plan_str(_q("sprt_host_abort", spark), "simple")
     # one host-keyed exchange feeds window + groupBy; plus the 1-row mean
     assert simple.count("Exchange") <= 4
+
+
+def test_gini_ranks_only_host_frame(spark):
+    p = plan_str(_q("gini_host_concentration", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # the ranked host frame is checkpointed; both re-aggregates join it
+    # via broadcast only
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_waterfill_level_from_broadcasts(spark):
+    p = plan_str(_q("waterfill_fairshare", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_cdc_chunking_pure_map_no_join(spark):
+    p = plan_str(_q("cdc_chunking", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p
+    # explode feeds one small groupBy; only its exchange plus the sort
+    simple = plan_str(_q("cdc_chunking", spark), "simple")
+    assert simple.count("Exchange") <= 3

@@ -21482,6 +21482,246 @@ SELECT host, n_obs,
 FROM agg ORDER BY host
 """
 
+# -- Lorenz / Gini host-concentration audit ---------------------------------------------------------------------------
+
+
+def q_gini_host_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-host fetch concentration plus the Lorenz
+    top-decile share: how unequally crawl traffic is spread across
+    hosts. Gini = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with hosts
+    ranked ascending by count (rank ties broken by host id) — the
+    single number schedulers watch, because a crawl whose Gini creeps
+    toward 1 is re-fetching a handful of mega-hosts while the long tail
+    starves, exactly the skew the salted politeness scheduler exists to
+    prevent. Reported integer-exact in micro-units, alongside the share
+    of fetches held by the top ceil(n/10) hosts.
+
+    Scale shape: ONE groupBy(host) reduces the corpus to the bounded
+    |hosts| frame; the rank window and both re-aggregates run on that
+    small frame only (at 10^10 URLs the host frame is ~10^7 rows — a
+    two-phase distributed rank swaps in above that, same contract)."""
+    counts = (
+        _read(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("host"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    ranked = counts.withColumn(
+        "i",
+        F.row_number().over(Window.orderBy("x", "host")).cast("bigint"),
+    ).localCheckpoint()
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.expr("i * x")).cast("bigint").alias("t"),
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(agg))
+        .where(F.expr("i > n - ((n + 9) div 10)"))
+        .agg(F.sum("x").cast("bigint").alias("sd"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").alias("n_hosts"),
+            F.col("s").alias("total_events"),
+            F.expr("1000000 * (2 * t - (n + 1) * s) div (n * s)")
+            .cast("bigint")
+            .alias("gini_micro"),
+            F.expr("1000000 * sd div s").cast("bigint").alias("top_decile_micro"),
+        )
+    )
+
+
+SQL_GINI_HOST_CONCENTRATION = """
+WITH counts AS (
+  SELECT user_id AS host, count(*)::BIGINT AS x FROM events GROUP BY user_id
+), ranked AS (
+  SELECT host, x, row_number() OVER (ORDER BY x, host)::BIGINT AS i FROM counts
+), agg AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s, sum(i * x)::BIGINT AS t
+  FROM ranked
+), top AS (
+  SELECT sum(x)::BIGINT AS sd FROM ranked CROSS JOIN agg
+  WHERE i > n - ((n + 9) // 10)
+)
+SELECT n AS n_hosts, s AS total_events,
+       (1000000 * (2 * t - (n + 1) * s) // (n * s))::BIGINT AS gini_micro,
+       (1000000 * sd // s)::BIGINT AS top_decile_micro
+FROM agg CROSS JOIN top
+"""
+
+
+# -- max-min fair (water-filling) budget allocation -------------------------------------------------------------------
+
+
+def q_waterfill_fairshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) crawl-budget allocation: per-host
+    demand d = observed event count, total budget B = sum(d) div 2, and
+    the water level L* = the largest integer L with
+    sum(min(d_i, L)) <= B — every host gets min(d_i, L*), i.e. small
+    hosts are fully served and big hosts are capped at a common level,
+    the textbook max-min fairness the largest-remainder split
+    (`budget_allocation`) does NOT give (that one is proportional, so a
+    mega-host still swallows the budget). Closed form on the
+    demand-sorted frame: for row r (ascending, prefix sum P_r), the
+    candidate level (B - P_(r-1)) div (n - r + 1) is feasible iff it is
+    >= the previous demand; L* is the max feasible candidate.
+    Integer-exact throughout.
+
+    Scale shape: ONE groupBy(host) to the bounded |hosts| frame; sort
+    window + two re-aggregates on that frame; 1-row budget broadcast;
+    single-row output."""
+    d = (
+        _read(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("host"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    w = Window.orderBy("d", "host")
+    rows = (
+        d.withColumn("r", F.row_number().over(w).cast("bigint"))
+        .withColumn("p", F.sum("d").over(w).cast("bigint"))
+        .localCheckpoint()
+    )
+    tot = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("td"),
+        F.expr("sum(d) div 2").cast("bigint").alias("b"),
+    )
+    cand = rows.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "r",
+        "n",
+        "td",
+        "b",
+        F.expr("(b - (p - d)) div (n - r + 1)").alias("cand"),
+        F.lag("d", 1, 0).over(w).cast("bigint").alias("prev_d"),
+    )
+    level = cand.where(F.expr("cand >= prev_d")).agg(
+        F.max("cand").cast("bigint").alias("level")
+    )
+    return (
+        rows.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(level))
+        .agg(
+            F.max("n").alias("n_hosts"),
+            F.max("td").alias("total_demand"),
+            F.max("b").alias("budget"),
+            F.max("level").cast("bigint").alias("level"),
+            F.sum(F.expr("cast(d > level as bigint)")).cast("bigint").alias("n_capped"),
+            F.sum(F.expr("least(d, level)")).cast("bigint").alias("allocated"),
+            (F.max("b") - F.sum(F.expr("least(d, level)")))
+            .cast("bigint")
+            .alias("leftover"),
+        )
+    )
+
+
+SQL_WATERFILL_FAIRSHARE = """
+WITH d AS (
+  SELECT user_id AS host, count(*)::BIGINT AS d FROM events GROUP BY user_id
+), rows_ AS (
+  SELECT host, d,
+         row_number() OVER (ORDER BY d, host)::BIGINT AS r,
+         sum(d) OVER (ORDER BY d, host ROWS UNBOUNDED PRECEDING)::BIGINT AS p,
+         lag(d, 1, 0) OVER (ORDER BY d, host)::BIGINT AS prev_d
+  FROM d
+), tot AS (
+  SELECT count(*)::BIGINT AS n, sum(d)::BIGINT AS td, (sum(d) // 2)::BIGINT AS b
+  FROM d
+), lvl AS (
+  SELECT max((b - (p - d)) // (n - r + 1))::BIGINT AS level
+  FROM rows_ CROSS JOIN tot
+  WHERE (b - (p - d)) // (n - r + 1) >= prev_d
+)
+SELECT n AS n_hosts, td AS total_demand, b AS budget, level,
+       sum(CASE WHEN d > level THEN 1 ELSE 0 END)::BIGINT AS n_capped,
+       sum(least(d, level))::BIGINT AS allocated,
+       (b - sum(least(d, level)))::BIGINT AS leftover
+FROM rows_ CROSS JOIN tot CROSS JOIN lvl
+GROUP BY n, td, b, level
+"""
+
+
+# -- content-defined chunking (Rabin-style) ---------------------------------------------------------------------------
+
+
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking statistics: split every document at
+    positions p where the 16-char gram ending at p hashes to
+    0 mod 64 (md5-prefix hash), the Rabin/LBFS boundary rule that makes
+    chunk boundaries survive insertions — the storage-level dedup
+    CommonCrawl-scale archives run beneath document-level dedup,
+    because a boilerplate edit shifts every byte after it but CDC
+    chunks realign immediately. Reports the chunk-size distribution
+    bucketed by decimal-digit magnitude: bucket, chunk count, total
+    chars, min/max chunk length. Expected chunk length ~64 chars by
+    construction; a distribution drifting long means the content
+    defeats the hash (e.g. low-entropy repetition).
+
+    Integer-exact: the hash is the first 8 md5 hex digits as a bigint,
+    identical in both engines. Scale shape: pure map-side expression
+    (guarded sequence -> filter -> adjacent diffs) + explode + a
+    <=4-row groupBy; at 100 TB the per-position md5 swaps to a rolling
+    gear-hash Arrow kernel behind the same boundary contract."""
+    bnds = (
+        "filter(case when length(text) < 16 then array(0L) else"
+        " sequence(16L, cast(length(text) as bigint)) end,"
+        " p -> p > 0 and (cast(conv(substring(md5(substring(text,"
+        " cast(p as int) - 15, 16)), 1, 8), 16, 10) as bigint) % 64) = 0)"
+    )
+    allb = f"concat(array(0L), {bnds}, array(cast(length(text) as bigint)))"
+    lens = (
+        f"filter(transform(sequence(2, size({allb})),"
+        f" i -> element_at({allb}, i) - element_at({allb}, i - 1)),"
+        " l -> l > 0)"
+    )
+    chunks = (
+        _read(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(lens)).alias("clen"))
+    )
+    return (
+        chunks.groupBy(
+            F.length(F.col("clen").cast("string")).cast("bigint").alias("len_digits")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("clen").cast("bigint").alias("total_chars"),
+            F.min("clen").cast("bigint").alias("min_len"),
+            F.max("clen").cast("bigint").alias("max_len"),
+        )
+        .orderBy("len_digits")
+    )
+
+
+SQL_CDC_CHUNKING = """
+WITH bnd AS (
+  SELECT list_concat(
+           list_concat(
+             [0::BIGINT],
+             list_filter(
+               CASE WHEN len(text) < 16 THEN [0::BIGINT]
+                    ELSE range(16::BIGINT, len(text)::BIGINT + 1) END,
+               p -> p > 0 AND
+                    (('0x' || substr(md5(substr(text, p::INTEGER - 15, 16)), 1, 8))::BIGINT
+                     % 64) = 0)),
+           [len(text)::BIGINT]) AS allb
+  FROM documents
+), lens AS (
+  SELECT unnest(list_filter(
+           list_transform(range(2, len(allb) + 1),
+                          i -> allb[i] - allb[i - 1]),
+           l -> l > 0)) AS clen
+  FROM bnd
+)
+SELECT len(clen::VARCHAR)::BIGINT AS len_digits,
+       count(*)::BIGINT AS n_chunks,
+       sum(clen)::BIGINT AS total_chars,
+       min(clen)::BIGINT AS min_len,
+       max(clen)::BIGINT AS max_len
+FROM lens
+GROUP BY 1 ORDER BY len_digits
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -21782,6 +22022,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simpsons_paradox": (q_simpsons_paradox, SQL_SIMPSONS_PARADOX),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
     "sprt_host_abort": (q_sprt_host_abort, SQL_SPRT_HOST_ABORT),
+    "gini_host_concentration": (
+        q_gini_host_concentration,
+        SQL_GINI_HOST_CONCENTRATION,
+    ),
+    "waterfill_fairshare": (q_waterfill_fairshare, SQL_WATERFILL_FAIRSHARE),
+    "cdc_chunking": (q_cdc_chunking, SQL_CDC_CHUNKING),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
