@@ -1549,3 +1549,27 @@ def test_cdc_chunking_pure_map_no_join(spark):
     # explode feeds one small groupBy; only its exchange plus the sort
     simple = plan_str(_q("cdc_chunking", spark), "simple")
     assert simple.count("Exchange") <= 3
+
+
+def test_assortativity_degree_joins_broadcast(spark):
+    p = plan_str(_q("degree_assortativity", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_zipf_rank_window_after_vocab_reduce(spark):
+    p = plan_str(_q("zipf_rank_deviation", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # rank-1 row rejoins the checkpointed top-20 frame via broadcast
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_url_editdist_blocked_on_host(spark):
+    p = plan_str(_q("url_editdist_neardup", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # quadratic only within a host block: the join is keyed, never a
+    # cartesian product
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p

@@ -21722,6 +21722,229 @@ FROM lens
 GROUP BY 1 ORDER BY len_digits
 """
 
+# -- degree assortativity of the host graph ---------------------------------------------------------------------------
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the (symmetrized) host graph: the
+    Pearson correlation of endpoint degrees over all directed edge
+    stubs (Newman 2002). Positive r = hubs link to hubs (social-ish
+    web), negative = hubs link to leaves (hub-and-spoke spam farms) —
+    the one-number structural fingerprint that separates an organic
+    link neighborhood from a link farm before any content is fetched.
+    All moments (M, sum j, sum jk, the two variance terms) are exact
+    bigints; only the final normalization touches doubles, as
+    floor(1e6 * num / sqrt(a*b)) — identical IEEE ops in both engines.
+
+    Scale shape: edge distinct (one shuffle) -> degree groupBy -> two
+    broadcast joins of the bounded degree frame back onto edges -> ONE
+    1-row aggregate. At web scale the degree frame shards and the join
+    switches to shuffle-on-node, same contract."""
+    e = _pagerank_edges(spark, sf_dir)
+    und = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    stubs = (
+        und.join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+        .withColumnRenamed("deg", "j")
+        .join(
+            F.broadcast(
+                deg.select(F.col("node").alias("dst"), F.col("deg").alias("k"))
+            ),
+            "dst",
+        )
+    )
+    agg = stubs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("j").cast("bigint").alias("sj"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.expr("j * k")).cast("bigint").alias("sjk"),
+        F.sum(F.expr("j * j")).cast("bigint").alias("sjj"),
+        F.sum(F.expr("k * k")).cast("bigint").alias("skk"),
+    )
+    return agg.select(
+        F.col("m").alias("m_stubs"),
+        F.expr("m * sjk - sj * sk").cast("bigint").alias("num"),
+        F.expr("m * sjj - sj * sj").cast("bigint").alias("var_j"),
+        F.expr("m * skk - sk * sk").cast("bigint").alias("var_k"),
+        F.expr(
+            "cast(floor(1000000.0 * (m * sjk - sj * sk) /"
+            " sqrt(cast(m * sjj - sj * sj as double)"
+            " * cast(m * skk - sk * sk as double))) as bigint)"
+        ).alias("r_micro"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH e AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT) % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT) % {_PR_NODES}
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+), deg AS (
+  SELECT src AS node, count(*)::BIGINT AS deg FROM und GROUP BY src
+), stubs AS (
+  SELECT dj.deg AS j, dk.deg AS k
+  FROM und JOIN deg dj ON und.src = dj.node JOIN deg dk ON und.dst = dk.node
+), agg AS (
+  SELECT count(*)::BIGINT AS m, sum(j)::BIGINT AS sj, sum(k)::BIGINT AS sk,
+         sum(j * k)::BIGINT AS sjk, sum(j * j)::BIGINT AS sjj,
+         sum(k * k)::BIGINT AS skk
+  FROM stubs
+)
+SELECT m AS m_stubs,
+       (m * sjk - sj * sk)::BIGINT AS num,
+       (m * sjj - sj * sj)::BIGINT AS var_j,
+       (m * skk - sk * sk)::BIGINT AS var_k,
+       floor(1000000.0 * (m * sjk - sj * sk) /
+             sqrt((m * sjj - sj * sj)::DOUBLE * (m * skk - sk * sk)::DOUBLE)
+       )::BIGINT AS r_micro
+FROM agg
+"""
+
+
+# -- Zipf rank-frequency deviation -------------------------------------------------------------------------------------
+
+
+def q_zipf_rank_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary, integer-exact: for the
+    top 20 terms by frequency (ties broken lexically), the ratio
+    k * f_k / f_1 in micro-units — exactly 1000000 everywhere under a
+    perfect Zipf rank-frequency law f_k = f_1 / k. A natural-language
+    corpus sits near 1e6 across ranks; a crawl poisoned by templated or
+    generated text bows far below (flat head) or above (heavy head) —
+    the vocabulary-shape sibling of `heaps_law`'s growth-curve check.
+
+    Scale shape: tokenize -> ONE groupBy(term) to the bounded vocab
+    frame, rank window on that frame only, rank-1 row broadcast back;
+    20-row output."""
+    vocab = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = (
+        vocab.withColumn(
+            "k",
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), "term"))
+            .cast("bigint"),
+        )
+        .where(F.col("k") <= 20)
+        .localCheckpoint()
+    )
+    f1 = ranked.where(F.col("k") == 1).select(F.col("f").alias("f1"))
+    return (
+        ranked.crossJoin(F.broadcast(f1))
+        .select(
+            "k",
+            "term",
+            F.col("f").alias("freq"),
+            F.expr("1000000 * k * f div f1").cast("bigint").alias("zipf_ratio_micro"),
+        )
+        .orderBy("k")
+    )
+
+
+SQL_ZIPF_RANK_DEVIATION = f"""
+WITH vocab AS (
+  SELECT t.term, count(*)::BIGINT AS f
+  FROM documents, unnest({_SQL_TOKS}) AS t(term)
+  GROUP BY t.term
+), ranked AS (
+  SELECT term, f, row_number() OVER (ORDER BY f DESC, term)::BIGINT AS k
+  FROM vocab QUALIFY k <= 20
+), f1 AS (
+  SELECT f AS f1 FROM ranked WHERE k = 1
+)
+SELECT k, term, f AS freq, (1000000 * k * f // f1)::BIGINT AS zipf_ratio_micro
+FROM ranked CROSS JOIN f1
+ORDER BY k
+"""
+
+
+# -- blocked edit-distance URL near-dup --------------------------------------------------------------------------------
+
+
+def q_url_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-dup over frontier URLs: URLs synthesized
+    per doc (same deterministic family as `url_features`), blocked by
+    host, and every same-host pair within edit distance 2 counted —
+    the canonicalization fallback for URL aliases that differ by a
+    session digit or trailing slash, which exact seen-hashing misses
+    and fetching twice wastes budget on. Per-host output: URL count,
+    pairs at distance 1 and at distance 2.
+
+    Scale shape: the standard blocked similarity join — pure-map URL
+    build, ONE shuffle on the block key (host), quadratic ONLY within a
+    block (bounded by per-host frontier size; the salted scheduler caps
+    it upstream), builtin JVM levenshtein, no UDFs."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 97).cast("string")
+        ).alias("host"),
+        F.concat(
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    a = u.select(
+        F.col("host"),
+        F.col("doc_id").alias("id1"),
+        F.col("path").alias("p1"),
+    )
+    b = u.select(
+        F.col("host"),
+        F.col("doc_id").alias("id2"),
+        F.col("path").alias("p2"),
+    )
+    pairs = (
+        a.join(b, "host")
+        .where(F.col("id1") < F.col("id2"))
+        .select("host", F.levenshtein("p1", "p2").alias("d"))
+        .where(F.col("d") <= 2)
+    )
+    return (
+        pairs.groupBy("host")
+        .agg(
+            F.sum(F.expr("cast(d = 1 as bigint)")).cast("bigint").alias("pairs_d1"),
+            F.sum(F.expr("cast(d = 2 as bigint)")).cast("bigint").alias("pairs_d2"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_URL_EDITDIST_NEARDUP = """
+WITH u AS (
+  SELECT doc_id, 'h' || (doc_id % 97)::VARCHAR AS host,
+         '/p/' || doc_id::VARCHAR ||
+         (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) AS path
+  FROM documents
+), pairs AS (
+  SELECT a.host, levenshtein(a.path, b.path) AS d
+  FROM u a JOIN u b ON a.host = b.host AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.path, b.path) <= 2
+)
+SELECT host,
+       sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS pairs_d1,
+       sum(CASE WHEN d = 2 THEN 1 ELSE 0 END)::BIGINT AS pairs_d2
+FROM pairs
+GROUP BY host ORDER BY host
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -22028,6 +22251,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "waterfill_fairshare": (q_waterfill_fairshare, SQL_WATERFILL_FAIRSHARE),
     "cdc_chunking": (q_cdc_chunking, SQL_CDC_CHUNKING),
+    "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
+    "zipf_rank_deviation": (q_zipf_rank_deviation, SQL_ZIPF_RANK_DEVIATION),
+    "url_editdist_neardup": (q_url_editdist_neardup, SQL_URL_EDITDIST_NEARDUP),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
