@@ -1573,3 +1573,24 @@ def test_url_editdist_blocked_on_host(spark):
     # cartesian product
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "levenshtein" in p
+
+
+def test_cho_rate_single_host_groupby(spark):
+    p = plan_str(_q("cho_change_rate", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+    # the corpus mean arrives by broadcast, never a re-scan join
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_bloom_sizing_one_corpus_reduce(spark):
+    p = plan_str(_q("bloom_sizing_audit", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+
+
+def test_template_entropy_totals_broadcast(spark):
+    p = plan_str(_q("url_template_entropy", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p

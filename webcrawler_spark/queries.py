@@ -21945,6 +21945,245 @@ FROM pairs
 GROUP BY host ORDER BY host
 """
 
+# -- Cho-Garcia-Molina page change-rate estimation ---------------------------------------------------------------------
+
+
+def q_cho_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson change-rate estimation per host (Cho & Garcia-Molina,
+    TOIT 2003): replay each host's fetch log, mark a fetch 'changed'
+    when its value is at or above the corpus mean, and estimate the
+    per-visit change rate as lambda = -ln((n - x + 1) / (n + 2))
+    (Laplace-smoothed so x = n stays finite) — the estimator behind
+    adaptive recrawl scheduling: visit hot pages more, cold pages less,
+    under a fixed politeness budget. `recrawl_priority` consumes an
+    age/rate signal; this query is where that rate comes FROM. The
+    count pair (n, x) is integer-exact; the single ln() is rounded to
+    6dp (both engines libm-stable at that precision, same treatment as
+    tf-idf); the tier CASE reads the rounded value so it cannot
+    disagree.
+
+    Scale shape: 1-row mean broadcast, ONE groupBy(host); output
+    |hosts| rows."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("host"),
+        F.expr("cast(floor(value * 1000) as bigint)").alias("v_milli"),
+    )
+    mean = ev.agg(F.expr("sum(v_milli) div count(*)").cast("bigint").alias("mu"))
+    per = (
+        ev.crossJoin(F.broadcast(mean))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum(F.expr("cast(v_milli >= mu as bigint)"))
+            .cast("bigint")
+            .alias("n_changed"),
+        )
+    )
+    lam = F.round(
+        -F.log(
+            (F.col("n_obs") - F.col("n_changed") + 1).cast("double")
+            / (F.col("n_obs") + 2).cast("double")
+        ),
+        6,
+    )
+    return (
+        per.select(
+            "host",
+            "n_obs",
+            "n_changed",
+            lam.alias("lambda_6"),
+            F.when(lam >= 0.9, F.lit("hot"))
+            .when(lam >= 0.5, F.lit("warm"))
+            .otherwise(F.lit("cold"))
+            .alias("tier"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_CHO_CHANGE_RATE = """
+WITH ev AS (
+  SELECT user_id AS host, floor(value * 1000)::BIGINT AS v_milli FROM events
+), mean AS (
+  SELECT (sum(v_milli) // count(*))::BIGINT AS mu FROM ev
+), per AS (
+  SELECT host, count(*)::BIGINT AS n_obs,
+         sum(CASE WHEN v_milli >= mu THEN 1 ELSE 0 END)::BIGINT AS n_changed
+  FROM ev CROSS JOIN mean GROUP BY host
+)
+SELECT host, n_obs, n_changed,
+       round(-ln((n_obs - n_changed + 1)::DOUBLE / (n_obs + 2)::DOUBLE), 6)
+         AS lambda_6,
+       CASE WHEN round(-ln((n_obs - n_changed + 1)::DOUBLE
+                           / (n_obs + 2)::DOUBLE), 6) >= 0.9 THEN 'hot'
+            WHEN round(-ln((n_obs - n_changed + 1)::DOUBLE
+                           / (n_obs + 2)::DOUBLE), 6) >= 0.5 THEN 'warm'
+            ELSE 'cold' END AS tier
+FROM per ORDER BY host
+"""
+
+
+# -- bloom-filter sizing audit ----------------------------------------------------------------------------------------
+
+
+def q_bloom_sizing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-filter sizing audit: for the crawl's actual distinct-URL
+    count n (the deterministic URL family) and a grid of candidate
+    bloom sizes m in {2^20, 2^24, 2^28} bits, the optimal hash count
+    k* = round((m/n) ln 2) — computed integer-exact with ln 2 as the
+    literal 693147/1000000 — and the resulting false-positive rate
+    (1 - e^(-kn/m))^k in parts-per-million. This is the capacity
+    planning for `bloom.py`'s partitioned seen filter: the judge of
+    when a wave's filter must grow a shard before FPR starts wasting
+    politeness budget on re-fetch checks. bits_per_url and k* are exact
+    bigints; only the final exp/pow is float, rounded to 3dp ppm.
+
+    Scale shape: ONE distinct-count aggregate (the corpus reduce),
+    broadcast into a 3-row literal grid; constant output."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    u = docs.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    n = u.agg(F.countDistinct("url").cast("bigint").alias("n"))
+    grid = spark.createDataFrame(
+        [(1 << 20,), (1 << 24,), (1 << 28,)], "m bigint"
+    )
+    j = grid.crossJoin(F.broadcast(n))
+    k = F.expr("greatest(1L, (m * 693147 + n * 500000) div (n * 1000000))")
+    return (
+        j.select(
+            "m",
+            "n",
+            F.expr("m div n").cast("bigint").alias("bits_per_url"),
+            k.cast("bigint").alias("k_opt"),
+            F.round(
+                F.expr(
+                    "1000000.0 * power(1.0 - exp(-(cast(greatest(1L,"
+                    " (m * 693147 + n * 500000) div (n * 1000000)) as double)"
+                    " * cast(n as double)) / cast(m as double)),"
+                    " cast(greatest(1L, (m * 693147 + n * 500000)"
+                    " div (n * 1000000)) as double))"
+                ),
+                3,
+            ).alias("fpr_ppm_3"),
+        )
+        .orderBy("m")
+    )
+
+
+SQL_BLOOM_SIZING_AUDIT = """
+WITH u AS (
+  SELECT DISTINCT 'http://h' || (doc_id % 97)::VARCHAR || '.example.com/p/'
+         || doc_id::VARCHAR AS url
+  FROM documents
+), n AS (
+  SELECT count(*)::BIGINT AS n FROM u
+), grid AS (
+  SELECT unnest([1048576::BIGINT, 16777216::BIGINT, 268435456::BIGINT]) AS m
+), k AS (
+  SELECT m, n, (m // n)::BIGINT AS bits_per_url,
+         greatest(1, (m * 693147 + n * 500000) // (n * 1000000))::BIGINT AS k_opt
+  FROM grid CROSS JOIN n
+)
+SELECT m, n, bits_per_url, k_opt,
+       round(1000000.0 * pow(1.0 - exp(-(k_opt::DOUBLE * n::DOUBLE) / m::DOUBLE),
+                             k_opt::DOUBLE), 3) AS fpr_ppm_3
+FROM k ORDER BY m
+"""
+
+
+# -- URL-template entropy (crawl-trap detection) ----------------------------------------------------------------------
+
+
+def q_url_template_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection via URL-template entropy: collapse every
+    digit run in the synthesized URL path to 'N' (the template), then
+    per host report url count, distinct templates, template fan-out
+    (urls per template, exact), and the Shannon entropy of the template
+    distribution in integer nano-nats — a host minting thousands of
+    URLs from a handful of templates at low entropy is a calendar/
+    session-id trap that will eat the frontier unless throttled
+    (`url_features` flags known trap patterns; this catches the unknown
+    ones). Per-template entropy contributions floor to integer
+    nano-nats BEFORE summation (the `markov_entropy_rate` treatment) so
+    the sum is order-independent and bit-identical across engines.
+
+    Scale shape: pure-map template build, groupBy(host, template),
+    per-host totals re-aggregated from that bounded frame and joined
+    back broadcast; |hosts| output rows."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    u = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("host"),
+        F.regexp_replace(
+            F.concat(
+                F.lit("/"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("cal/2026/01/")).otherwise(
+                    F.lit("p/")
+                ),
+                F.col("doc_id").cast("string"),
+            ),
+            "[0-9]+",
+            "N",
+        ).alias("template"),
+    )
+    per_t = u.groupBy("host", "template").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = per_t.groupBy("host").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_templates"),
+    )
+    contrib = per_t.join(F.broadcast(tot), "host").select(
+        "host",
+        "n",
+        "n_templates",
+        F.expr(
+            "c * cast(floor(1000000000.0 * ln(cast(n as double)"
+            " / cast(c as double))) as bigint)"
+        ).alias("term"),
+    )
+    return (
+        contrib.groupBy("host")
+        .agg(
+            F.max("n").alias("n_urls"),
+            F.max("n_templates").alias("n_templates"),
+            F.expr("max(n) div max(n_templates)")
+            .cast("bigint")
+            .alias("fanout"),
+            F.expr("sum(term) div max(n)").cast("bigint").alias("entropy_nano"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_URL_TEMPLATE_ENTROPY = """
+WITH u AS (
+  SELECT 'h' || (doc_id % 23)::VARCHAR AS host,
+         regexp_replace('/' ||
+           (CASE WHEN doc_id % 5 = 0 THEN 'cal/2026/01/' ELSE 'p/' END) ||
+           doc_id::VARCHAR, '[0-9]+', 'N', 'g') AS template
+  FROM documents
+), per_t AS (
+  SELECT host, template, count(*)::BIGINT AS c FROM u GROUP BY host, template
+), tot AS (
+  SELECT host, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_templates
+  FROM per_t GROUP BY host
+), contrib AS (
+  SELECT p.host, t.n, t.n_templates,
+         p.c * floor(1000000000.0 * ln(t.n::DOUBLE / p.c::DOUBLE))::BIGINT AS term
+  FROM per_t p JOIN tot t ON p.host = t.host
+)
+SELECT host, max(n)::BIGINT AS n_urls, max(n_templates)::BIGINT AS n_templates,
+       (max(n) // max(n_templates))::BIGINT AS fanout,
+       (sum(term) // max(n))::BIGINT AS entropy_nano
+FROM contrib GROUP BY host ORDER BY host
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -22254,6 +22493,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
     "zipf_rank_deviation": (q_zipf_rank_deviation, SQL_ZIPF_RANK_DEVIATION),
     "url_editdist_neardup": (q_url_editdist_neardup, SQL_URL_EDITDIST_NEARDUP),
+    "cho_change_rate": (q_cho_change_rate, SQL_CHO_CHANGE_RATE),
+    "bloom_sizing_audit": (q_bloom_sizing_audit, SQL_BLOOM_SIZING_AUDIT),
+    "url_template_entropy": (q_url_template_entropy, SQL_URL_TEMPLATE_ENTROPY),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
