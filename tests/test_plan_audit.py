@@ -1594,3 +1594,25 @@ def test_template_entropy_totals_broadcast(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_containment_bucket_join_not_cartesian(spark):
+    p = plan_str(_q("ngram_containment", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dup_matrix_cluster_arithmetic_no_doc_selfjoin(spark):
+    p = plan_str(_q("cross_source_dup_matrix", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # pairs come from per-cluster counts, so the join runs on the
+    # checkpointed (fp, source) frame — never a document self-join
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_centroid_drift_integer_sums_only(spark):
+    p = plan_str(_q("embedding_centroid_drift", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # quantization happens below the explode; no float aggregate anywhere
+    assert "sum(q" in p or "sum(qv" in p or "HashAggregate" in p
+    assert "CartesianProduct" not in p

@@ -22184,6 +22184,219 @@ SELECT host, max(n)::BIGINT AS n_urls, max(n_templates)::BIGINT AS n_templates,
 FROM contrib GROUP BY host ORDER BY host
 """
 
+# -- asymmetric shingle containment near-dup ---------------------------------------------------------------------------
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram shingle CONTAINMENT near-dup (Broder 1997's
+    second resemblance measure): for candidate pairs from the same
+    shingle-bucket join as `ngram_jaccard_pairs`, report
+    c(A in B) = |A ∩ B| / |A| and c(B in A) = |A ∩ B| / |B|, keeping
+    pairs whose larger direction is >= 0.8 — the quote-inclusion /
+    page-wrapper case Jaccard structurally misses: a short doc fully
+    embedded in a long one has tiny Jaccard but containment 1.0, and
+    for training data the contained doc is the one to drop. Counts are
+    exact integers; the two ratios round at 4dp.
+
+    Scale shape: identical to the Jaccard path (distinct shingles, ONE
+    bucket self-join, groupBy pair) — same max_df stop-shingle knob
+    applies upstream at web scale; the extra direction is a second
+    division on the already-reduced pair frame, zero extra shuffles."""
+    docs = _tokens(_docs_parallel(spark, sf_dir)).filter(F.expr("size(toks) >= 3"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), i -> "
+                "concat_ws(' ', element_at(toks, i), element_at(toks, i+1),"
+                " element_at(toks, i+2)))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    counts = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "a_id")
+        .join(cb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.expr("i / na"), 4).alias("cont_a_in_b"),
+            F.round(F.expr("i / nb"), 4).alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= 0.8) | (F.col("cont_b_in_a") >= 0.8)
+        )
+    )
+
+
+SQL_NGRAM_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2),
+    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), counts AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(i / ca.n, 4) AS cont_a_in_b,
+       round(i / cb.n, 4) AS cont_b_in_a
+FROM inter JOIN counts ca ON a_id = ca.doc_id JOIN counts cb ON b_id = cb.doc_id
+WHERE round(i / ca.n, 4) >= 0.8 OR round(i / cb.n, 4) >= 0.8
+"""
+
+
+# -- cross-source duplicate overlap matrix -----------------------------------------------------------------------------
+
+
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate overlap matrix: duplicate pairs under the
+    40-char-prefix fingerprint (md5 of the text head — the standard
+    header/boilerplate dedup key, which unlike `dedup_exact`'s
+    full-text key actually clusters on a synthetic corpus) tallied per
+    unordered source pair — the data-mixing diagnostic that answers
+    'how much of source B is already inside source A' BEFORE a mixture
+    weight is chosen; feeding two heavily-overlapping sources at full
+    weight silently doubles their shared content's effective epoch
+    count. Diagonal rows are within-source duplication.
+
+    Scale shape: ONE groupBy(fingerprint) collects each dup cluster;
+    pair counts come from per-cluster per-source counts (k*(k+1)/2
+    arithmetic on the bounded cluster x source frame), never a
+    fingerprint self-join; output is |sources|^2 rows max."""
+    per = (
+        _read(spark, sf_dir, "documents")
+        .select(F.md5(F.substring("text", 1, 40)).alias("fp"), "source")
+        .groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per = per.localCheckpoint()
+    within = per.where(F.col("c") >= 2).select(
+        F.col("source").alias("source_a"),
+        F.col("source").alias("source_b"),
+        F.expr("c * (c - 1) div 2").cast("bigint").alias("pairs"),
+    )
+    x = per.alias("x")
+    y = per.alias("y")
+    across = (
+        x.join(y, "fp")
+        .where(F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+            F.expr("x.c * y.c").cast("bigint").alias("pairs"),
+        )
+    )
+    return (
+        within.union(across)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("pairs").cast("bigint").alias("dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_CROSS_SOURCE_DUP_MATRIX = """
+WITH per AS (
+  SELECT md5(substr(text, 1, 40)) AS fp, source, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+), within AS (
+  SELECT source AS source_a, source AS source_b,
+         (c * (c - 1) // 2)::BIGINT AS pairs
+  FROM per WHERE c >= 2
+), across AS (
+  SELECT x.source AS source_a, y.source AS source_b, (x.c * y.c)::BIGINT AS pairs
+  FROM per x JOIN per y ON x.fp = y.fp AND x.source < y.source
+)
+SELECT source_a, source_b, sum(pairs)::BIGINT AS dup_pairs
+FROM (SELECT * FROM within UNION ALL SELECT * FROM across)
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+
+# -- per-label embedding centroid drift --------------------------------------------------------------------------------
+
+
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between two corpus halves
+    (vec_id parity stands in for the before/after snapshot split): each
+    dimension quantizes to integer micro-units per row FIRST, so the
+    distributed sums are exact bigints regardless of aggregation order
+    — then the squared L2 distance between half-centroids per label, in
+    squared-micro units. The embedding-space sibling of `psi_drift`:
+    a label whose centroid moves is a topic whose representation
+    changed between crawls, and a retrieval index trained on the old
+    half is stale for it.
+
+    Scale shape: posexplode to (label, half, dim) -> ONE exact-integer
+    groupBy on the bounded |labels| x 2 x dims frame -> halves self-join
+    on that tiny frame -> per-label sum; no float crosses a shuffle."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).cast("bigint").alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "half",
+        "pos",
+        F.expr("cast(floor(1000000.0 * cast(v as double)) as bigint)").alias("q"),
+    )
+    cent = e.groupBy("label", "half", "pos").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    ).withColumn("m", F.expr("s div cnt").cast("bigint"))
+    a = cent.where(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("ma"), F.col("cnt").alias("na")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        "label", "pos", F.col("m").alias("mb"), F.col("cnt").alias("nb")
+    )
+    return (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.sum(F.expr("(ma - mb) * (ma - mb)"))
+            .cast("bigint")
+            .alias("l2_sq_micro2"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_CENTROID_DRIFT = """
+WITH q AS (
+  SELECT label, (vec_id % 2)::BIGINT AS half, pos,
+         floor(1000000.0 * embedding[pos + 1]::DOUBLE)::BIGINT AS qv
+  FROM (SELECT label, vec_id, embedding,
+               unnest(range(0, len(embedding))) AS pos
+        FROM embeddings)
+), cent AS (
+  SELECT label, half, pos, (sum(qv) // count(*))::BIGINT AS m,
+         count(*)::BIGINT AS cnt
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT a.label, max(a.cnt)::BIGINT AS n_a, max(b.cnt)::BIGINT AS n_b,
+       sum((a.m - b.m) * (a.m - b.m))::BIGINT AS l2_sq_micro2
+FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+WHERE a.half = 0 AND b.half = 1
+GROUP BY a.label ORDER BY a.label
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -22496,6 +22709,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cho_change_rate": (q_cho_change_rate, SQL_CHO_CHANGE_RATE),
     "bloom_sizing_audit": (q_bloom_sizing_audit, SQL_BLOOM_SIZING_AUDIT),
     "url_template_entropy": (q_url_template_entropy, SQL_URL_TEMPLATE_ENTROPY),
+    "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
+    "cross_source_dup_matrix": (
+        q_cross_source_dup_matrix,
+        SQL_CROSS_SOURCE_DUP_MATRIX,
+    ),
+    "embedding_centroid_drift": (
+        q_embedding_centroid_drift,
+        SQL_EMBEDDING_CENTROID_DRIFT,
+    ),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
