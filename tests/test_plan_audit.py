@@ -1616,3 +1616,25 @@ def test_centroid_drift_integer_sums_only(spark):
     # quantization happens below the explode; no float aggregate anywhere
     assert "sum(q" in p or "sum(qv" in p or "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_yield_curve_two_keyed_reductions(spark):
+    p = plan_str(_q("host_yield_curve", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    # rank window runs after both reductions, on the bounded host frame
+    assert p.index("Window") < p.index("HashAggregate")
+
+
+def test_branching_back_edges_broadcast(spark):
+    p = plan_str(_q("frontier_branching", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_dispersion_integer_moments_no_join_on_corpus(spark):
+    p = plan_str(_q("embedding_dispersion", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p

@@ -22397,6 +22397,246 @@ WHERE a.half = 0 AND b.half = 1
 GROUP BY a.label ORDER BY a.label
 """
 
+# -- per-host content-yield curve --------------------------------------------------------------------------------------
+
+
+def q_host_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host content-yield ranking — crawl economics: for each host,
+    fetches (docs), unique content under the 40-char-prefix fingerprint
+    (`cross_source_dup_matrix`'s key), the yield in parts-per-thousand
+    (unique/fetches), and the host's rank by yield — the marginal-value
+    signal a budget re-allocator reads every wave: a host whose yield
+    decays toward 0 is serving mirrored/templated content and its
+    politeness budget should flow to the long tail instead. Integer
+    ratios throughout.
+
+    Scale shape: ONE groupBy(host, fp) -> ONE groupBy(host) (both keyed
+    reductions, no joins on the corpus), rank window on the bounded
+    |hosts| frame; |hosts| output rows."""
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("host"),
+        F.md5(F.substring("text", 1, 40)).alias("fp"),
+    )
+    per_fp = docs.groupBy("host", "fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_host = per_fp.groupBy("host").agg(
+        F.sum("c").cast("bigint").alias("fetches"),
+        F.count(F.lit(1)).cast("bigint").alias("unique_content"),
+    )
+    return (
+        per_host.select(
+            "host",
+            "fetches",
+            "unique_content",
+            F.expr("1000 * unique_content div fetches")
+            .cast("bigint")
+            .alias("yield_milli"),
+        )
+        .withColumn(
+            "yield_rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.expr("1000 * unique_content div fetches").desc(),
+                    F.col("host"),
+                )
+            )
+            .cast("bigint"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_HOST_YIELD_CURVE = """
+WITH docs AS (
+  SELECT 'h' || (doc_id % 23)::VARCHAR AS host,
+         md5(substr(text, 1, 40)) AS fp
+  FROM documents
+), per_fp AS (
+  SELECT host, fp, count(*)::BIGINT AS c FROM docs GROUP BY 1, 2
+), per_host AS (
+  SELECT host, sum(c)::BIGINT AS fetches, count(*)::BIGINT AS unique_content
+  FROM per_fp GROUP BY host
+)
+SELECT host, fetches, unique_content,
+       (1000 * unique_content // fetches)::BIGINT AS yield_milli,
+       row_number() OVER (ORDER BY (1000 * unique_content // fetches) DESC, host
+       )::BIGINT AS yield_rank
+FROM per_host ORDER BY host
+"""
+
+
+# -- frontier branching factor (crawl R0) -------------------------------------------------------------------------------
+
+
+def q_frontier_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl reproduction number R0 per source shard: on the host link
+    graph, the mean distinct out-degree of nodes (new frontier links
+    minted per fetched page) discounted by the already-seen fraction —
+    branching-process theory says a crawl wavefront with effective
+    R > 1000 milli grows geometrically (supercritical: the frontier
+    explodes and scheduling dominates) and R < 1000 milli dies out
+    (subcritical: seeds exhaust; widen the allowlist). Per src-shard
+    (src mod 5) output: nodes, edges, mean out-degree milli, seen
+    discount milli (the graph's back-edge fraction standing in for the
+    bloom hit rate), effective R milli, and the regime CASE — all
+    integer-exact.
+
+    Scale shape: the distinct edge reduce, ONE groupBy(src), one
+    shard-level re-aggregate of the bounded degree frame; a broadcast
+    back-edge semi-join computes the seen fraction."""
+    e = _pagerank_edges(spark, sf_dir).localCheckpoint()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    back = e.intersect(rev).select("src", "dst", F.lit(1).alias("is_back"))
+    marked = e.join(
+        F.broadcast(back), ["src", "dst"], "left"
+    ).select("src", "dst", F.coalesce("is_back", F.lit(0)).alias("is_back"))
+    deg = marked.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg"),
+        F.sum("is_back").cast("bigint").alias("back_edges"),
+    )
+    shard = deg.groupBy((F.col("src") % 5).cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nodes"),
+        F.sum("outdeg").cast("bigint").alias("edges"),
+        F.sum("back_edges").cast("bigint").alias("back_edges"),
+    )
+    return (
+        shard.select(
+            "shard",
+            "nodes",
+            "edges",
+            F.expr("1000 * edges div nodes").cast("bigint").alias("mean_outdeg_milli"),
+            F.expr("1000 * back_edges div edges")
+            .cast("bigint")
+            .alias("seen_frac_milli"),
+            F.expr(
+                "(1000 * edges div nodes) * (1000 - 1000 * back_edges div edges)"
+                " div 1000"
+            )
+            .cast("bigint")
+            .alias("r_eff_milli"),
+            F.expr(
+                "case when (1000 * edges div nodes)"
+                " * (1000 - 1000 * back_edges div edges) div 1000 > 1000"
+                " then 'supercritical' else 'subcritical' end"
+            ).alias("regime"),
+        )
+        .orderBy("shard")
+    )
+
+
+SQL_FRONTIER_BRANCHING = f"""
+WITH e AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT) % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT) % {_PR_NODES}
+), marked AS (
+  SELECT e.src, e.dst,
+         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS is_back
+  FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
+), deg AS (
+  SELECT src, count(*)::BIGINT AS outdeg, sum(is_back)::BIGINT AS back_edges
+  FROM marked GROUP BY src
+), shard AS (
+  SELECT (src % 5)::BIGINT AS shard, count(*)::BIGINT AS nodes,
+         sum(outdeg)::BIGINT AS edges, sum(back_edges)::BIGINT AS back_edges
+  FROM deg GROUP BY 1
+)
+SELECT shard, nodes, edges,
+       (1000 * edges // nodes)::BIGINT AS mean_outdeg_milli,
+       (1000 * back_edges // edges)::BIGINT AS seen_frac_milli,
+       ((1000 * edges // nodes) * (1000 - 1000 * back_edges // edges)
+        // 1000)::BIGINT AS r_eff_milli,
+       CASE WHEN (1000 * edges // nodes)
+                 * (1000 - 1000 * back_edges // edges) // 1000 > 1000
+            THEN 'supercritical' ELSE 'subcritical' END AS regime
+FROM shard ORDER BY shard
+"""
+
+
+# -- per-label embedding dispersion ------------------------------------------------------------------------------------
+
+
+def q_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding dispersion: the mean squared distance of a
+    label's vectors from their own centroid, computed exactly as
+    E[|x|^2] - |E[x]|^2 over integer micro-quantized dimensions (the
+    `embedding_centroid_drift` quantization, so distributed sums stay
+    order-independent). The companion diagnostic to centroid drift: a
+    label whose centroid holds still but whose dispersion balloons is a
+    topic label that stopped meaning anything — IVF cells trained on it
+    (`ann_ivf`) degrade to random probes. Reported per label in squared
+    micro units with an over-dispersion flag vs the corpus median
+    (exact: median of a bounded |labels| frame).
+
+    Scale shape: posexplode -> ONE exact-integer groupBy(label, dim)
+    carrying sum(q) and sum(q^2) -> per-label re-aggregate; the global
+    median broadcasts from the bounded label frame; |labels| rows."""
+    q = _read(spark, sf_dir, "embeddings").select(
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "pos",
+        F.expr("cast(floor(1000000.0 * cast(v as double)) as bigint)").alias("q"),
+    )
+    per_dim = q.groupBy("label", "pos").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.expr("q * q")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        # sum over dims of (s2/n - (s/n)^2), kept exact by scaling with n^2
+        F.sum(F.expr("n * s2 - s * s")).cast("bigint").alias("num"),
+        F.max(F.expr("n * n")).cast("bigint").alias("den"),
+    ).select(
+        "label",
+        "n_vecs",
+        F.expr("num div den").cast("bigint").alias("dispersion_micro2"),
+    ).localCheckpoint()
+    med = per_label.agg(
+        F.expr(
+            "cast(percentile(dispersion_micro2, 0.5) as bigint)"
+        ).alias("med")
+    )
+    return (
+        per_label.crossJoin(F.broadcast(med))
+        .select(
+            "label",
+            "n_vecs",
+            "dispersion_micro2",
+            F.expr("dispersion_micro2 > med + med div 4").alias("over_dispersed"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_DISPERSION = """
+WITH q AS (
+  SELECT label, pos, floor(1000000.0 * embedding[pos + 1]::DOUBLE)::BIGINT AS q
+  FROM (SELECT label, embedding, unnest(range(0, len(embedding))) AS pos
+        FROM embeddings)
+), per_dim AS (
+  SELECT label, pos, sum(q)::BIGINT AS s, sum(q * q)::BIGINT AS s2,
+         count(*)::BIGINT AS n
+  FROM q GROUP BY 1, 2
+), per_label AS (
+  SELECT label, max(n)::BIGINT AS n_vecs,
+         (sum(n * s2 - s * s) // max(n * n))::BIGINT AS dispersion_micro2
+  FROM per_dim GROUP BY label
+), med AS (
+  SELECT floor(median(dispersion_micro2))::BIGINT AS med FROM per_label
+)
+SELECT label, n_vecs, dispersion_micro2,
+       dispersion_micro2 > med + med // 4 AS over_dispersed
+FROM per_label CROSS JOIN med
+ORDER BY label
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -22718,6 +22958,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_embedding_centroid_drift,
         SQL_EMBEDDING_CENTROID_DRIFT,
     ),
+    "host_yield_curve": (q_host_yield_curve, SQL_HOST_YIELD_CURVE),
+    "frontier_branching": (q_frontier_branching, SQL_FRONTIER_BRANCHING),
+    "embedding_dispersion": (q_embedding_dispersion, SQL_EMBEDDING_DISPERSION),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
