@@ -1638,3 +1638,25 @@ def test_dispersion_integer_moments_no_join_on_corpus(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_dunning_topk_take_ordered(spark):
+    p = plan_str(_q("dunning_llr_keyness", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # top-20 ships as TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_calibration_single_window_single_agg(spark):
+    p = plan_str(_q("quality_calibration_ece", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("quality_calibration_ece", spark), "simple")
+    assert simple.count("Window") == 1
+
+
+def test_discovery_halflife_one_reduce(spark):
+    p = plan_str(_q("discovery_halflife", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p

@@ -22637,6 +22637,208 @@ FROM per_label CROSS JOIN med
 ORDER BY label
 """
 
+# -- Dunning log-likelihood keyness ------------------------------------------------------------------------------------
+
+
+def q_dunning_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning 1993), the canonical
+    corpus-comparison statistic: token counts of slice A (the lexically
+    first source) vs slice B (the rest), per-term
+    G2 = 2*(a*ln(a/E_a) + b*ln(b/E_b)) with expectations from the
+    pooled rate — unlike `odds_ratio_keyness` (document-frequency odds)
+    this is frequency-weighted, so it surfaces high-volume divergent
+    terms instead of rare-but-lopsided ones; together they are the
+    standard pair. Counts and expectations are exact integers/rationals
+    pushed into the ln() at the last step; per-term G2 never crosses a
+    row boundary, so 6dp rounding is engine-stable (tf-idf treatment).
+    Top 20 by G2.
+
+    Scale shape: tokenize -> ONE groupBy(term, in_a) with partials ->
+    pivot to (a, b) per term -> 1-row totals broadcast; top-k via
+    TakeOrderedAndProject on the bounded vocab frame."""
+    toks = _tokens(_read(spark, sf_dir, "documents"))
+    first_src = _read(spark, sf_dir, "documents").agg(
+        F.min("source").alias("src_a")
+    )
+    t = (
+        toks.crossJoin(F.broadcast(first_src))
+        .select(
+            F.explode("toks").alias("term"),
+            (F.col("source") == F.col("src_a")).alias("in_a"),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum(F.expr("cast(in_a as bigint)")).cast("bigint").alias("a"),
+            F.sum(F.expr("cast(not in_a as bigint)")).cast("bigint").alias("b"),
+        )
+    )
+    tot = t.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    g2 = F.round(
+        F.expr(
+            "2.0 * ((case when a > 0 then a * ln(cast(a as double) * (na + nb)"
+            " / (cast(na as double) * (a + b))) else 0.0 end)"
+            " + (case when b > 0 then b * ln(cast(b as double) * (na + nb)"
+            " / (cast(nb as double) * (a + b))) else 0.0 end))"
+        ),
+        6,
+    )
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select("term", "a", "b", g2.alias("g2_6"))
+        .orderBy(F.col("g2_6").desc(), "term")
+        .limit(20)
+    )
+
+
+SQL_DUNNING_LLR_KEYNESS = f"""
+WITH src AS (
+  SELECT min(source) AS src_a FROM documents
+), t AS (
+  SELECT tok.term,
+         sum(CASE WHEN source = src_a THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN source <> src_a THEN 1 ELSE 0 END)::BIGINT AS b
+  FROM documents CROSS JOIN src, unnest({_SQL_TOKS}) AS tok(term)
+  GROUP BY tok.term
+), tot AS (
+  SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM t
+)
+SELECT term, a, b,
+       round(2.0 * ((CASE WHEN a > 0 THEN a * ln(a::DOUBLE * (na + nb)
+                      / (na::DOUBLE * (a + b))) ELSE 0.0 END)
+                  + (CASE WHEN b > 0 THEN b * ln(b::DOUBLE * (na + nb)
+                      / (nb::DOUBLE * (a + b))) ELSE 0.0 END)), 6) AS g2_6
+FROM t CROSS JOIN tot
+ORDER BY g2_6 DESC, term LIMIT 20
+"""
+
+
+# -- quality-classifier calibration (ECE bins) -------------------------------------------------------------------------
+
+
+def q_quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of a cheap quality signal, binned expected-
+    calibration-error style (Naeini et al. 2015): confidence =
+    stopword-share-derived English score in milli (capped at 1000),
+    label = (lang = 'en'), docs split into 10 equal-rank bins by
+    n_chars. Per bin: count, mean confidence (milli), empirical
+    accuracy (milli), and the |acc - conf| gap — the table that says
+    WHERE the cheap filter lies (a classifier can rank perfectly and
+    still be badly calibrated, which poisons any threshold chosen on
+    its raw scores). All integer arithmetic: milli units, ntile
+    binning with a total order, truncating division.
+
+    Scale shape: pure-map scores, ONE ntile window (total order on
+    (n_chars, doc_id) — at web scale swaps to the two-phase distributed
+    rank), ONE groupBy(bin); 10 output rows."""
+    d = _tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_chars",
+        (F.col("lang") == "en").alias("y"),
+        F.expr(
+            f"least(1000L, 6000 * size(filter(toks,"
+            f" t -> array_contains({_SPARK_STOPLIST}, t))) div"
+            " greatest(1, size(toks)))"
+        ).cast("bigint").alias("conf_milli"),
+    )
+    binned = d.withColumn(
+        "bin",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).cast("bigint"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("sum(conf_milli) div count(*)").cast("bigint").alias("conf"),
+            F.expr("1000 * sum(cast(y as bigint)) div count(*)")
+            .cast("bigint")
+            .alias("acc"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.col("conf").alias("conf_milli"),
+            F.col("acc").alias("acc_milli"),
+            F.expr("abs(acc - conf)").cast("bigint").alias("gap_milli"),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_QUALITY_CALIBRATION_ECE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars, (lang = 'en') AS y,
+         least(1000, 6000 * len(list_filter({_SQL_TOKS},
+               t -> list_contains({_SQL_STOPLIST}, t)))
+               // greatest(1, len({_SQL_TOKS})))::BIGINT AS conf_milli
+  FROM documents
+), binned AS (
+  SELECT *, ntile(10) OVER (ORDER BY n_chars, doc_id)::BIGINT AS bin FROM d
+), agg AS (
+  SELECT bin, count(*)::BIGINT AS n,
+         (sum(conf_milli) // count(*))::BIGINT AS conf,
+         (1000 * sum(CASE WHEN y THEN 1 ELSE 0 END) // count(*))::BIGINT AS acc
+  FROM binned GROUP BY bin
+)
+SELECT bin, n, conf AS conf_milli, acc AS acc_milli,
+       abs(acc - conf)::BIGINT AS gap_milli
+FROM agg ORDER BY bin
+"""
+
+
+# -- discovery half-life -----------------------------------------------------------------------------------------------
+
+
+def q_discovery_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery half-life of the crawl replay: each event_type stands
+    for a distinct discoverable entity, its first-seen time is min(ts),
+    and the query reports how front-loaded discovery is — the exact
+    interpolated 50th and 90th percentiles of first-seen times,
+    normalized into milli-progress through the [min, max] event-time
+    span. A crawl whose t50 sits early (say < 200 milli) has exhausted
+    its seed neighborhood and is coasting; t50 near 500 means discovery
+    is still linear — the curve that tells an operator whether to stop
+    the wave loop or widen the allowlist. Percentile interpolation
+    follows the same quantile_cont contract as `value_quantiles`
+    (engine-identical on exact integer microseconds); normalization is
+    integer milli.
+
+    Scale shape: ONE groupBy(event_type).min(ts) to the bounded entity
+    frame; percentile + span on that frame; single-row output."""
+    first = (
+        _read(spark, sf_dir, "events")
+        .select("event_type", _us("ts").alias("ts_us"))
+        .groupBy("event_type")
+        .agg(F.min("ts_us").cast("bigint").alias("first_us"))
+    )
+    return first.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.expr(
+            "cast(1000 * (cast(floor(percentile(first_us, 0.5)) as bigint)"
+            " - min(first_us)) div (max(first_us) - min(first_us)) as bigint)"
+        ).alias("t50_milli"),
+        F.expr(
+            "cast(1000 * (cast(floor(percentile(first_us, 0.9)) as bigint)"
+            " - min(first_us)) div (max(first_us) - min(first_us)) as bigint)"
+        ).alias("t90_milli"),
+    )
+
+
+SQL_DISCOVERY_HALFLIFE = """
+WITH first AS (
+  SELECT event_type, min(epoch_us(ts))::BIGINT AS first_us
+  FROM events GROUP BY event_type
+)
+SELECT count(*)::BIGINT AS n_entities,
+       (1000 * (floor(quantile_cont(first_us, 0.5))::BIGINT - min(first_us))
+        // (max(first_us) - min(first_us)))::BIGINT AS t50_milli,
+       (1000 * (floor(quantile_cont(first_us, 0.9))::BIGINT - min(first_us))
+        // (max(first_us) - min(first_us)))::BIGINT AS t90_milli
+FROM first
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -22961,6 +23163,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "host_yield_curve": (q_host_yield_curve, SQL_HOST_YIELD_CURVE),
     "frontier_branching": (q_frontier_branching, SQL_FRONTIER_BRANCHING),
     "embedding_dispersion": (q_embedding_dispersion, SQL_EMBEDDING_DISPERSION),
+    "dunning_llr_keyness": (q_dunning_llr_keyness, SQL_DUNNING_LLR_KEYNESS),
+    "quality_calibration_ece": (
+        q_quality_calibration_ece,
+        SQL_QUALITY_CALIBRATION_ECE,
+    ),
+    "discovery_halflife": (q_discovery_halflife, SQL_DISCOVERY_HALFLIFE),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
