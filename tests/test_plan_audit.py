@@ -1660,3 +1660,24 @@ def test_discovery_halflife_one_reduce(spark):
     p = plan_str(_q("discovery_halflife", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p and "Window" not in p
+
+
+def test_makespan_single_groupby_no_window(spark):
+    p = plan_str(_q("politeness_makespan", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p
+
+
+def test_compaction_window_on_file_frame_only(spark):
+    p = plan_str(_q("compaction_planner", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("compaction_planner", spark), "simple")
+    assert simple.count("Window") == 1
+
+
+def test_s_curve_grid_broadcast_over_levels(spark):
+    p = plan_str(_q("lsh_s_curve", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

@@ -22839,6 +22839,225 @@ SELECT count(*)::BIGINT AS n_entities,
 FROM first
 """
 
+# -- politeness makespan / drain-time audit ----------------------------------------------------------------------------
+
+
+def q_politeness_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness makespan audit: with per-host queue lengths from the
+    replay and a deterministic per-host crawl delay (100 + 200*(host%5)
+    ms, the robots crawl-delay tier), each host's queue drains in
+    queue*delay ms NO MATTER how many executors exist — politeness
+    serializes within a host. The binding bound on wall time at H=32
+    fetch slots is max(slowest host, ceil(total/H)) (the LPT two-sided
+    bound); utilization is total/(H*makespan). The one-row answer to
+    'will more executors make this wave faster?': if the regime column
+    says host-bound, NO — only more hosts (or smaller per-host queues)
+    will, which is exactly why the frontier scheduler caps per-host
+    batch size.
+
+    Scale shape: ONE groupBy(host); every bound re-aggregates the
+    bounded host frame; single-row output."""
+    per = (
+        _read(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("host"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("queue"))
+        .select(
+            "host",
+            "queue",
+            F.expr("queue * (100 + 200 * (host % 5))").cast("bigint").alias("drain_ms"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+        F.sum("queue").cast("bigint").alias("n_urls"),
+        F.sum("drain_ms").cast("bigint").alias("total_work_ms"),
+        F.max("drain_ms").cast("bigint").alias("max_host_ms"),
+    ).select(
+        "n_hosts",
+        "n_urls",
+        "total_work_ms",
+        "max_host_ms",
+        F.expr("greatest(max_host_ms, (total_work_ms + 31) div 32)")
+        .cast("bigint")
+        .alias("makespan_lb_ms"),
+        F.expr(
+            "1000 * total_work_ms div"
+            " (32 * greatest(max_host_ms, (total_work_ms + 31) div 32))"
+        )
+        .cast("bigint")
+        .alias("utilization_milli"),
+        F.expr(
+            "case when max_host_ms > (total_work_ms + 31) div 32"
+            " then 'host-bound' else 'capacity-bound' end"
+        ).alias("regime"),
+    )
+
+
+SQL_POLITENESS_MAKESPAN = """
+WITH per AS (
+  SELECT user_id AS host, count(*)::BIGINT AS queue,
+         (count(*) * (100 + 200 * (user_id % 5)))::BIGINT AS drain_ms
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT count(*)::BIGINT AS n_hosts, sum(queue)::BIGINT AS n_urls,
+         sum(drain_ms)::BIGINT AS total_work_ms,
+         max(drain_ms)::BIGINT AS max_host_ms
+  FROM per
+)
+SELECT n_hosts, n_urls, total_work_ms, max_host_ms,
+       greatest(max_host_ms, (total_work_ms + 31) // 32)::BIGINT
+         AS makespan_lb_ms,
+       (1000 * total_work_ms //
+        (32 * greatest(max_host_ms, (total_work_ms + 31) // 32)))::BIGINT
+         AS utilization_milli,
+       CASE WHEN max_host_ms > (total_work_ms + 31) // 32
+            THEN 'host-bound' ELSE 'capacity-bound' END AS regime
+FROM agg
+"""
+
+
+# -- compaction planner (streaming next-fit bins) ----------------------------------------------------------------------
+
+
+def q_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan, the catalog maintenance job behind
+    `catalog.py`'s compact(): data files (size = summed n_chars per
+    (source, doc_id div 64) write group) packed size-descending into
+    target bins of 65536 chars by the streaming next-fit rule — a file
+    opens in the bin where the running total left off (bin id =
+    (cumsum - size) div target), which is exactly what a single-pass
+    packer over a sorted manifest does and stays a pure window
+    expression (true first-fit-decreasing is inherently sequential; at
+    planner scale the difference is <= 1 bin per oversized file). Per
+    bin: file count, fill, fill ratio milli, overflow flag. The audit
+    that says when a wave's delta commits have fragmented a partition
+    badly enough that compaction pays for itself.
+
+    Scale shape: ONE groupBy to the file frame (bounded: one row per
+    write group), ONE prefix-sum window on it (size-desc total order —
+    manifests are small; this is planner-side), ONE groupBy(bin)."""
+    files = (
+        _read(spark, sf_dir, "documents")
+        .groupBy(
+            F.col("source").alias("src"),
+            F.expr("doc_id div 64").cast("bigint").alias("grp"),
+        )
+        .agg(F.sum("n_chars").cast("bigint").alias("sz"))
+    )
+    w = Window.orderBy(F.col("sz").desc(), "src", "grp")
+    binned = files.withColumn("cum", F.sum("sz").over(w).cast("bigint")).select(
+        "src",
+        "grp",
+        "sz",
+        F.expr("(cum - sz) div 65536").cast("bigint").alias("bin"),
+        "cum",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("sz").cast("bigint").alias("fill"),
+        )
+        .select(
+            "bin",
+            "n_files",
+            "fill",
+            F.expr("1000 * fill div 65536").cast("bigint").alias("fill_milli"),
+            (F.col("fill") > 65536).alias("overflow"),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_COMPACTION_PLANNER = """
+WITH files AS (
+  SELECT source AS src, (doc_id // 64)::BIGINT AS grp,
+         sum(n_chars)::BIGINT AS sz
+  FROM documents GROUP BY 1, 2
+), binned AS (
+  SELECT src, grp, sz,
+         ((sum(sz) OVER (ORDER BY sz DESC, src, grp ROWS UNBOUNDED PRECEDING)
+           - sz) // 65536)::BIGINT AS bin
+  FROM files
+)
+SELECT bin, count(*)::BIGINT AS n_files, sum(sz)::BIGINT AS fill,
+       (1000 * sum(sz) // 65536)::BIGINT AS fill_milli,
+       sum(sz) > 65536 AS overflow
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+# -- LSH S-curve tuning table ------------------------------------------------------------------------------------------
+
+
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve tuning table: for every observed near-dup similarity
+    level in THIS corpus (the `ngram_jaccard_pairs` output, rounded to
+    1dp and deduplicated) and a (bands, rows) grid {(4,4), (8,8),
+    (16,4), (8,16)}, the probability 1 - (1 - j^r)^b that minhash LSH
+    surfaces the pair as a candidate — the table you read BEFORE
+    picking `minhash_lsh_candidates`' band config: it shows which
+    observed similarity levels a config would drop (p << 1) versus
+    flood (p ~ 1 at low j). Collision probability in ppm at 3dp; the
+    closed form stays in doubles only for the final pow (the
+    `bloom_sizing_audit` treatment).
+
+    Scale shape: the Jaccard pair frame reduces to <= 6 distinct
+    levels; the 4-row config grid cross-joins that bounded frame —
+    everything after candidate generation is constant-size."""
+    pairs = ngram_jaccard(_docs_parallel(spark, sf_dir))
+    levels = (
+        pairs.select(F.round("jaccard", 1).alias("j"))
+        .distinct()
+    )
+    grid = spark.createDataFrame(
+        [(4, 4), (8, 8), (16, 4), (8, 16)], "b int, r int"
+    )
+    return (
+        levels.crossJoin(F.broadcast(grid))
+        .select(
+            F.col("b").cast("bigint").alias("bands"),
+            F.col("r").cast("bigint").alias("rows_per_band"),
+            "j",
+            F.round(
+                F.expr(
+                    "1000000.0 * (1.0 - power(1.0 - power(j, cast(r as double)),"
+                    " cast(b as double)))"
+                ),
+                3,
+            ).alias("collision_ppm_3"),
+        )
+        .orderBy("bands", "rows_per_band", "j")
+    )
+
+
+SQL_LSH_S_CURVE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2),
+    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), levels AS (
+  SELECT DISTINCT round(round(i / (ca.n + cb.n - i), 4), 1) AS j
+  FROM inter JOIN counts ca ON a_id = ca.doc_id JOIN counts cb ON b_id = cb.doc_id
+  WHERE round(i / (ca.n + cb.n - i), 4) >= 0.5
+), grid AS (
+  SELECT * FROM (VALUES (4, 4), (8, 8), (16, 4), (8, 16)) AS t(b, r)
+)
+SELECT b::BIGINT AS bands, r::BIGINT AS rows_per_band, j,
+       round(1000000.0 * (1.0 - pow(1.0 - pow(j, r::DOUBLE), b::DOUBLE)), 3)
+         AS collision_ppm_3
+FROM levels CROSS JOIN grid
+ORDER BY bands, rows_per_band, j
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -23169,6 +23388,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_QUALITY_CALIBRATION_ECE,
     ),
     "discovery_halflife": (q_discovery_halflife, SQL_DISCOVERY_HALFLIFE),
+    "politeness_makespan": (q_politeness_makespan, SQL_POLITENESS_MAKESPAN),
+    "compaction_planner": (q_compaction_planner, SQL_COMPACTION_PLANNER),
+    "lsh_s_curve": (q_lsh_s_curve, SQL_LSH_S_CURVE),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
