@@ -1681,3 +1681,27 @@ def test_s_curve_grid_broadcast_over_levels(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_survivorship_semijoin_on_cluster_frame(spark):
+    p = plan_str(_q("dedup_survivorship", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_champion_lists_per_term_window(spark):
+    p = plan_str(_q("champion_lists", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # df filter ships as a broadcast semi-style join, not a shuffle join
+    assert "BroadcastHashJoin" in p
+    # Spark pushes the rank <= 3 predicate into WindowGroupLimit, so each
+    # term partition keeps only its top rows before the full window sort
+    assert "WindowGroupLimit" in p
+
+
+def test_otsu_constant_frame_after_histogram(spark):
+    p = plan_str(_q("otsu_threshold", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p

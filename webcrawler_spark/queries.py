@@ -23058,6 +23058,231 @@ FROM levels CROSS JOIN grid
 ORDER BY bands, rows_per_band, j
 """
 
+# -- dedup survivorship policy audit -----------------------------------------------------------------------------------
+
+
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship policy audit: within each duplicate cluster
+    (40-char-prefix fingerprint, `cross_source_dup_matrix`'s key),
+    compare the two canonical-survivor policies — keep-first (min
+    doc_id, what `dedup_exact` does) vs keep-best-quality (max
+    stopword-confidence, ties to the smaller id) — and report how often
+    they disagree plus the total quality left on the table by
+    keep-first. The policy choice is invisible at dedup time and
+    irreversible afterward; this is the one-row audit that says whether
+    it matters on THIS corpus. Integer milli throughout.
+
+    Scale shape: ONE groupBy(fp) for cluster stats, a semi-join back on
+    the clustered fingerprints only (dup clusters are a tiny fraction
+    of the corpus) to resolve the best-quality member, single-row
+    output."""
+    d = _tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 40)).alias("fp"),
+        F.expr(
+            f"least(1000L, 6000 * size(filter(toks,"
+            f" t -> array_contains({_SPARK_STOPLIST}, t))) div"
+            " greatest(1, size(toks)))"
+        ).cast("bigint").alias("qual"),
+    ).localCheckpoint()
+    cl = (
+        d.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.min("doc_id").cast("bigint").alias("first_id"),
+            F.max("qual").cast("bigint").alias("best_qual"),
+        )
+        .where(F.col("c") >= 2)
+    )
+    best = (
+        d.join(cl.select("fp", "best_qual"), "fp")
+        .where(F.col("qual") == F.col("best_qual"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").cast("bigint").alias("best_id"))
+    )
+    firstq = d.select(F.col("doc_id").alias("first_id"), F.col("qual").alias("first_qual"))
+    j = cl.join(best, "fp").join(firstq, "first_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("c").cast("bigint").alias("n_dup_docs"),
+        F.sum(F.expr("cast(best_id <> first_id as bigint)"))
+        .cast("bigint")
+        .alias("disagree_clusters"),
+        F.sum(F.expr("best_qual - first_qual"))
+        .cast("bigint")
+        .alias("uplift_milli_sum"),
+    )
+
+
+SQL_DEDUP_SURVIVORSHIP = f"""
+WITH d AS (
+  SELECT doc_id, md5(substr(text, 1, 40)) AS fp,
+         least(1000, 6000 * len(list_filter({_SQL_TOKS},
+               t -> list_contains({_SQL_STOPLIST}, t)))
+               // greatest(1, len({_SQL_TOKS})))::BIGINT AS qual
+  FROM documents
+), cl AS (
+  SELECT fp, count(*)::BIGINT AS c, min(doc_id)::BIGINT AS first_id,
+         max(qual)::BIGINT AS best_qual
+  FROM d GROUP BY fp HAVING count(*) >= 2
+), best AS (
+  SELECT d.fp, min(d.doc_id)::BIGINT AS best_id
+  FROM d JOIN cl ON d.fp = cl.fp AND d.qual = cl.best_qual
+  GROUP BY d.fp
+)
+SELECT count(*)::BIGINT AS n_clusters, sum(c)::BIGINT AS n_dup_docs,
+       sum(CASE WHEN best_id <> first_id THEN 1 ELSE 0 END)::BIGINT
+         AS disagree_clusters,
+       sum(best_qual - fq.qual)::BIGINT AS uplift_milli_sum
+FROM cl JOIN best ON cl.fp = best.fp
+        JOIN d fq ON cl.first_id = fq.doc_id
+"""
+
+
+# -- champion lists (top-k postings per term) --------------------------------------------------------------------------
+
+
+def q_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion lists (Manning/Raghavan/Schütze IR §7.1.3): for every
+    term with document frequency >= 5, the top-3 documents by term
+    frequency — the precomputed high-score prefix of each posting list
+    that lets a ranked-retrieval engine answer most queries without
+    scanning full postings. The index-build companion to
+    `inverted_index`/`bm25`: at serving time only champions are
+    scored first, and full postings are touched only when champions
+    can't fill k. Exact integer tf, ties to the smaller doc_id.
+
+    Scale shape: ONE groupBy(term, doc) for tf, df filter from a
+    groupBy(term) broadcast semi-join, per-term top-3 window (rank
+    within term partitions — parallel across terms, the classic
+    build)."""
+    tf = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    keep = df.where(F.col("df") >= 5).select("term")
+    ranked = (
+        tf.join(F.broadcast(keep), "term")
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("term").orderBy(
+                    F.col("tf").desc(), "doc_id"
+                )
+            )
+            .cast("bigint"),
+        )
+        .where(F.col("rank") <= 3)
+    )
+    return ranked.select("term", "rank", "doc_id", "tf").orderBy(
+        "term", "rank"
+    )
+
+
+SQL_CHAMPION_LISTS = f"""
+WITH tf AS (
+  SELECT tok.term, doc_id, count(*)::BIGINT AS tf
+  FROM documents, unnest({_SQL_TOKS}) AS tok(term)
+  GROUP BY 1, 2
+), keep AS (
+  SELECT term FROM tf GROUP BY term HAVING count(*) >= 5
+), ranked AS (
+  SELECT tf.term, doc_id, tf,
+         row_number() OVER (PARTITION BY tf.term
+                            ORDER BY tf DESC, doc_id)::BIGINT AS rank
+  FROM tf JOIN keep ON tf.term = keep.term
+)
+SELECT term, rank, doc_id, tf FROM ranked WHERE rank <= 3
+ORDER BY term, rank
+"""
+
+
+# -- Otsu automatic quality threshold ----------------------------------------------------------------------------------
+
+
+def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu's method (1979) over the quality-score histogram: pick the
+    filter threshold that maximizes between-class variance
+    w0*w1*(mu0-mu1)^2 across the 50-milli-wide score bins — automatic
+    threshold selection for the quality filter, replacing the
+    hand-picked cutoff with the histogram's own natural split (the
+    bimodal good/spam mass). Everything is exact integers: bin counts,
+    prefix sums, truncating-division class means, and the variance
+    objective; argmax ties resolve to the lowest threshold.
+
+    Scale shape: pure-map score -> ONE groupBy(bin) (<= 21 rows) ->
+    prefix-sum window + argmax on that constant-size frame; the corpus
+    is touched exactly once."""
+    s = _tokens(_read(spark, sf_dir, "documents")).select(
+        F.expr(
+            f"least(1000L, 6000 * size(filter(toks,"
+            f" t -> array_contains({_SPARK_STOPLIST}, t))) div"
+            " greatest(1, size(toks)))"
+        ).cast("bigint").alias("q")
+    )
+    hist = s.groupBy(F.expr("q div 50").cast("bigint").alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "b",
+        F.sum("n").over(w).cast("bigint").alias("n0"),
+        F.sum("sq").over(w).cast("bigint").alias("s0"),
+    ).localCheckpoint()
+    tot = cum.agg(
+        F.max("n0").cast("bigint").alias("nn"),
+        F.max("s0").cast("bigint").alias("ss"),
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .where((F.col("n0") > 0) & (F.col("n0") < F.col("nn")))
+        .select(
+            F.expr("(b + 1) * 50").cast("bigint").alias("threshold_milli"),
+            F.col("n0").alias("n_below"),
+            F.expr("nn - n0").cast("bigint").alias("n_above"),
+            F.expr(
+                "n0 * (nn - n0) * ((s0 div n0) - ((ss - s0) div (nn - n0)))"
+                " * ((s0 div n0) - ((ss - s0) div (nn - n0)))"
+            )
+            .cast("bigint")
+            .alias("between_var"),
+        )
+    )
+    return scored.orderBy(
+        F.col("between_var").desc(), "threshold_milli"
+    ).limit(1)
+
+
+SQL_OTSU_THRESHOLD = f"""
+WITH s AS (
+  SELECT least(1000, 6000 * len(list_filter({_SQL_TOKS},
+               t -> list_contains({_SQL_STOPLIST}, t)))
+               // greatest(1, len({_SQL_TOKS})))::BIGINT AS q
+  FROM documents
+), hist AS (
+  SELECT (q // 50)::BIGINT AS b, count(*)::BIGINT AS n, sum(q)::BIGINT AS sq
+  FROM s GROUP BY 1
+), cum AS (
+  SELECT b, sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT AS n0,
+         sum(sq) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT AS s0
+  FROM hist
+), tot AS (
+  SELECT max(n0)::BIGINT AS nn, max(s0)::BIGINT AS ss FROM cum
+)
+SELECT ((b + 1) * 50)::BIGINT AS threshold_milli, n0 AS n_below,
+       (nn - n0)::BIGINT AS n_above,
+       (n0 * (nn - n0) * ((s0 // n0) - ((ss - s0) // (nn - n0)))
+        * ((s0 // n0) - ((ss - s0) // (nn - n0))))::BIGINT AS between_var
+FROM cum CROSS JOIN tot
+WHERE n0 > 0 AND n0 < nn
+ORDER BY between_var DESC, threshold_milli LIMIT 1
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -23391,6 +23616,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "politeness_makespan": (q_politeness_makespan, SQL_POLITENESS_MAKESPAN),
     "compaction_planner": (q_compaction_planner, SQL_COMPACTION_PLANNER),
     "lsh_s_curve": (q_lsh_s_curve, SQL_LSH_S_CURVE),
+    "dedup_survivorship": (q_dedup_survivorship, SQL_DEDUP_SURVIVORSHIP),
+    "champion_lists": (q_champion_lists, SQL_CHAMPION_LISTS),
+    "otsu_threshold": (q_otsu_threshold, SQL_OTSU_THRESHOLD),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
