@@ -1705,3 +1705,29 @@ def test_otsu_constant_frame_after_histogram(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_ndcg_ranks_share_partitioning(spark):
+    p = plan_str(_q("ndcg_eval", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("ndcg_eval", spark), "simple")
+    # both rank windows hang off the one qid exchange
+    assert simple.count("Exchange") <= 3
+
+
+def test_spc_flag_is_integer_inequality(spark):
+    df = _q("fetch_success_spc", spark)
+    p = plan_str(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # the out-of-control decision never touches a float
+    assert dict(df.dtypes)["out_of_control"] == "boolean"
+    assert "sqrt" not in p
+
+
+def test_typosquat_legit_list_broadcast(spark):
+    p = plan_str(_q("typosquat_detect", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

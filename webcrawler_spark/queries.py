@@ -23283,6 +23283,270 @@ WHERE n0 > 0 AND n0 < nn
 ORDER BY between_var DESC, threshold_milli LIMIT 1
 """
 
+# -- nDCG ranking evaluation -------------------------------------------------------------------------------------------
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 per query (Järvelin & Kekäläinen 2002): docs bucket into
+    20 synthetic queries (doc_id mod 20), the system ranking is the
+    stopword-confidence score (desc, ties to smaller id), graded gain
+    is the document-length tier least(3, n_chars div 1000), and
+    nDCG = DCG/IDCG with the (2^g - 1)/log2(rank+1) ladder — the
+    graded-relevance companion to `rank_auc`'s binary view and
+    `rank_biased_overlap`'s rank-agreement view: it answers whether the
+    cheap score puts the LONG (high-gain) docs at the top, position-
+    discounted. Per-rank contributions floor to integer nano BEFORE the
+    sum (the `markov_entropy_rate` treatment) so both engines sum
+    identical integers in any order; the final ratio is integer micro.
+
+    Scale shape: two windows over the same query partitioning (system
+    rank, ideal rank — one exchange, Spark folds both into adjacent
+    sorts), rank <= 10 prune via WindowGroupLimit, ONE groupBy(qid);
+    20 output rows."""
+    d = _tokens(_read(spark, sf_dir, "documents")).select(
+        (F.col("doc_id") % 20).cast("bigint").alias("qid"),
+        "doc_id",
+        F.expr("least(3L, n_chars div 1000)").cast("bigint").alias("gain"),
+        F.expr(
+            f"least(1000L, 6000 * size(filter(toks,"
+            f" t -> array_contains({_SPARK_STOPLIST}, t))) div"
+            " greatest(1, size(toks)))"
+        ).cast("bigint").alias("score"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    wi = Window.partitionBy("qid").orderBy(F.col("gain").desc(), "doc_id")
+    ranked = d.select(
+        "qid",
+        "gain",
+        F.row_number().over(wq).cast("bigint").alias("r_sys"),
+        F.row_number().over(wi).cast("bigint").alias("r_ideal"),
+    )
+    contrib = ranked.select(
+        "qid",
+        F.expr(
+            "case when r_sys <= 10 then cast(floor(1000000000.0"
+            " * (power(2.0, cast(gain as double)) - 1.0)"
+            " / (ln(cast(r_sys + 1 as double)) / ln(2.0))) as bigint)"
+            " else 0L end"
+        ).alias("dcg_term"),
+        F.expr(
+            "case when r_ideal <= 10 then cast(floor(1000000000.0"
+            " * (power(2.0, cast(gain as double)) - 1.0)"
+            " / (ln(cast(r_ideal + 1 as double)) / ln(2.0))) as bigint)"
+            " else 0L end"
+        ).alias("idcg_term"),
+    )
+    return (
+        contrib.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dcg_term").cast("bigint").alias("dcg_nano"),
+            F.sum("idcg_term").cast("bigint").alias("idcg_nano"),
+        )
+        .select(
+            "qid",
+            "n_docs",
+            "dcg_nano",
+            "idcg_nano",
+            F.expr(
+                "case when idcg_nano > 0 then 1000000 * dcg_nano div idcg_nano"
+                " else 1000000L end"
+            )
+            .cast("bigint")
+            .alias("ndcg_micro"),
+        )
+        .orderBy("qid")
+    )
+
+
+SQL_NDCG_EVAL = f"""
+WITH d AS (
+  SELECT (doc_id % 20)::BIGINT AS qid, doc_id,
+         least(3, n_chars // 1000)::BIGINT AS gain,
+         least(1000, 6000 * len(list_filter({_SQL_TOKS},
+               t -> list_contains({_SQL_STOPLIST}, t)))
+               // greatest(1, len({_SQL_TOKS})))::BIGINT AS score
+  FROM documents
+), ranked AS (
+  SELECT qid, gain,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id
+         )::BIGINT AS r_sys,
+         row_number() OVER (PARTITION BY qid ORDER BY gain DESC, doc_id
+         )::BIGINT AS r_ideal
+  FROM d
+), contrib AS (
+  SELECT qid,
+         CASE WHEN r_sys <= 10 THEN floor(1000000000.0
+              * (pow(2.0, gain::DOUBLE) - 1.0)
+              / (ln((r_sys + 1)::DOUBLE) / ln(2.0)))::BIGINT
+              ELSE 0 END AS dcg_term,
+         CASE WHEN r_ideal <= 10 THEN floor(1000000000.0
+              * (pow(2.0, gain::DOUBLE) - 1.0)
+              / (ln((r_ideal + 1)::DOUBLE) / ln(2.0)))::BIGINT
+              ELSE 0 END AS idcg_term
+  FROM ranked
+)
+SELECT qid, count(*)::BIGINT AS n_docs, sum(dcg_term)::BIGINT AS dcg_nano,
+       sum(idcg_term)::BIGINT AS idcg_nano,
+       (CASE WHEN sum(idcg_term) > 0
+             THEN 1000000 * sum(dcg_term) // sum(idcg_term)
+             ELSE 1000000 END)::BIGINT AS ndcg_micro
+FROM contrib GROUP BY qid ORDER BY qid
+"""
+
+
+# -- fetch-success control chart (SPC) ----------------------------------------------------------------------------------
+
+
+def q_fetch_success_spc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control over daily fetch success: per day,
+    the success count (value above the corpus mean — the replay's
+    success proxy), the day's rate, and the Shewhart p-chart
+    out-of-control flag at 3 sigma — evaluated as the EXACT integer
+    inequality (s*N - n*S)^2 > 9*S*(N-S)*n (the squared z-test with
+    both sides cleared of denominators), so no float ever decides the
+    flag. The crawl-ops dashboard primitive: a day outside the band is
+    a fleet problem (DNS, throttling, a bad deploy), not noise —
+    p-charts exist so operators don't chase the in-band wiggles.
+
+    Scale shape: 1-row mean broadcast, ONE groupBy(day), 1-row grand
+    totals broadcast back over the bounded day frame; |days| rows."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.expr("cast(floor(value * 1000) as bigint)").alias("v_milli"),
+    )
+    mean = ev.agg(F.expr("sum(v_milli) div count(*)").cast("bigint").alias("mu"))
+    days = (
+        ev.crossJoin(F.broadcast(mean))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("cast(v_milli >= mu as bigint)"))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    tot = days.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+    )
+    return (
+        days.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n",
+            "s",
+            F.expr("1000 * s div n").cast("bigint").alias("rate_milli"),
+            F.expr("1000 * ss div nn").cast("bigint").alias("grand_milli"),
+            F.expr(
+                "(s * nn - n * ss) * (s * nn - n * ss) > 9 * ss * (nn - ss) * n"
+            ).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_FETCH_SUCCESS_SPC = """
+WITH ev AS (
+  SELECT ts::DATE AS day, floor(value * 1000)::BIGINT AS v_milli FROM events
+), mean AS (
+  SELECT (sum(v_milli) // count(*))::BIGINT AS mu FROM ev
+), days AS (
+  SELECT day, count(*)::BIGINT AS n,
+         sum(CASE WHEN v_milli >= mu THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM ev CROSS JOIN mean GROUP BY day
+), tot AS (
+  SELECT sum(n)::BIGINT AS nn, sum(s)::BIGINT AS ss FROM days
+)
+SELECT day, n, s,
+       (1000 * s // n)::BIGINT AS rate_milli,
+       (1000 * ss // nn)::BIGINT AS grand_milli,
+       (s * nn - n * ss) * (s * nn - n * ss) > 9 * ss * (nn - ss) * n
+         AS out_of_control
+FROM days CROSS JOIN tot ORDER BY day
+"""
+
+
+# -- typosquat / homoglyph host detection -------------------------------------------------------------------------------
+
+
+def q_typosquat_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typosquat detection at crawl admission: candidate hostnames
+    (synthesized per doc; every 4th injects the 1-for-i homoglyph and
+    every 7th the 0-for-o) are normalized through the confusables map
+    (1->i, 0->o) and matched against the 10 legitimate high-traffic
+    hosts (top event sources) at Levenshtein distance <= 1, excluding
+    exact self — the admission screen that keeps look-alike domains
+    from inheriting a legitimate host's crawl priority or polluting a
+    per-domain quality rollup. Per legit host: candidate hits and the
+    lexically-first offender.
+
+    Scale shape: pure-map normalization, the 10-row legit list
+    broadcast into the candidate scan (JVM levenshtein, no UDF), ONE
+    groupBy; output <= 10 rows."""
+    legit = (
+        _read(spark, sf_dir, "events")
+        .groupBy(
+            F.concat(
+                F.lit("site"), (F.col("user_id") % 10).cast("string"), F.lit(".com")
+            ).alias("legit_host")
+        )
+        .agg(F.count(F.lit(1)).alias("traffic"))
+        .select("legit_host")
+    )
+    cand = _read(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("s"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("1te")).otherwise(F.lit("ite")),
+            (F.col("doc_id") % 13).cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(".c0m")).otherwise(F.lit(".com")),
+        ).alias("cand_host")
+    )
+    norm = cand.select(
+        "cand_host",
+        F.expr("replace(replace(cand_host, '1', 'i'), '0', 'o')").alias("norm_host"),
+    )
+    hits = (
+        norm.join(F.broadcast(legit))
+        .where(
+            (F.levenshtein("norm_host", "legit_host") <= 1)
+            & (F.col("cand_host") != F.col("legit_host"))
+        )
+    )
+    return (
+        hits.groupBy("legit_host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("squat_hits"),
+            F.countDistinct("cand_host").cast("bigint").alias("squat_names"),
+            F.min("cand_host").alias("example"),
+        )
+        .orderBy("legit_host")
+    )
+
+
+SQL_TYPOSQUAT_DETECT = """
+WITH legit AS (
+  SELECT DISTINCT 'site' || (user_id % 10)::VARCHAR || '.com' AS legit_host
+  FROM events
+), cand AS (
+  SELECT 's' || (CASE WHEN doc_id % 4 = 0 THEN '1te' ELSE 'ite' END)
+         || (doc_id % 13)::VARCHAR
+         || (CASE WHEN doc_id % 7 = 0 THEN '.c0m' ELSE '.com' END) AS cand_host
+  FROM documents
+), norm AS (
+  SELECT cand_host, replace(replace(cand_host, '1', 'i'), '0', 'o') AS norm_host
+  FROM cand
+), hits AS (
+  SELECT legit_host, cand_host
+  FROM norm CROSS JOIN legit
+  WHERE levenshtein(norm_host, legit_host) <= 1 AND cand_host <> legit_host
+)
+SELECT legit_host, count(*)::BIGINT AS squat_hits,
+       count(DISTINCT cand_host)::BIGINT AS squat_names,
+       min(cand_host) AS example
+FROM hits GROUP BY legit_host ORDER BY legit_host
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -23619,6 +23883,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_survivorship": (q_dedup_survivorship, SQL_DEDUP_SURVIVORSHIP),
     "champion_lists": (q_champion_lists, SQL_CHAMPION_LISTS),
     "otsu_threshold": (q_otsu_threshold, SQL_OTSU_THRESHOLD),
+    "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
+    "fetch_success_spc": (q_fetch_success_spc, SQL_FETCH_SUCCESS_SPC),
+    "typosquat_detect": (q_typosquat_detect, SQL_TYPOSQUAT_DETECT),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
