@@ -1731,3 +1731,27 @@ def test_typosquat_legit_list_broadcast(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_vocab_overlap_sizes_broadcast_back(spark):
+    p = plan_str(_q("source_vocab_overlap", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_topk_churn_set_arithmetic_on_topk_frames(spark):
+    p = plan_str(_q("topk_churn", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # everything after the checkpointed top-20 cut is a broadcast inner
+    # join of two 20-row frames plus one aggregate
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_trend_test_single_window_one_agg(spark):
+    p = plan_str(_q("trend_test_ca", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    simple = plan_str(_q("trend_test_ca", spark), "simple")
+    assert simple.count("Exchange") <= 3

@@ -23547,6 +23547,222 @@ SELECT legit_host, count(*)::BIGINT AS squat_hits,
 FROM hits GROUP BY legit_host ORDER BY legit_host
 """
 
+# -- source vocabulary overlap ------------------------------------------------------------------------------------------
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level vocabulary overlap: Jaccard similarity of the
+    distinct-term sets of every source pair, in milli — the
+    mixture-design companion to `cross_source_dup_matrix`: that one
+    counts literally duplicated documents, this one measures how much
+    two sources even talk about the same things. Two sources with high
+    vocab overlap and low dup overlap are complementary takes on one
+    domain (keep both); high dup + high vocab is redundant mass
+    (down-weight one). Exact distinct-set arithmetic throughout.
+
+    Scale shape: distinct (source, term) reduce; the pair intersection
+    is a term-bucket self-join (per-term work is |sources|^2, tiny);
+    vocab sizes join back broadcast; |sources| choose 2 output rows."""
+    st = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select("source", F.explode("toks").alias("term"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    va = sizes.select(F.col("source").alias("source_a"), F.col("v").alias("va"))
+    vb = sizes.select(F.col("source").alias("source_b"), F.col("v").alias("vb"))
+    return (
+        inter.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "i",
+            "va",
+            "vb",
+            F.expr("1000 * i div (va + vb - i)")
+            .cast("bigint")
+            .alias("jaccard_milli"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_SOURCE_VOCAB_OVERLAP = f"""
+WITH st AS (
+  SELECT DISTINCT source, tok.term
+  FROM documents, unnest({_SQL_TOKS}) AS tok(term)
+), sizes AS (
+  SELECT source, count(*)::BIGINT AS v FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS i
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, i, va.v AS va, vb.v AS vb,
+       (1000 * i // (va.v + vb.v - i))::BIGINT AS jaccard_milli
+FROM inter JOIN sizes va ON source_a = va.source
+           JOIN sizes vb ON source_b = vb.source
+ORDER BY source_a, source_b
+"""
+
+
+# -- trending-term churn between halves ----------------------------------------------------------------------------------
+
+
+def q_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-vocabulary churn: the top-20 terms by frequency in each
+    corpus half (doc_id parity standing in for consecutive crawl
+    windows), and how much the leaderboard changed — overlap count,
+    set Jaccard, and churn (symmetric difference over union), all in
+    exact milli. The operational drift alarm a dashboard actually
+    shows: `wasserstein_drift`/`psi_drift` watch full distributions,
+    this watches the handful of terms an operator can read. Ties break
+    lexically; everything after the two top-20 cuts is set arithmetic
+    on 40 rows.
+
+    Scale shape: per-half term reduce -> two TakeOrdered top-20s ->
+    full-outer join of two 20-row frames; single-row output."""
+    t = _tokens(_read(spark, sf_dir, "documents")).select(
+        (F.col("doc_id") % 2).cast("bigint").alias("half"),
+        F.explode("toks").alias("term"),
+    )
+    counts = t.groupBy("half", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    w = Window.partitionBy("half").orderBy(F.col("f").desc(), "term")
+    top = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 20)
+        .localCheckpoint()
+    )
+    a = top.where(F.col("half") == 0).select(F.col("term").alias("ta"))
+    b = top.where(F.col("half") == 1).select(F.col("term").alias("tb"))
+    # both sides are exactly k rows, so overlap determines the whole set
+    # algebra: |union| = 2k - i, |sym diff| = 2k - 2i — and the inner join
+    # broadcasts (full-outer would force a sort-merge)
+    j = a.join(F.broadcast(b), a.ta == b.tb).agg(
+        F.count(F.lit(1)).cast("bigint").alias("i")
+    )
+    return j.select(
+        F.lit(20).cast("bigint").alias("k"),
+        F.col("i").alias("overlap"),
+        F.expr("1000 * i div (40 - i)").cast("bigint").alias("jaccard_milli"),
+        F.expr("1000 * (40 - 2 * i) div (40 - i)")
+        .cast("bigint")
+        .alias("churn_milli"),
+    )
+
+
+SQL_TOPK_CHURN = f"""
+WITH t AS (
+  SELECT (doc_id % 2)::BIGINT AS half, tok.term
+  FROM documents, unnest({_SQL_TOKS}) AS tok(term)
+), counts AS (
+  SELECT half, term, count(*)::BIGINT AS f FROM t GROUP BY 1, 2
+), top AS (
+  SELECT half, term,
+         row_number() OVER (PARTITION BY half ORDER BY f DESC, term) AS r
+  FROM counts QUALIFY r <= 20
+), j AS (
+  SELECT count(*)::BIGINT AS i
+  FROM (SELECT term FROM top WHERE half = 0) a
+       JOIN (SELECT term FROM top WHERE half = 1) b ON a.term = b.term
+)
+SELECT 20::BIGINT AS k, i AS overlap,
+       (1000 * i // (40 - i))::BIGINT AS jaccard_milli,
+       (1000 * (40 - 2 * i) // (40 - i))::BIGINT AS churn_milli
+FROM j
+"""
+
+
+# -- Cochran-Armitage trend test -----------------------------------------------------------------------------------------
+
+
+def q_trend_test_ca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (Armitage 1955): is the English rate
+    MONOTONICALLY trending across document-length deciles, not just
+    different somewhere (`chisq_independence`'s question)? Deciles by
+    ntile over (n_chars, doc_id), binary outcome lang='en', linear
+    scores w = decile index. The N-cleared statistic
+    U = sum w_i*(s_i*N - n_i*S) and variance core
+    V = S*(N-S)*(N*sum n_i*w_i^2 - (sum n_i*w_i)^2) are exact bigints;
+    z^2 = U^2*N/V is evaluated in doubles only at the very end (milli,
+    floored), and the direction sign is exact. The dose-response audit
+    for 'longer docs are more likely English' — a trend invisible to
+    the omnibus chi-square when it's spread thinly across bins.
+
+    Scale shape: one ntile window, ONE groupBy(bin), all moments from
+    the 10-row bin frame; single-row output."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (F.col("lang") == "en").alias("y")
+    )
+    binned = d.withColumn(
+        "w",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).cast("bigint"),
+    )
+    bins = binned.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("cast(y as bigint)")).cast("bigint").alias("s"),
+    )
+    agg = bins.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum(F.expr("n * w")).cast("bigint").alias("b"),
+        F.sum(F.expr("n * w * w")).cast("bigint").alias("a"),
+        F.sum(F.expr("w * s")).cast("bigint").alias("ws"),
+        F.sum(F.expr("w * n")).cast("bigint").alias("wn"),
+    )
+    return agg.select(
+        F.col("nn").alias("n_docs"),
+        F.col("ss").alias("n_pos"),
+        F.expr("ws * nn - wn * ss").cast("bigint").alias("u"),
+        F.expr("ss * (nn - ss) * (nn * a - b * b)").cast("bigint").alias("v"),
+        F.expr(
+            "cast(floor(1000.0 * cast(ws * nn - wn * ss as double)"
+            " * cast(ws * nn - wn * ss as double) * cast(nn as double)"
+            " / cast(ss * (nn - ss) * (nn * a - b * b) as double)) as bigint)"
+        ).alias("z2_milli"),
+        F.expr("cast(sign(ws * nn - wn * ss) as bigint)").alias("direction"),
+    )
+
+
+SQL_TREND_TEST_CA = """
+WITH d AS (
+  SELECT doc_id, n_chars, (lang = 'en') AS y FROM documents
+), binned AS (
+  SELECT *, ntile(10) OVER (ORDER BY n_chars, doc_id)::BIGINT AS w FROM d
+), bins AS (
+  SELECT w, count(*)::BIGINT AS n,
+         sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM binned GROUP BY w
+), agg AS (
+  SELECT sum(n)::BIGINT AS nn, sum(s)::BIGINT AS ss,
+         sum(n * w)::BIGINT AS b, sum(n * w * w)::BIGINT AS a,
+         sum(w * s)::BIGINT AS ws, sum(w * n)::BIGINT AS wn
+  FROM bins
+)
+SELECT nn AS n_docs, ss AS n_pos,
+       (ws * nn - wn * ss)::BIGINT AS u,
+       (ss * (nn - ss) * (nn * a - b * b))::BIGINT AS v,
+       floor(1000.0 * (ws * nn - wn * ss)::DOUBLE * (ws * nn - wn * ss)::DOUBLE
+             * nn::DOUBLE / (ss * (nn - ss) * (nn * a - b * b))::DOUBLE
+       )::BIGINT AS z2_milli,
+       sign(ws * nn - wn * ss)::BIGINT AS direction
+FROM agg
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -23886,6 +24102,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
     "fetch_success_spc": (q_fetch_success_spc, SQL_FETCH_SUCCESS_SPC),
     "typosquat_detect": (q_typosquat_detect, SQL_TYPOSQUAT_DETECT),
+    "source_vocab_overlap": (q_source_vocab_overlap, SQL_SOURCE_VOCAB_OVERLAP),
+    "topk_churn": (q_topk_churn, SQL_TOPK_CHURN),
+    "trend_test_ca": (q_trend_test_ca, SQL_TREND_TEST_CA),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
