@@ -1755,3 +1755,26 @@ def test_trend_test_single_window_one_agg(spark):
     assert "Join" not in p
     simple = plan_str(_q("trend_test_ca", spark), "simple")
     assert simple.count("Exchange") <= 3
+
+
+def test_markov_pred_predictor_broadcast(spark):
+    p = plan_str(_q("markov_prediction_accuracy", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_sketch_error_histogram_then_constant_frames(spark):
+    p = plan_str(_q("quantile_sketch_error", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # the stats row broadcasts into the histogram scan; the threshold
+    # pick is a nested-loop over two constant frames
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_sample_join_md5_predicates_reach_scan(spark):
+    p = plan_str(_q("sample_join_estimate", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the sampled sides filter BEFORE their join (no post-join sampling)
+    assert p.index("Filter") < p.index("Join") or "PushedFilters" in p

@@ -23763,6 +23763,273 @@ SELECT nn AS n_docs, ss AS n_pos,
 FROM agg
 """
 
+# -- Markov next-event prediction accuracy -------------------------------------------------------------------------------
+
+
+def q_markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 Markov prediction accuracy: train the order-1 chain on ALL
+    per-user transitions (global counts, argmax next state per current
+    state, ties lexical) and score it on the same transitions — the
+    eval-side companion to `markov_entropy_rate`: entropy says how
+    predictable behaviour is IN PRINCIPLE, this says what the
+    simplest possible predictor actually achieves, per state. The gap
+    between the two is the payoff ceiling for any fancier session
+    model. Integer-exact counts and milli accuracy.
+
+    Scale shape: one per-user lead window, ONE groupBy(cur, nxt) to the
+    bounded |types|^2 frame, argmax via a rank on that frame, broadcast
+    of the |types|-row predictor back onto the transition counts —
+    the corpus is scanned once."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _us("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    pred = (
+        trans.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("cur").orderBy(F.col("c").desc(), "nxt")
+            ),
+        )
+        .where(F.col("r") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    return (
+        trans.join(F.broadcast(pred), "cur")
+        .groupBy("cur")
+        .agg(
+            F.max("predicted").alias("predicted"),
+            F.sum("c").cast("bigint").alias("n_trans"),
+            F.sum(F.expr("case when nxt = predicted then c else 0L end"))
+            .cast("bigint")
+            .alias("hits"),
+        )
+        .select(
+            "cur",
+            "predicted",
+            "n_trans",
+            "hits",
+            F.expr("1000 * hits div n_trans").cast("bigint").alias("acc_milli"),
+        )
+        .orderBy("cur")
+    )
+
+
+SQL_MARKOV_PREDICTION_ACCURACY = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), trans AS (
+  SELECT cur, nxt, count(*)::BIGINT AS c
+  FROM (SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id) AS nxt
+        FROM ev)
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+), pred AS (
+  SELECT cur, nxt AS predicted
+  FROM (SELECT cur, nxt,
+               row_number() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS r
+        FROM trans)
+  WHERE r = 1
+)
+SELECT t.cur, max(predicted) AS predicted, sum(c)::BIGINT AS n_trans,
+       sum(CASE WHEN t.nxt = p.predicted THEN c ELSE 0 END)::BIGINT AS hits,
+       (1000 * sum(CASE WHEN t.nxt = p.predicted THEN c ELSE 0 END)
+        // sum(c))::BIGINT AS acc_milli
+FROM trans t JOIN pred p ON t.cur = p.cur
+GROUP BY t.cur ORDER BY t.cur
+"""
+
+
+# -- histogram quantile-sketch error audit -------------------------------------------------------------------------------
+
+
+def q_quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch error audit: the exact interpolated p50/p90/p99
+    of the event value (milli-quantized) versus the answer a 64-bin
+    equal-width histogram sketch gives (lower edge of the first bin
+    whose cumulative count reaches ceil(p*N)) — the error you actually
+    accept when, at 100 TB, percentiles come from a mergeable histogram
+    instead of a full sort. Reported as absolute error and as milli of
+    the value range: equal-width sketches are great at the median of a
+    flat distribution and collapse in skewed tails, and THIS table is
+    what shows it per corpus. Integer-exact except the established
+    floor(percentile) treatment.
+
+    Scale shape: one min/max/percentile aggregate + ONE groupBy(bin)
+    (<= 64 rows) + prefix window and threshold pick on that constant
+    frame; the sketch itself is a single map-side pass at scale."""
+    v = _read(spark, sf_dir, "events").select(
+        F.expr("cast(floor(value * 1000) as bigint)").alias("v")
+    )
+    stats = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("v").cast("bigint").alias("lo"),
+        F.max("v").cast("bigint").alias("hi"),
+        F.expr("cast(floor(percentile(v, 0.5)) as bigint)").alias("q50"),
+        F.expr("cast(floor(percentile(v, 0.9)) as bigint)").alias("q90"),
+        F.expr("cast(floor(percentile(v, 0.99)) as bigint)").alias("q99"),
+    ).localCheckpoint()
+    hist = (
+        v.crossJoin(F.broadcast(stats))
+        .groupBy(
+            F.expr("least(63L, (64 * (v - lo)) div greatest(1L, hi - lo))")
+            .cast("bigint")
+            .alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cum = hist.withColumn(
+        "cumc",
+        F.sum("c").over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"),
+    )
+    grid = spark.createDataFrame(
+        [(50, 100), (90, 100), (99, 100)], "pn bigint, pd bigint"
+    )
+    picked = (
+        grid.crossJoin(F.broadcast(stats))
+        .join(cum, F.expr("cumc >= (n * pn + pd - 1) div pd"))
+        .groupBy("pn", "pd", "lo", "hi", "q50", "q90", "q99")
+        .agg(F.min("b").cast("bigint").alias("bin"))
+    )
+    return (
+        picked.select(
+            F.expr("1000 * pn div pd").cast("bigint").alias("p_milli"),
+            F.expr(
+                "case when pn = 50 then q50 when pn = 90 then q90 else q99 end"
+            ).cast("bigint").alias("exact_q"),
+            F.expr("lo + (bin * (hi - lo)) div 64").cast("bigint").alias("approx_q"),
+            F.expr(
+                "abs((lo + (bin * (hi - lo)) div 64)"
+                " - case when pn = 50 then q50 when pn = 90 then q90"
+                " else q99 end)"
+            ).cast("bigint").alias("abs_err"),
+            F.expr(
+                "1000 * abs((lo + (bin * (hi - lo)) div 64)"
+                " - case when pn = 50 then q50 when pn = 90 then q90"
+                " else q99 end) div greatest(1L, hi - lo)"
+            ).cast("bigint").alias("err_range_milli"),
+        )
+        .orderBy("p_milli")
+    )
+
+
+SQL_QUANTILE_SKETCH_ERROR = """
+WITH v AS (
+  SELECT floor(value * 1000)::BIGINT AS v FROM events
+), stats AS (
+  SELECT count(*)::BIGINT AS n, min(v)::BIGINT AS lo, max(v)::BIGINT AS hi,
+         floor(quantile_cont(v, 0.5))::BIGINT AS q50,
+         floor(quantile_cont(v, 0.9))::BIGINT AS q90,
+         floor(quantile_cont(v, 0.99))::BIGINT AS q99
+  FROM v
+), hist AS (
+  SELECT least(63, (64 * (v - lo)) // greatest(1, hi - lo))::BIGINT AS b,
+         count(*)::BIGINT AS c
+  FROM v CROSS JOIN stats GROUP BY 1
+), cum AS (
+  SELECT b, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT AS cumc
+  FROM hist
+), grid AS (
+  SELECT * FROM (VALUES (50, 100), (90, 100), (99, 100)) AS t(pn, pd)
+), picked AS (
+  SELECT pn, pd, lo, hi, q50, q90, q99, min(b)::BIGINT AS bin
+  FROM grid CROSS JOIN stats JOIN cum
+       ON cumc >= (n * pn + pd - 1) // pd
+  GROUP BY 1, 2, 3, 4, 5, 6, 7
+)
+SELECT (1000 * pn // pd)::BIGINT AS p_milli,
+       (CASE WHEN pn = 50 THEN q50 WHEN pn = 90 THEN q90 ELSE q99
+        END)::BIGINT AS exact_q,
+       (lo + (bin * (hi - lo)) // 64)::BIGINT AS approx_q,
+       abs((lo + (bin * (hi - lo)) // 64)
+           - CASE WHEN pn = 50 THEN q50 WHEN pn = 90 THEN q90 ELSE q99 END
+       )::BIGINT AS abs_err,
+       (1000 * abs((lo + (bin * (hi - lo)) // 64)
+           - CASE WHEN pn = 50 THEN q50 WHEN pn = 90 THEN q90 ELSE q99 END)
+        // greatest(1, hi - lo))::BIGINT AS err_range_milli
+FROM picked ORDER BY p_milli
+"""
+
+
+# -- sample-based join cardinality estimation ----------------------------------------------------------------------------
+
+
+def q_sample_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli-sample join size estimation (the query-optimizer trick,
+    cf. Vengerov et al. VLDB'15): sample orders and lineitem
+    INDEPENDENTLY at 4% each with deterministic md5 coin flips
+    (side-salted so the two samples don't correlate), join the samples,
+    scale the count by 1/(0.04^2) = 625, and compare against the true
+    |orders ⋈ lineitem| — the cheap pre-flight that decides shuffle
+    partitioning for a join too big to run blind. Complements
+    `join_card_estimate` (histogram calibration) with the sampling
+    path; the relative error column is the honest answer to 'can I
+    trust a 4% sample on a key this skewed?'.
+
+    Scale shape: two map-side sampled scans (the md5 predicate pushes
+    into the scan), a join that is 0.16% of the true join's work, 1-row
+    totals; single-row output."""
+    o = _read(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("ok"))
+    l = _read(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("ok"))
+    true_n = o.join(l, "ok").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    os = o.where(
+        F.expr(
+            "cast(conv(substring(md5(concat('O:', cast(ok as string))), 1, 8),"
+            " 16, 10) as bigint) % 25 = 0"
+        )
+    )
+    ls = l.where(
+        F.expr(
+            "cast(conv(substring(md5(concat('L:', cast(ok as string))), 1, 8),"
+            " 16, 10) as bigint) % 25 = 0"
+        )
+    )
+    samp = os.join(ls, "ok").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    return (
+        true_n.crossJoin(F.broadcast(samp))
+        .select(
+            F.col("t").alias("true_size"),
+            F.col("s").alias("sample_join_size"),
+            F.expr("s * 625").cast("bigint").alias("estimate"),
+            F.expr("1000 * abs(s * 625 - t) div t")
+            .cast("bigint")
+            .alias("rel_err_milli"),
+        )
+    )
+
+
+SQL_SAMPLE_JOIN_ESTIMATE = """
+WITH o AS (
+  SELECT o_orderkey AS ok FROM orders
+), l AS (
+  SELECT l_orderkey AS ok FROM lineitem
+), t AS (
+  SELECT count(*)::BIGINT AS t FROM o JOIN l USING (ok)
+), os AS (
+  SELECT ok FROM o
+  WHERE (('0x' || substr(md5('O:' || ok::VARCHAR), 1, 8))::BIGINT) % 25 = 0
+), ls AS (
+  SELECT ok FROM l
+  WHERE (('0x' || substr(md5('L:' || ok::VARCHAR), 1, 8))::BIGINT) % 25 = 0
+), s AS (
+  SELECT count(*)::BIGINT AS s FROM os JOIN ls USING (ok)
+)
+SELECT t AS true_size, s AS sample_join_size,
+       (s * 625)::BIGINT AS estimate,
+       (1000 * abs(s * 625 - t) // t)::BIGINT AS rel_err_milli
+FROM t CROSS JOIN s
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -24105,6 +24372,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "source_vocab_overlap": (q_source_vocab_overlap, SQL_SOURCE_VOCAB_OVERLAP),
     "topk_churn": (q_topk_churn, SQL_TOPK_CHURN),
     "trend_test_ca": (q_trend_test_ca, SQL_TREND_TEST_CA),
+    "markov_prediction_accuracy": (
+        q_markov_prediction_accuracy,
+        SQL_MARKOV_PREDICTION_ACCURACY,
+    ),
+    "quantile_sketch_error": (q_quantile_sketch_error, SQL_QUANTILE_SKETCH_ERROR),
+    "sample_join_estimate": (q_sample_join_estimate, SQL_SAMPLE_JOIN_ESTIMATE),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
