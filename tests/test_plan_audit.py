@@ -1778,3 +1778,22 @@ def test_sample_join_md5_predicates_reach_scan(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # the sampled sides filter BEFORE their join (no post-join sampling)
     assert p.index("Filter") < p.index("Join") or "PushedFilters" in p
+
+
+def test_birthday_group_arithmetic_no_selfjoin(spark):
+    p = plan_str(_q("birthday_collision_audit", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_context_sweep_grid_broadcast(spark):
+    p = plan_str(_q("context_length_sweep", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_bit_balance_reuses_signature_reduce(spark):
+    p = plan_str(_q("simhash_bit_balance", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p

@@ -24030,6 +24030,223 @@ SELECT t AS true_size, s AS sample_join_size,
 FROM t CROSS JOIN s
 """
 
+# -- birthday-collision hash audit ---------------------------------------------------------------------------------------
+
+
+def q_birthday_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Birthday-collision audit of truncated hashing: for the corpus's
+    distinct doc keys, count the ACTUAL colliding pairs under 16-bit
+    and 24-bit md5 prefixes and compare with the birthday expectation
+    C(n,2)/2^k — the empirical check behind every 'a k-bit fingerprint
+    is enough' decision (`dedup_exact`, the bloom shards, the CDX
+    digests): an observed/expected ratio far above 1000 milli means
+    the key material is biased and the fingerprint width is lying
+    about its collision rate. Exact integer pair counts and
+    expectations.
+
+    Scale shape: per width ONE groupBy(prefix) with C(c,2) arithmetic
+    on the group sizes (never a pair self-join), 1-row totals; 2 output
+    rows."""
+    keys = _read(spark, sf_dir, "documents").select(
+        F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    grid = spark.createDataFrame([(16,), (24,)], "k bigint")
+    pref = keys.crossJoin(F.broadcast(grid)).select(
+        "k", F.expr("substring(h, 1, cast(k div 4 as int))").alias("p")
+    )
+    per = pref.groupBy("k", "p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        per.groupBy("k")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_keys"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("observed_pairs"),
+        )
+        .select(
+            "k",
+            "n_keys",
+            "observed_pairs",
+            F.expr(
+                "(n_keys * (n_keys - 1) div 2) div shiftleft(1L, cast(k as int))"
+            )
+            .cast("bigint")
+            .alias("expected_pairs"),
+            F.expr(
+                "case when (n_keys * (n_keys - 1) div 2)"
+                " div shiftleft(1L, cast(k as int)) > 0 then"
+                " 1000 * observed_pairs div ((n_keys * (n_keys - 1) div 2)"
+                " div shiftleft(1L, cast(k as int))) else -1L end"
+            )
+            .cast("bigint")
+            .alias("ratio_milli"),
+        )
+        .orderBy("k")
+    )
+
+
+SQL_BIRTHDAY_COLLISION_AUDIT = """
+WITH keys AS (
+  SELECT md5(doc_id::VARCHAR) AS h FROM documents
+), grid AS (
+  SELECT unnest([16::BIGINT, 24::BIGINT]) AS k
+), pref AS (
+  SELECT k, substr(h, 1, (k // 4)::INTEGER) AS p FROM keys CROSS JOIN grid
+), per AS (
+  SELECT k, p, count(*)::BIGINT AS c FROM pref GROUP BY 1, 2
+), agg AS (
+  SELECT k, sum(c)::BIGINT AS n_keys,
+         sum(c * (c - 1) // 2)::BIGINT AS observed_pairs
+  FROM per GROUP BY k
+)
+SELECT k, n_keys, observed_pairs,
+       ((n_keys * (n_keys - 1) // 2) // (1::BIGINT << k::INTEGER))::BIGINT
+         AS expected_pairs,
+       (CASE WHEN (n_keys * (n_keys - 1) // 2) // (1::BIGINT << k::INTEGER) > 0
+             THEN 1000 * observed_pairs
+                  // ((n_keys * (n_keys - 1) // 2) // (1::BIGINT << k::INTEGER))
+             ELSE -1 END)::BIGINT AS ratio_milli
+FROM agg ORDER BY k
+"""
+
+
+# -- context-length planning sweep ----------------------------------------------------------------------------------------
+
+
+def q_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning sweep: for L in {512, 2048, 8192}, what
+    the corpus loses under the two standard packing policies —
+    per-document truncation at L (tokens beyond L are dropped; the
+    cheap policy) versus concat-and-cut streaming (documents
+    concatenated and sliced every L; only the final slice pads). Per L:
+    docs truncated, truncation loss in milli of all tokens, stream
+    sequence count, and stream padding waste in milli — the one table
+    that turns 'pick a context length' from folklore into arithmetic
+    (`sequence_pack` implements one policy at one L; this is the sweep
+    that chooses L). Exact integers.
+
+    Scale shape: per-doc token counts (one map + 1-row totals), a 3-row
+    grid broadcast; no shuffle beyond the count reduce."""
+    nt = _tokens(_read(spark, sf_dir, "documents")).select(
+        F.expr("cast(size(toks) as bigint)").alias("nt")
+    )
+    grid = spark.createDataFrame([(512,), (2048,), (8192,)], "l bigint")
+    j = nt.crossJoin(F.broadcast(grid))
+    per_l = j.groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.sum(F.expr("cast(nt > l as bigint)")).cast("bigint").alias("docs_truncated"),
+        F.sum(F.expr("greatest(0L, nt - l)")).cast("bigint").alias("tokens_lost"),
+    )
+    return (
+        per_l.select(
+            "l",
+            "n_docs",
+            "docs_truncated",
+            F.expr("1000 * tokens_lost div total_tokens")
+            .cast("bigint")
+            .alias("trunc_loss_milli"),
+            F.expr("(total_tokens + l - 1) div l").cast("bigint").alias("stream_seqs"),
+            F.expr(
+                "1000 * (((total_tokens + l - 1) div l) * l - total_tokens)"
+                " div (((total_tokens + l - 1) div l) * l)"
+            )
+            .cast("bigint")
+            .alias("stream_waste_milli"),
+        )
+        .orderBy("l")
+    )
+
+
+SQL_CONTEXT_LENGTH_SWEEP = f"""
+WITH nt AS (
+  SELECT len({_SQL_TOKS})::BIGINT AS nt FROM documents
+), grid AS (
+  SELECT unnest([512::BIGINT, 2048::BIGINT, 8192::BIGINT]) AS l
+), per_l AS (
+  SELECT l, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS total_tokens,
+         sum(CASE WHEN nt > l THEN 1 ELSE 0 END)::BIGINT AS docs_truncated,
+         sum(greatest(0, nt - l))::BIGINT AS tokens_lost
+  FROM nt CROSS JOIN grid GROUP BY l
+)
+SELECT l, n_docs, docs_truncated,
+       (1000 * tokens_lost // total_tokens)::BIGINT AS trunc_loss_milli,
+       ((total_tokens + l - 1) // l)::BIGINT AS stream_seqs,
+       (1000 * (((total_tokens + l - 1) // l) * l - total_tokens)
+        // (((total_tokens + l - 1) // l) * l))::BIGINT AS stream_waste_milli
+FROM per_l ORDER BY l
+"""
+
+
+# -- simhash bit-balance audit ---------------------------------------------------------------------------------------------
+
+
+def q_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bit-balance audit: for each of the 32 signature bits
+    (`q_simhash`'s exact construction), the share of documents with
+    that bit set, in milli — a healthy locality-sensitive signature has
+    every bit near 500 (each hyperplane splits the corpus in half); a
+    bit pinned near 0 or 1000 carries no information, silently widening
+    every Hamming-band bucket (`simhash_hamming_pairs`) and inflating
+    candidate counts. The deviation column ranks the worst offenders.
+    Integer-exact end to end (same md5 bit arithmetic as the signature
+    itself).
+
+    Scale shape: reuses the simhash per-doc reduce (tf groupBy + bit
+    groupBy), then ONE 32-group aggregate; 32 output rows."""
+    sh = q_simhash(spark, sf_dir).select("simhash")
+    bits = sh.select(
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        F.col("simhash"),
+    )
+    return (
+        bits.groupBy("bit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr("shiftright(simhash, bit) % 2"))
+            .cast("bigint")
+            .alias("ones"),
+        )
+        .select(
+            F.col("bit").cast("bigint").alias("bit"),
+            "n_docs",
+            "ones",
+            F.expr("1000 * ones div n_docs").cast("bigint").alias("share_milli"),
+            F.expr("abs(1000 * ones div n_docs - 500)")
+            .cast("bigint")
+            .alias("dev_milli"),
+        )
+        .orderBy("bit")
+    )
+
+
+SQL_SIMHASH_BIT_BALANCE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS c,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+  FROM toks GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (hv >> i) & 1 = 1 THEN c ELSE -c END) AS s
+  FROM tf, (SELECT unnest(range(32)) AS i) ii
+  GROUP BY doc_id, i
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << i::INTEGER) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM bits GROUP BY doc_id
+), per_bit AS (
+  SELECT b.bit, count(*)::BIGINT AS n_docs,
+         sum((simhash >> b.bit::INTEGER) & 1)::BIGINT AS ones
+  FROM sh, (SELECT unnest(range(32)) AS bit) b
+  GROUP BY b.bit
+)
+SELECT bit::BIGINT AS bit, n_docs, ones,
+       (1000 * ones // n_docs)::BIGINT AS share_milli,
+       abs(1000 * ones // n_docs - 500)::BIGINT AS dev_milli
+FROM per_bit ORDER BY bit
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -24378,6 +24595,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "quantile_sketch_error": (q_quantile_sketch_error, SQL_QUANTILE_SKETCH_ERROR),
     "sample_join_estimate": (q_sample_join_estimate, SQL_SAMPLE_JOIN_ESTIMATE),
+    "birthday_collision_audit": (
+        q_birthday_collision_audit,
+        SQL_BIRTHDAY_COLLISION_AUDIT,
+    ),
+    "context_length_sweep": (q_context_length_sweep, SQL_CONTEXT_LENGTH_SWEEP),
+    "simhash_bit_balance": (q_simhash_bit_balance, SQL_SIMHASH_BIT_BALANCE),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
