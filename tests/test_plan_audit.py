@@ -1797,3 +1797,25 @@ def test_bit_balance_reuses_signature_reduce(spark):
     p = plan_str(_q("simhash_bit_balance", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p
+
+
+def test_jain_two_aggregates_nothing_else(spark):
+    p = plan_str(_q("jain_fairness", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p
+
+
+def test_dup_growth_one_pass_nested_prefixes(spark):
+    p = plan_str(_q("dup_growth_curve", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # all four nested prefixes come from min-quartile arithmetic — the
+    # corpus is never rescanned per prefix (exactly one fp aggregate)
+    assert "CartesianProduct" not in p
+    simple = plan_str(_q("dup_growth_curve", spark), "simple")
+    assert simple.count("md5") <= 1 or p.count("Scan parquet") <= 1
+
+
+def test_int8_quant_keyed_rejoin_no_shuffle_explosion(spark):
+    p = plan_str(_q("int8_quant_error", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p

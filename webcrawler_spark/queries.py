@@ -24247,6 +24247,199 @@ SELECT bit::BIGINT AS bit, n_docs, ones,
 FROM per_bit ORDER BY bit
 """
 
+# -- Jain's fairness index ----------------------------------------------------------------------------------------------
+
+
+def q_jain_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index over per-host fetch allocations
+    (Jain/Chiu/Hawe 1984): J = (sum x)^2 / (n * sum x^2), the
+    networking-standard fairness score — 1000 milli when every host
+    gets the same share, 1000/n when one host gets everything; unlike
+    `gini_host_concentration` it is directly interpretable as 'the
+    crawl is effectively spreading over J*n of its n hosts'. That
+    effective-host count is also reported (it is the same statistic
+    ESS-style). Exact integers.
+
+    Scale shape: ONE groupBy(host) then one 1-row aggregate; nothing
+    else."""
+    x = (
+        _read(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("host"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    return x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+        F.sum("x").cast("bigint").alias("total"),
+        F.min("x").cast("bigint").alias("min_x"),
+        F.max("x").cast("bigint").alias("max_x"),
+        F.expr("1000 * (sum(x) * sum(x)) div (count(*) * sum(x * x))")
+        .cast("bigint")
+        .alias("jain_milli"),
+        F.expr("(sum(x) * sum(x)) div sum(x * x)")
+        .cast("bigint")
+        .alias("effective_hosts"),
+    )
+
+
+SQL_JAIN_FAIRNESS = """
+WITH x AS (
+  SELECT user_id AS host, count(*)::BIGINT AS x FROM events GROUP BY user_id
+)
+SELECT count(*)::BIGINT AS n_hosts, sum(x)::BIGINT AS total,
+       min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+       (1000 * (sum(x) * sum(x)) // (count(*) * sum(x * x)))::BIGINT
+         AS jain_milli,
+       ((sum(x) * sum(x)) // sum(x * x))::BIGINT AS effective_hosts
+FROM x
+"""
+
+
+# -- duplicate-rate growth curve -------------------------------------------------------------------------------------------
+
+
+def q_dup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate growth curve: the corpus in doc_id order, cut at
+    quartile prefixes, and for each prefix the duplicate share under
+    the 40-char-prefix fingerprint — the dedup analogue of
+    `heaps_law`: vocabulary growth decelerates with scale while dup
+    rate ACCELERATES (every new document has more history to collide
+    with), and this curve is the empirical rate. The number that
+    decides how dedup cost should be budgeted as the crawl 10x-es:
+    extrapolate the last two points, not the average. Exact arithmetic
+    from first-occurrence quartiles — distinct counts for all four
+    nested prefixes come from ONE pass, no per-prefix rescans.
+
+    Scale shape: ntile window for quartiles, ONE groupBy(fp) keeping
+    min(quartile), two 4-row cumulative re-aggregates; 4 output rows."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 40)).alias("fp")
+    )
+    qd = d.withColumn(
+        "q", F.ntile(4).over(Window.orderBy("doc_id")).cast("bigint")
+    )
+    docs_per_q = qd.groupBy("q").agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    first_per_q = (
+        qd.groupBy("fp")
+        .agg(F.min("q").cast("bigint").alias("q"))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nf"))
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    cur = (
+        docs_per_q.join(first_per_q, "q")
+        .select(
+            "q",
+            F.sum("nd").over(w).cast("bigint").alias("docs"),
+            F.sum("nf").over(w).cast("bigint").alias("distinct_fp"),
+        )
+    )
+    return cur.select(
+        F.col("q").alias("prefix_quartile"),
+        "docs",
+        "distinct_fp",
+        F.expr("docs - distinct_fp").cast("bigint").alias("dup_docs"),
+        F.expr("1000 * (docs - distinct_fp) div docs")
+        .cast("bigint")
+        .alias("dup_share_milli"),
+    ).orderBy("prefix_quartile")
+
+
+SQL_DUP_GROWTH_CURVE = """
+WITH d AS (
+  SELECT doc_id, md5(substr(text, 1, 40)) AS fp,
+         ntile(4) OVER (ORDER BY doc_id)::BIGINT AS q
+  FROM documents
+), docs_per_q AS (
+  SELECT q, count(*)::BIGINT AS nd FROM d GROUP BY q
+), first_per_q AS (
+  SELECT q, count(*)::BIGINT AS nf
+  FROM (SELECT fp, min(q)::BIGINT AS q FROM d GROUP BY fp) GROUP BY q
+), cur AS (
+  SELECT dq.q,
+         sum(nd) OVER (ORDER BY dq.q ROWS UNBOUNDED PRECEDING)::BIGINT AS docs,
+         sum(nf) OVER (ORDER BY dq.q ROWS UNBOUNDED PRECEDING)::BIGINT
+           AS distinct_fp
+  FROM docs_per_q dq JOIN first_per_q fq ON dq.q = fq.q
+)
+SELECT q AS prefix_quartile, docs, distinct_fp,
+       (docs - distinct_fp)::BIGINT AS dup_docs,
+       (1000 * (docs - distinct_fp) // docs)::BIGINT AS dup_share_milli
+FROM cur ORDER BY prefix_quartile
+"""
+
+
+# -- int8 scalar-quantization error audit -------------------------------------------------------------------------------------
+
+
+def q_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization error audit: each embedding quantizes
+    with a per-vector scale s = ceil(max|v|/127) (symmetric int8, the
+    vector-store memory play: 4x smaller than float32), and the audit
+    reports per-label mean squared reconstruction error in squared
+    micro units — the acceptance test before switching `ann_cosine_topk`
+    to a quantized index: labels whose MSE is an outlier are the ones
+    whose recall will crater. All arithmetic integer-exact: micro
+    quantization first, magnitude/sign split so truncating division
+    never sees a negative operand (Spark div truncates toward zero,
+    DuckDB // floors — they only agree on non-negatives).
+
+    Scale shape: posexplode -> per-vector max via groupBy -> rejoin on
+    vec_id (both sides already reduced/keyed) -> per-label aggregate;
+    one corpus-scan pass."""
+    q = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.expr("cast(floor(1000000.0 * cast(v as double)) as bigint)").alias("vm"),
+    )
+    scale = q.groupBy("vec_id").agg(
+        F.expr("(max(abs(vm)) + 126) div 127").cast("bigint").alias("s")
+    )
+    err = q.join(scale, "vec_id").select(
+        "label",
+        F.expr(
+            "(vm - (case when vm >= 0 then (abs(vm) div greatest(1L, s))"
+            " else -(abs(vm) div greatest(1L, s)) end) * greatest(1L, s))"
+        ).alias("e"),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+            F.expr("sum(e * e) div count(*)").cast("bigint").alias("mse_micro2"),
+            F.max(F.expr("abs(e)")).cast("bigint").alias("max_abs_err_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_INT8_QUANT_ERROR = """
+WITH q AS (
+  SELECT vec_id, label, pos,
+         floor(1000000.0 * embedding[pos + 1]::DOUBLE)::BIGINT AS vm
+  FROM (SELECT vec_id, label, embedding,
+               unnest(range(0, len(embedding))) AS pos
+        FROM embeddings)
+), scale AS (
+  SELECT vec_id, ((max(abs(vm)) + 126) // 127)::BIGINT AS s
+  FROM q GROUP BY vec_id
+), err AS (
+  SELECT label,
+         (vm - (CASE WHEN vm >= 0 THEN (abs(vm) // greatest(1, s))
+                     ELSE -(abs(vm) // greatest(1, s)) END)
+               * greatest(1, s)) AS e
+  FROM q JOIN scale USING (vec_id)
+)
+SELECT label, count(*)::BIGINT AS n_dims,
+       (sum(e * e) // count(*))::BIGINT AS mse_micro2,
+       max(abs(e))::BIGINT AS max_abs_err_micro
+FROM err GROUP BY label ORDER BY label
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -24601,6 +24794,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "context_length_sweep": (q_context_length_sweep, SQL_CONTEXT_LENGTH_SWEEP),
     "simhash_bit_balance": (q_simhash_bit_balance, SQL_SIMHASH_BIT_BALANCE),
+    "jain_fairness": (q_jain_fairness, SQL_JAIN_FAIRNESS),
+    "dup_growth_curve": (q_dup_growth_curve, SQL_DUP_GROWTH_CURVE),
+    "int8_quant_error": (q_int8_quant_error, SQL_INT8_QUANT_ERROR),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
