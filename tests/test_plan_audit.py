@@ -1819,3 +1819,22 @@ def test_int8_quant_keyed_rejoin_no_shuffle_explosion(spark):
     p = plan_str(_q("int8_quant_error", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_split_leakage_conditional_counts_no_selfjoin(spark):
+    p = plan_str(_q("split_leakage_audit", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+
+
+def test_recrawl_value_single_groupby_plus_rank(spark):
+    p = plan_str(_q("recrawl_value_rank", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_dup_by_quality_cluster_sizes_rejoin(spark):
+    p = plan_str(_q("dup_by_quality", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p

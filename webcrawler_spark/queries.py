@@ -24440,6 +24440,210 @@ SELECT label, count(*)::BIGINT AS n_dims,
 FROM err GROUP BY label ORDER BY label
 """
 
+# -- train/test split leakage audit ---------------------------------------------------------------------------------------
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split leakage audit: assign the `stratified_split`
+    hash split (md5 bucket of doc_id; bucket 9 = the 10% test slice), then count near-duplicate
+    fingerprint clusters (40-char prefix) that STRADDLE the boundary —
+    every straddling cluster is a test document whose twin sits in
+    train, inflating eval scores without any benchmark contamination
+    (`decontaminate` checks external benchmarks; this checks the split
+    against itself — the reason dedup must run BEFORE splitting, not
+    after). Reports cluster and document leak counts plus the leaked
+    share of the test side, exact.
+
+    Scale shape: ONE groupBy(fp) carrying per-side conditional counts
+    (never a train x test join), 1-row totals; single-row output."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 40)).alias("fp"),
+        # the exact `stratified_split` bucket: its 'test' slice (b = 9)
+        F.expr(
+            "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8),"
+            " 16, 10) as bigint), 10) = 9"
+        ).alias("is_test"),
+    )
+    per = d.groupBy("fp").agg(
+        F.sum(F.expr("cast(not is_test as bigint)")).cast("bigint").alias("tr"),
+        F.sum(F.expr("cast(is_test as bigint)")).cast("bigint").alias("te"),
+    )
+    return per.agg(
+        F.sum(F.expr("tr + te")).cast("bigint").alias("n_docs"),
+        F.sum("te").cast("bigint").alias("n_test"),
+        F.sum(F.expr("cast(tr > 0 and te > 0 as bigint)"))
+        .cast("bigint")
+        .alias("leak_clusters"),
+        F.sum(F.expr("case when tr > 0 then te else 0L end"))
+        .cast("bigint")
+        .alias("leaked_test_docs"),
+        F.expr(
+            "1000 * sum(case when tr > 0 then te else 0L end) div sum(te)"
+        )
+        .cast("bigint")
+        .alias("test_leak_milli"),
+    )
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = """
+WITH marked AS (
+  SELECT md5(substr(text, 1, 40)) AS fp,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 = 9 AS is_test
+  FROM documents
+), per AS (
+  SELECT fp,
+         sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END)::BIGINT AS tr,
+         sum(CASE WHEN is_test THEN 1 ELSE 0 END)::BIGINT AS te
+  FROM marked GROUP BY fp
+)
+SELECT sum(tr + te)::BIGINT AS n_docs, sum(te)::BIGINT AS n_test,
+       sum(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS leak_clusters,
+       sum(CASE WHEN tr > 0 THEN te ELSE 0 END)::BIGINT AS leaked_test_docs,
+       (1000 * sum(CASE WHEN tr > 0 THEN te ELSE 0 END) // sum(te))::BIGINT
+         AS test_leak_milli
+FROM per
+"""
+
+
+# -- recrawl value ranking ----------------------------------------------------------------------------------------------------
+
+
+def q_recrawl_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl value ranking: expected fresh content per fetch, per host
+    — the change ratio (the `cho_change_rate` count pair, kept as an
+    exact milli ratio here) times the host's mean payload (mean
+    value_milli as the byte proxy), ranked descending. The scheduler's
+    actual objective is neither 'most changed' nor 'biggest pages' but
+    their product: a static host with huge pages and a churning host
+    with tiny pages can both lose to a medium host on both axes.
+    Integer-exact; rank ties to host id.
+
+    Scale shape: 1-row mean broadcast, ONE groupBy(host), rank window
+    on the bounded host frame; |hosts| rows."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("host"),
+        F.expr("cast(floor(value * 1000) as bigint)").alias("v_milli"),
+    )
+    mean = ev.agg(F.expr("sum(v_milli) div count(*)").cast("bigint").alias("mu"))
+    per = (
+        ev.crossJoin(F.broadcast(mean))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("cast(v_milli >= mu as bigint)"))
+            .cast("bigint")
+            .alias("changed"),
+            F.expr("sum(v_milli) div count(*)").cast("bigint").alias("mean_payload"),
+        )
+    )
+    scored = per.select(
+        "host",
+        "n",
+        F.expr("1000 * changed div n").cast("bigint").alias("change_milli"),
+        "mean_payload",
+        F.expr("(1000 * changed div n) * mean_payload div 1000")
+        .cast("bigint")
+        .alias("value_per_fetch"),
+    )
+    return scored.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("value_per_fetch").desc(), "host"))
+        .cast("bigint"),
+    ).orderBy("host")
+
+
+SQL_RECRAWL_VALUE_RANK = """
+WITH ev AS (
+  SELECT user_id AS host, floor(value * 1000)::BIGINT AS v_milli FROM events
+), mean AS (
+  SELECT (sum(v_milli) // count(*))::BIGINT AS mu FROM ev
+), per AS (
+  SELECT host, count(*)::BIGINT AS n,
+         sum(CASE WHEN v_milli >= mu THEN 1 ELSE 0 END)::BIGINT AS changed,
+         (sum(v_milli) // count(*))::BIGINT AS mean_payload
+  FROM ev CROSS JOIN mean GROUP BY host
+), scored AS (
+  SELECT host, n, (1000 * changed // n)::BIGINT AS change_milli, mean_payload,
+         ((1000 * changed // n) * mean_payload // 1000)::BIGINT
+           AS value_per_fetch
+  FROM per
+)
+SELECT host, n, change_milli, mean_payload, value_per_fetch,
+       row_number() OVER (ORDER BY value_per_fetch DESC, host)::BIGINT AS rank
+FROM scored ORDER BY host
+"""
+
+
+# -- duplication by quality decile --------------------------------------------------------------------------------------------
+
+
+def q_dup_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate by quality decile: docs bucket into 10
+    equal-rank bins by the stopword-confidence score, and each bin
+    reports what share of its documents belong to a multi-document
+    fingerprint cluster (40-char prefix) — the standard finding that
+    boilerplate/templated (low-quality) text is ALSO the most
+    duplicated, which means dedup and quality filtering double-count
+    each other's wins unless measured jointly, exactly what this table
+    does. Integer-exact.
+
+    Scale shape: score map + ntile window, ONE groupBy(fp) for cluster
+    sizes broadcast-joined back by fingerprint, ONE groupBy(bin);
+    10 output rows."""
+    d = _tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 40)).alias("fp"),
+        F.expr(
+            f"least(1000L, 6000 * size(filter(toks,"
+            f" t -> array_contains({_SPARK_STOPLIST}, t))) div"
+            " greatest(1, size(toks)))"
+        ).cast("bigint").alias("q"),
+    )
+    binned = d.withColumn(
+        "bin", F.ntile(10).over(Window.orderBy("q", "doc_id")).cast("bigint")
+    )
+    sizes = d.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("csz"))
+    return (
+        binned.join(sizes, "fp")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr("cast(csz >= 2 as bigint)"))
+            .cast("bigint")
+            .alias("dup_docs"),
+            F.expr("1000 * sum(cast(csz >= 2 as bigint)) div count(*)")
+            .cast("bigint")
+            .alias("dup_share_milli"),
+            F.expr("sum(q) div count(*)").cast("bigint").alias("mean_q_milli"),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_DUP_BY_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id, md5(substr(text, 1, 40)) AS fp,
+         least(1000, 6000 * len(list_filter({_SQL_TOKS},
+               t -> list_contains({_SQL_STOPLIST}, t)))
+               // greatest(1, len({_SQL_TOKS})))::BIGINT AS q
+  FROM documents
+), binned AS (
+  SELECT *, ntile(10) OVER (ORDER BY q, doc_id)::BIGINT AS bin FROM d
+), sizes AS (
+  SELECT fp, count(*)::BIGINT AS csz FROM d GROUP BY fp
+)
+SELECT bin, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN csz >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_docs,
+       (1000 * sum(CASE WHEN csz >= 2 THEN 1 ELSE 0 END) // count(*))::BIGINT
+         AS dup_share_milli,
+       (sum(q) // count(*))::BIGINT AS mean_q_milli
+FROM binned JOIN sizes USING (fp)
+GROUP BY bin ORDER BY bin
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -24797,6 +25001,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "jain_fairness": (q_jain_fairness, SQL_JAIN_FAIRNESS),
     "dup_growth_curve": (q_dup_growth_curve, SQL_DUP_GROWTH_CURVE),
     "int8_quant_error": (q_int8_quant_error, SQL_INT8_QUANT_ERROR),
+    "split_leakage_audit": (q_split_leakage_audit, SQL_SPLIT_LEAKAGE_AUDIT),
+    "recrawl_value_rank": (q_recrawl_value_rank, SQL_RECRAWL_VALUE_RANK),
+    "dup_by_quality": (q_dup_by_quality, SQL_DUP_BY_QUALITY),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
