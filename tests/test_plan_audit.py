@@ -1838,3 +1838,25 @@ def test_dup_by_quality_cluster_sizes_rejoin(spark):
     p = plan_str(_q("dup_by_quality", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_vocab_coverage_one_rank_no_per_k_rescan(spark):
+    p = plan_str(_q("vocab_coverage_curve", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # each k row aggregates the SAME checkpointed ranked frame
+    assert "Scan ExistingRDD" in p
+
+
+def test_phrase_mining_unigrams_broadcast_topk(spark):
+    p = plan_str(_q("phrase_mining", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p and "TakeOrderedAndProject" in p
+
+
+def test_tiering_decile_on_host_frame(spark):
+    p = plan_str(_q("storage_tiering", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p

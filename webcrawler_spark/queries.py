@@ -24644,6 +24644,240 @@ FROM binned JOIN sizes USING (fp)
 GROUP BY bin ORDER BY bin
 """
 
+# -- vocabulary coverage curve --------------------------------------------------------------------------------------------
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: share of the corpus's token mass
+    covered by the top-k most frequent terms, k in {1024, 4096, 16384}
+    — the tokenizer-budget planning table (how big a word-level vocab
+    must be before <unk> mass is tolerable), and the corpus-level
+    complement of `heaps_law` (type growth) and `zipf_rank_deviation`
+    (head shape). OOV mass in milli per k, exact integers.
+
+    Scale shape: ONE groupBy(term) to the vocab frame, one rank window
+    on it, cumulative coverage re-aggregated per grid row via
+    conditional sums (no per-k rescan of the corpus); 3 output rows."""
+    vocab = (
+        _tokens(_read(spark, sf_dir, "documents"))
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = vocab.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("f").desc(), "term")).cast("bigint"),
+    ).localCheckpoint()
+    grid = spark.createDataFrame([(1024,), (4096,), (16384,)], "k bigint")
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .groupBy("k")
+        .agg(
+            F.sum("f").cast("bigint").alias("total_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            F.sum(F.expr("case when r <= k then f else 0L end"))
+            .cast("bigint")
+            .alias("covered_tokens"),
+        )
+        .select(
+            "k",
+            "vocab_size",
+            "total_tokens",
+            "covered_tokens",
+            F.expr("1000 * covered_tokens div total_tokens")
+            .cast("bigint")
+            .alias("coverage_milli"),
+            F.expr("1000 - 1000 * covered_tokens div total_tokens")
+            .cast("bigint")
+            .alias("oov_milli"),
+        )
+        .orderBy("k")
+    )
+
+
+SQL_VOCAB_COVERAGE_CURVE = f"""
+WITH vocab AS (
+  SELECT tok.term, count(*)::BIGINT AS f
+  FROM documents, unnest({_SQL_TOKS}) AS tok(term)
+  GROUP BY tok.term
+), ranked AS (
+  SELECT term, f, row_number() OVER (ORDER BY f DESC, term)::BIGINT AS r
+  FROM vocab
+), grid AS (
+  SELECT unnest([1024::BIGINT, 4096::BIGINT, 16384::BIGINT]) AS k
+)
+SELECT k, count(*)::BIGINT AS vocab_size, sum(f)::BIGINT AS total_tokens,
+       sum(CASE WHEN r <= k THEN f ELSE 0 END)::BIGINT AS covered_tokens,
+       (1000 * sum(CASE WHEN r <= k THEN f ELSE 0 END) // sum(f))::BIGINT
+         AS coverage_milli,
+       (1000 - 1000 * sum(CASE WHEN r <= k THEN f ELSE 0 END) // sum(f)
+       )::BIGINT AS oov_milli
+FROM ranked CROSS JOIN grid
+GROUP BY k ORDER BY k
+"""
+
+
+# -- collocation phrase mining ---------------------------------------------------------------------------------------------
+
+
+def q_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation phrase mining (the word2vec phrase pass, Mikolov et
+    al. 2013 eq. 6): for adjacent token bigrams with count >= 5, the
+    score (c12 - delta) * N / (c1 * c2) with discount delta = 5, kept
+    when above threshold 10 — the pass that decides 'new york' should
+    enter the vocabulary as one unit before embeddings are trained.
+    Score in exact milli (the formula is a pure integer rational);
+    top-20 by score then bigram.
+
+    Scale shape: one per-doc transform to adjacent pairs (map-side,
+    no window — pairs come from the token array itself), ONE
+    groupBy(bigram), unigram counts broadcast back twice, top-k via
+    TakeOrderedAndProject."""
+    toks = _tokens(_read(spark, sf_dir, "documents"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) as w1,"
+                    " element_at(toks, i + 1) as w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .where(F.col("c12") >= 5)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr("1000 * (c12 - 5) * n div (c1 * c2)")
+            .cast("bigint")
+            .alias("score_milli"),
+        )
+        .where(F.col("score_milli") > 1000)
+    )
+    return scored.orderBy(
+        F.col("score_milli").desc(), "w1", "w2"
+    ).limit(20)
+
+
+SQL_PHRASE_MINING = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), uni AS (
+  SELECT t.w, count(*)::BIGINT AS c
+  FROM toks, unnest(toks.toks) AS t(w) GROUP BY t.w
+), n_tok AS (
+  SELECT sum(c)::BIGINT AS n FROM uni
+), bi AS (
+  SELECT p.w1, p.w2, count(*)::BIGINT AS c12
+  FROM toks, unnest(list_transform(range(len(toks) - 1),
+       i -> {{'w1': toks[i+1], 'w2': toks[i+2]}})) AS u(p)
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT w1, w2, c12,
+       (1000 * (c12 - 5) * n // (u1.c * u2.c))::BIGINT AS score_milli
+FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+        CROSS JOIN n_tok
+WHERE (1000 * (c12 - 5) * n // (u1.c * u2.c)) > 1000
+ORDER BY score_milli DESC, w1, w2 LIMIT 20
+"""
+
+
+# -- hot/warm/cold storage tiering ---------------------------------------------------------------------------------------------
+
+
+def q_storage_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/warm/cold storage-tier plan: hosts ranked by access count —
+    top decile is hot, next three warm, the rest cold — with each
+    tier's share of accesses and of stored payload (summed value_milli
+    as the byte proxy). The capacity-planning split behind tiered page
+    caches: the hot tier should hold most accesses in a fraction of
+    bytes, and the skew between the two shares IS the cache's win.
+    Exact integers, ntile on the bounded host frame.
+
+    Scale shape: ONE groupBy(host), decile window + 3-row rollup on
+    that bounded frame; 3 output rows."""
+    per = (
+        _read(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("acc"),
+            F.sum(F.expr("cast(floor(value * 1000) as bigint)"))
+            .cast("bigint")
+            .alias("bytes_proxy"),
+        )
+    )
+    tiered = per.withColumn(
+        "dec",
+        F.ntile(10).over(Window.orderBy(F.col("acc").desc(), "host")).cast("bigint"),
+    ).select(
+        F.expr(
+            "case when dec = 1 then 'hot' when dec <= 4 then 'warm'"
+            " else 'cold' end"
+        ).alias("tier"),
+        "acc",
+        "bytes_proxy",
+    )
+    tot = tiered.agg(
+        F.sum("acc").cast("bigint").alias("ta"),
+        F.sum("bytes_proxy").cast("bigint").alias("tb"),
+    )
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+            F.sum("acc").cast("bigint").alias("accesses"),
+            F.sum("bytes_proxy").cast("bigint").alias("bytes_proxy"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "n_hosts",
+            "accesses",
+            F.expr("1000 * accesses div ta").cast("bigint").alias("access_milli"),
+            F.expr("1000 * bytes_proxy div tb").cast("bigint").alias("bytes_milli"),
+        )
+        .orderBy("tier")
+    )
+
+
+SQL_STORAGE_TIERING = """
+WITH per AS (
+  SELECT user_id AS host, count(*)::BIGINT AS acc,
+         sum(floor(value * 1000)::BIGINT)::BIGINT AS bytes_proxy
+  FROM events GROUP BY user_id
+), tiered AS (
+  SELECT CASE WHEN dec = 1 THEN 'hot' WHEN dec <= 4 THEN 'warm'
+              ELSE 'cold' END AS tier,
+         acc, bytes_proxy
+  FROM (SELECT *, ntile(10) OVER (ORDER BY acc DESC, host)::BIGINT AS dec
+        FROM per)
+), tot AS (
+  SELECT sum(acc)::BIGINT AS ta, sum(bytes_proxy)::BIGINT AS tb FROM tiered
+)
+SELECT tier, count(*)::BIGINT AS n_hosts, sum(acc)::BIGINT AS accesses,
+       (1000 * sum(acc) // ta)::BIGINT AS access_milli,
+       (1000 * sum(bytes_proxy) // tb)::BIGINT AS bytes_milli
+FROM tiered CROSS JOIN tot
+GROUP BY tier, ta, tb ORDER BY tier
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -25004,6 +25238,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "split_leakage_audit": (q_split_leakage_audit, SQL_SPLIT_LEAKAGE_AUDIT),
     "recrawl_value_rank": (q_recrawl_value_rank, SQL_RECRAWL_VALUE_RANK),
     "dup_by_quality": (q_dup_by_quality, SQL_DUP_BY_QUALITY),
+    "vocab_coverage_curve": (q_vocab_coverage_curve, SQL_VOCAB_COVERAGE_CURVE),
+    "phrase_mining": (q_phrase_mining, SQL_PHRASE_MINING),
+    "storage_tiering": (q_storage_tiering, SQL_STORAGE_TIERING),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
