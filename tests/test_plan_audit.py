@@ -1860,3 +1860,26 @@ def test_tiering_decile_on_host_frame(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_dupgraph_closure_on_pair_frame_only(spark):
+    p = plan_str(_q("dupgraph_transitivity", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the triangle closure joins the checkpointed pair frame, not docs
+    assert "Scan ExistingRDD" in p
+
+
+def test_sitemap_coverage_flags_no_joins(spark):
+    p = plan_str(_q("sitemap_coverage", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p
+
+
+def test_doulion_coin_before_closure(spark):
+    p = plan_str(_q("doulion_triangle_estimate", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the sampled closure filters the checkpointed edge frame (coin is a
+    # plain Filter over the edge scan, never a post-join condition)
+    assert "Filter" in p and "md5" in p

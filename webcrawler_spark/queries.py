@@ -24878,6 +24878,269 @@ FROM tiered CROSS JOIN tot
 GROUP BY tier, ta, tb ORDER BY tier
 """
 
+# -- near-dup graph transitivity audit --------------------------------------------------------------------------------------
+
+
+def q_dupgraph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-dup candidate graph: with the
+    `ngram_jaccard_pairs` output as edges, the global clustering
+    coefficient 3*triangles/wedges — the number that says whether
+    'near-duplicate-of' behaves like an equivalence relation on THIS
+    corpus. Connected-components dedup (`dedup_components`) silently
+    assumes it does: at transitivity near 1000 milli union-find merges
+    are safe; low transitivity means chains of pairwise-similar docs
+    whose endpoints are NOT similar, and components will over-merge.
+    Exact: wedges from C(deg,2) arithmetic, triangles from the
+    canonical a<b<c three-edge join (each counted once).
+
+    Scale shape: the dup-pair frame is tiny relative to the corpus;
+    degree groupBy + one wedge aggregate + a two-join triangle closure
+    on that frame only."""
+    e = (
+        ngram_jaccard(_docs_parallel(spark, sf_dir))
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a_id").alias("n"))
+        .union(e.select(F.col("b_id").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("w"),
+        F.count(F.lit(1)).cast("bigint").alias("nodes"),
+    )
+    e2 = e.select(F.col("a_id").alias("b_id"), F.col("b_id").alias("c_id"))
+    e3 = e.select(F.col("a_id").alias("t_a"), F.col("b_id").alias("t_c"))
+    tri = (
+        e.join(e2, "b_id")
+        .join(
+            e3,
+            (F.col("a_id") == F.col("t_a")) & (F.col("c_id") == F.col("t_c")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    return (
+        e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "nodes",
+            F.col("w").alias("n_wedges"),
+            F.col("t").alias("n_triangles"),
+            F.expr(
+                "case when w > 0 then 1000 * 3 * t div w else 1000L end"
+            )
+            .cast("bigint")
+            .alias("transitivity_milli"),
+        )
+    )
+
+
+SQL_DUPGRAPH_TRANSITIVITY = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2),
+    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+  FROM toks WHERE len(toks) >= 3
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), e AS (
+  SELECT a_id, b_id
+  FROM inter JOIN counts ca ON a_id = ca.doc_id JOIN counts cb ON b_id = cb.doc_id
+  WHERE round(i / (ca.n + cb.n - i), 4) >= 0.5
+), deg AS (
+  SELECT n, count(*)::BIGINT AS d
+  FROM (SELECT a_id AS n FROM e UNION ALL SELECT b_id FROM e) GROUP BY n
+), wedges AS (
+  SELECT sum(d * (d - 1) // 2)::BIGINT AS w, count(*)::BIGINT AS nodes FROM deg
+), tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM e e1 JOIN e e2 ON e1.b_id = e2.a_id
+            JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+)
+SELECT (SELECT count(*)::BIGINT FROM e) AS n_edges, nodes,
+       w AS n_wedges, t AS n_triangles,
+       (CASE WHEN w > 0 THEN 1000 * 3 * t // w ELSE 1000 END)::BIGINT
+         AS transitivity_milli
+FROM wedges CROSS JOIN tri
+"""
+
+
+# -- sitemap coverage audit -----------------------------------------------------------------------------------------------------
+
+
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap coverage audit: per host, how much of the host's declared
+    sitemap (the `sitemap_extract` URL family; two thirds of URLs are
+    listed) the crawl actually fetched (deterministic 90% fetch coin),
+    and how much of what was fetched is sitemap-orphaned — the two
+    numbers webmaster tooling calls coverage and discovery: low recall
+    means the scheduler starves declared content, high orphan share
+    means the site's own index is stale and link-following is doing the
+    real discovery. Exact conditional counts, no joins.
+
+    Scale shape: both memberships are per-row flags, so the whole audit
+    is ONE groupBy(host) of conditional sums; |hosts| rows."""
+    d = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")).alias("host"),
+        (F.col("doc_id") % 3 != 0).alias("in_sitemap"),
+        F.expr(
+            "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8),"
+            " 16, 10) as bigint), 10) <> 0"
+        ).alias("crawled"),
+    )
+    return (
+        d.groupBy("host")
+        .agg(
+            F.sum(F.expr("cast(in_sitemap as bigint)"))
+            .cast("bigint")
+            .alias("sitemap_urls"),
+            F.sum(F.expr("cast(crawled as bigint)")).cast("bigint").alias("crawled_urls"),
+            F.sum(F.expr("cast(in_sitemap and crawled as bigint)"))
+            .cast("bigint")
+            .alias("covered"),
+            F.sum(F.expr("cast(crawled and not in_sitemap as bigint)"))
+            .cast("bigint")
+            .alias("orphans"),
+        )
+        .select(
+            "host",
+            "sitemap_urls",
+            "crawled_urls",
+            F.expr("1000 * covered div sitemap_urls")
+            .cast("bigint")
+            .alias("recall_milli"),
+            F.expr("1000 * orphans div crawled_urls")
+            .cast("bigint")
+            .alias("orphan_milli"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_SITEMAP_COVERAGE = """
+WITH d AS (
+  SELECT 'h' || (doc_id % 10)::VARCHAR AS host,
+         doc_id % 3 <> 0 AS in_sitemap,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 <> 0
+           AS crawled
+  FROM documents
+)
+SELECT host,
+       sum(CASE WHEN in_sitemap THEN 1 ELSE 0 END)::BIGINT AS sitemap_urls,
+       sum(CASE WHEN crawled THEN 1 ELSE 0 END)::BIGINT AS crawled_urls,
+       (1000 * sum(CASE WHEN in_sitemap AND crawled THEN 1 ELSE 0 END)
+        // sum(CASE WHEN in_sitemap THEN 1 ELSE 0 END))::BIGINT AS recall_milli,
+       (1000 * sum(CASE WHEN crawled AND NOT in_sitemap THEN 1 ELSE 0 END)
+        // sum(CASE WHEN crawled THEN 1 ELSE 0 END))::BIGINT AS orphan_milli
+FROM d GROUP BY host ORDER BY host
+"""
+
+
+# -- Doulion sampled triangle estimation -------------------------------------------------------------------------------------------
+
+
+def q_doulion_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doulion triangle estimation (Tsourakakis et al. KDD'09): sparsify
+    the host graph by keeping each edge with a deterministic md5 coin
+    at p = 1/4, count triangles on the sparsified graph, scale by
+    1/p^3 = 64 — versus the exact count on the full graph. At web scale
+    the exact count is a shuffle monster (`triangle_count`'s
+    degree-oriented join over every edge); Doulion runs the same plan
+    on ~1/16 of the wedge volume, and THIS query measures what that
+    buys and what it costs in error, on real data. Canonical a<b<c
+    three-edge closure on both graphs; exact integers plus one milli
+    error ratio.
+
+    Scale shape: the coin is map-side (edges never shuffle to be
+    sampled); both triangle counts are the canonical two-join closure;
+    output is one row."""
+    und = (
+        _pagerank_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def tri_count(edges, label):
+        e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        e3 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+        return (
+            edges.join(e2, "b")
+            .join(
+                e3,
+                (F.col("a") == F.col("t_a")) & (F.col("c") == F.col("t_c")),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias(label))
+        )
+
+    exact = tri_count(und, "t_exact")
+    samp = und.where(
+        F.expr(
+            "cast(conv(substring(md5(concat('E:', cast(a as string), ':',"
+            " cast(b as string))), 1, 8), 16, 10) as bigint) % 4 = 0"
+        )
+    )
+    est = tri_count(samp, "t_samp")
+    return (
+        und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_edges",
+            "t_exact",
+            "t_samp",
+            F.expr("t_samp * 64").cast("bigint").alias("estimate"),
+            F.expr(
+                "case when t_exact > 0 then"
+                " 1000 * abs(t_samp * 64 - t_exact) div t_exact else -1L end"
+            )
+            .cast("bigint")
+            .alias("rel_err_milli"),
+        )
+    )
+
+
+SQL_DOULION_TRIANGLE_ESTIMATE = f"""
+WITH e0 AS (
+  SELECT DISTINCT user_id % {_PR_NODES} AS src,
+         (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT) % {_PR_NODES} AS dst
+  FROM events
+  WHERE user_id % {_PR_NODES}
+        <> (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT) % {_PR_NODES}
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0
+), samp AS (
+  SELECT a, b FROM und
+  WHERE (('0x' || substr(md5('E:' || a::VARCHAR || ':' || b::VARCHAR), 1, 8)
+         )::BIGINT) % 4 = 0
+), t_exact AS (
+  SELECT count(*)::BIGINT AS t_exact
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), t_samp AS (
+  SELECT count(*)::BIGINT AS t_samp
+  FROM samp e1 JOIN samp e2 ON e1.b = e2.a
+               JOIN samp e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT count(*)::BIGINT FROM und) AS n_edges, t_exact, t_samp,
+       (t_samp * 64)::BIGINT AS estimate,
+       (CASE WHEN t_exact > 0
+             THEN 1000 * abs(t_samp * 64 - t_exact) // t_exact
+             ELSE -1 END)::BIGINT AS rel_err_milli
+FROM t_exact CROSS JOIN t_samp
+"""
+
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # frontier / scheduling (SURVEY §2.5)
@@ -25241,6 +25504,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocab_coverage_curve": (q_vocab_coverage_curve, SQL_VOCAB_COVERAGE_CURVE),
     "phrase_mining": (q_phrase_mining, SQL_PHRASE_MINING),
     "storage_tiering": (q_storage_tiering, SQL_STORAGE_TIERING),
+    "dupgraph_transitivity": (
+        q_dupgraph_transitivity,
+        SQL_DUPGRAPH_TRANSITIVITY,
+    ),
+    "sitemap_coverage": (q_sitemap_coverage, SQL_SITEMAP_COVERAGE),
+    "doulion_triangle_estimate": (
+        q_doulion_triangle_estimate,
+        SQL_DOULION_TRIANGLE_ESTIMATE,
+    ),
     # non-SQL-expressible (rows-only)
     "crawl_wave_e2e": (q_crawl_wave_e2e, None),
     "ann_ivf": (q_ann_ivf, None),
