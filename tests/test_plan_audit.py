@@ -1883,3 +1883,23 @@ def test_doulion_coin_before_closure(spark):
     # the sampled closure filters the checkpointed edge frame (coin is a
     # plain Filter over the edge scan, never a post-join condition)
     assert "Filter" in p and "md5" in p
+
+
+def test_hash_balance_grid_broadcast(spark):
+    p = plan_str(_q("hash_balance_audit", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_retry_cost_rank_on_host_frame(spark):
+    p = plan_str(_q("retry_cost_model", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_stem_reduction_single_vocab_pass(spark):
+    p = plan_str(_q("stem_vocab_reduction", spark))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p
