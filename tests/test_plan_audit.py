@@ -1627,7 +1627,9 @@ def test_yield_curve_two_keyed_reductions(spark):
 
 
 def test_branching_back_edges_broadcast(spark):
-    p = plan_str(_q("frontier_branching", spark))
+    # the R0 branching-process variant (un-shadowed in round 3 as its
+    # own registry key) carries the back-edge broadcast semi-join
+    p = plan_str(_q("crawl_reproduction_r0", spark))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
