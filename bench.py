@@ -204,6 +204,23 @@ HEADLINE = [
     "mutual_information",
     "pagerank_convergence",
     "k_anonymity_audit",
+    # round-3 tail families (corpus reporting, dedup science, embedding
+    # audits, systems planning) — one representative per family
+    "pipeline_token_waterfall",
+    "corpus_datasheet",
+    "minhash_k_error_audit",
+    "lsh_band_plan",
+    "ivf_nprobe_recall_curve",
+    "hubness_skew",
+    "intrinsic_dim_twonn",
+    "reuse_distance_mrc",
+    "session_timeout_sweep",
+    "rank_turbulence_divergence",
+    "mann_whitney_u",
+    "conformal_quality_threshold",
+    "queue_backlog_trace",
+    "multi_index_hamming_plan",
+    "rake_keywords",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)
