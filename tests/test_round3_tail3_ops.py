@@ -1,0 +1,133 @@
+"""Ground-truth recounts for the session-11 control-chart queries:
+the CUSUM prefix-sum rewrite vs the literal sequential recursion, the
+Page-Hinkley window algebra vs its textbook update loop, and Allan
+variance vs a direct block-mean recount. Pure-Python recomputation
+pins the SEMANTICS; Spark<->DuckDB parity is pinned by the driver
+oracle (scripts/check_oracle.py)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+SF = "/root/testdata/sf0.001"
+
+
+def _hourly_x(spark):
+    """(hr_string, mean value) series exactly as the queries bucket it."""
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "value")
+        .collect()
+    )
+    acc = defaultdict(lambda: [0.0, 0])
+    for r in rows:
+        hr = r.ts.strftime("%Y-%m-%d %H:00:00")
+        acc[hr][0] += r.value
+        acc[hr][1] += 1
+    return sorted((hr, s / n) for hr, (s, n) in acc.items())
+
+
+# ------------------------------------------------------------- cusum_drift
+
+
+def test_cusum_matches_literal_recursion(spark):
+    from webcrawler_spark.queries import q_cusum_drift
+
+    def _round_half_away(v: float) -> int:
+        # Spark round() / DuckDB round() are half-away-from-zero;
+        # Python round() is half-to-even
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+    series = _hourly_x(spark)
+    xm = [_round_half_away(x * 1000) for _, x in series]
+    mu = _round_half_away(sum(xm) / len(xm))
+    mean_xm = sum(xm) / len(xm)
+    sd = _round_half_away(
+        math.sqrt(sum((v - mean_xm) ** 2 for v in xm) / len(xm))
+    )
+    k = sd // 2
+    exp_pos, exp_neg = [], []
+    cp = cn = 0
+    for v in xm:
+        cp = max(0, cp + (v - mu - k))
+        cn = max(0, cn + (mu - k - v))
+        exp_pos.append(cp)
+        exp_neg.append(cn)
+
+    got = sorted(q_cusum_drift(spark, SF).collect(), key=lambda r: r.hr)
+    assert [r.hr for r in got] == [hr for hr, _ in series]
+    assert [r.cusum_pos_milli for r in got] == exp_pos
+    assert [r.cusum_neg_milli for r in got] == exp_neg
+    h = 4 * sd
+    assert [r.alarm_pos for r in got] == [int(c > h) for c in exp_pos]
+    assert [r.alarm_neg for r in got] == [int(c > h) for c in exp_neg]
+
+
+# ------------------------------------------------------ page_hinkley_drift
+
+
+def test_page_hinkley_matches_textbook_update(spark):
+    from webcrawler_spark.queries import q_page_hinkley_drift
+
+    series = _hourly_x(spark)
+    xs = [x for _, x in series]
+    mu = sum(xs) / len(xs)
+    sd = math.sqrt(sum((v - mu) ** 2 for v in xs) / len(xs))
+    delta = sd / 20
+    m_inc = m_dec = 0.0
+    run_min = math.inf
+    run_max = -math.inf
+    exp_inc, exp_dec = [], []
+    s = 0.0
+    for i, v in enumerate(xs, start=1):
+        s += v
+        xbar = s / i
+        m_inc += v - xbar - delta
+        m_dec += v - xbar + delta
+        run_min = min(run_min, m_inc)
+        run_max = max(run_max, m_dec)
+        exp_inc.append(m_inc - min(0.0, run_min))
+        exp_dec.append(max(0.0, run_max) - m_dec)
+
+    got = sorted(q_page_hinkley_drift(spark, SF).collect(), key=lambda r: r.hr)
+    assert [r.hr for r in got] == [hr for hr, _ in series]
+    for r, ei, ed in zip(got, exp_inc, exp_dec):
+        assert abs(r.ph_inc - ei) < 1e-5, (r.hr, r.ph_inc, ei)
+        assert abs(r.ph_dec - ed) < 1e-5, (r.hr, r.ph_dec, ed)
+    lam = 4 * sd
+    for r, ei, ed in zip(got, exp_inc, exp_dec):
+        assert r.alarm_inc == int(ei > lam)
+        assert r.alarm_dec == int(ed > lam)
+
+
+# ---------------------------------------------------- allan_variance_hours
+
+
+def test_allan_variance_matches_block_recount(spark):
+    from webcrawler_spark.queries import q_allan_variance_hours
+
+    from datetime import datetime, timedelta
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").select("ts").collect()
+    # parquet TIMESTAMP_NTZ as naive UTC: epoch hours via calendar math
+    epoch = datetime(1970, 1, 1)
+    hs = [int((r.ts - epoch) // timedelta(hours=1)) for r in rows]
+    h0, h1 = min(hs), max(hs)
+    y = [0] * (h1 - h0 + 1)
+    for h in hs:
+        y[h - h0] += 1
+
+    got = {r.tau_hours: r for r in q_allan_variance_hours(spark, SF).collect()}
+    for tau in (1, 2, 4, 8, 16):
+        nb = len(y) // tau
+        ybar = [sum(y[b * tau : (b + 1) * tau]) / tau for b in range(nb)]
+        diffs = [(ybar[b + 1] - ybar[b]) ** 2 for b in range(nb - 1)]
+        av = sum(diffs) / len(diffs) / 2
+        r = got[tau]
+        assert r.n_pairs == len(diffs)
+        assert abs(r.allan_var - av) < 1e-5, (tau, r.allan_var, av)
+        assert abs(r.allan_dev - math.sqrt(av)) < 1e-5
+    # white (Poisson) arrivals: Allan variance of the MEAN over tau
+    # decays ~1/tau — the 16h value must sit well below the 1h value
+    assert got[16].allan_var < got[1].allan_var / 4
