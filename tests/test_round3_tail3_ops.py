@@ -131,3 +131,109 @@ def test_allan_variance_matches_block_recount(spark):
     # white (Poisson) arrivals: Allan variance of the MEAN over tau
     # decays ~1/tau — the 16h value must sit well below the 1h value
     assert got[16].allan_var < got[1].allan_var / 4
+
+
+# ------------------------------------------------------ cliffs_delta_pairs
+
+
+def test_cliffs_delta_matches_literal_pairwise_count(spark):
+    from webcrawler_spark.queries import q_cliffs_delta_pairs
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r.value)
+    got = {
+        (r.type_a, r.type_b): r
+        for r in q_cliffs_delta_pairs(spark, SF).collect()
+    }
+    types = sorted(by_type)
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            gt = lt = 0
+            for x in by_type[a]:
+                for y in by_type[b]:
+                    gt += x > y
+                    lt += x < y
+            delta = (gt - lt) / (len(by_type[a]) * len(by_type[b]))
+            r = got[(a, b)]
+            assert r.n1 == len(by_type[a]) and r.n2 == len(by_type[b])
+            assert abs(r.delta - delta) < 1e-5, (a, b, r.delta, delta)
+            mag = (
+                "negligible" if abs(delta) < 0.147
+                else "small" if abs(delta) < 0.33
+                else "medium" if abs(delta) < 0.474
+                else "large"
+            )
+            assert r.magnitude == mag
+
+
+# --------------------------------------------------- brown_forsythe_levene
+
+
+def test_brown_forsythe_matches_direct_anova_on_deviations(spark):
+    from webcrawler_spark.queries import q_brown_forsythe_levene
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append((r.value, r.event_id))
+    z_by = {}
+    for t, vals in by_type.items():
+        ordered = sorted(vals)
+        med = ordered[(len(ordered) + 1) // 2 - 1][0]  # lower median
+        z_by[t] = [abs(v - med) for v, _ in vals]
+    k = len(z_by)
+    n = sum(len(z) for z in z_by.values())
+    zbar = sum(sum(z) for z in z_by.values()) / n
+    ssb = sum(
+        len(z) * (sum(z) / len(z) - zbar) ** 2 for z in z_by.values()
+    )
+    ssw = sum(
+        sum((v - sum(z) / len(z)) ** 2 for v in z) for z in z_by.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    r = q_brown_forsythe_levene(spark, SF).collect()[0]
+    assert (r.k, r.n, r.df1, r.df2) == (k, n, k - 1, n - k)
+    assert abs(r.f_stat - f) < 1e-4
+    assert abs(r.eta_sq - ssb / (ssb + ssw)) < 1e-6
+
+
+# ----------------------------------------------------- atkinson_inequality
+
+
+def test_atkinson_matches_closed_form(spark):
+    from webcrawler_spark.queries import q_atkinson_inequality
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .collect()
+    )
+    counts = defaultdict(int)
+    for r in rows:
+        counts[r.user_id] += 1
+    xs = list(counts.values())
+    mu = sum(xs) / len(xs)
+    got = {r.epsilon: r for r in q_atkinson_inequality(spark, SF).collect()}
+    for eps in (0.5, 1.0, 2.0):
+        if eps == 1.0:
+            a = 1 - math.exp(sum(math.log(x) for x in xs) / len(xs)) / mu
+        else:
+            m = sum(x ** (1 - eps) for x in xs) / len(xs)
+            a = 1 - m ** (1 / (1 - eps)) / mu
+        r = got[eps]
+        assert r.n_users == len(xs)
+        assert abs(r.atkinson - a) < 1e-6, (eps, r.atkinson, a)
+        assert abs(r.ede_events - (1 - a) * mu) < 1e-4
+    # aversion ordering: A is nondecreasing in epsilon
+    assert got[0.5].atkinson <= got[1.0].atkinson <= got[2.0].atkinson
