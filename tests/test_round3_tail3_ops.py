@@ -237,3 +237,115 @@ def test_atkinson_matches_closed_form(spark):
         assert abs(r.ede_events - (1 - a) * mu) < 1e-4
     # aversion ordering: A is nondecreasing in epsilon
     assert got[0.5].atkinson <= got[1.0].atkinson <= got[2.0].atkinson
+
+
+# ------------------------------------------------------- textrank_keywords
+
+
+def test_textrank_matches_literal_power_iteration(spark):
+    from webcrawler_spark.queries import q_textrank_keywords
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    stop = {"the", "a", "of", "and", "in", "is", "to", "for"}
+    cands = [
+        [
+            t
+            for t in d.text.lower().split()
+            if t and len(t) >= 4 and t not in stop
+        ]
+        for d in docs
+    ]
+    cnt = defaultdict(int)
+    for c in cands:
+        for w in c:
+            cnt[w] += 1
+    nodes_adm = {w for w, c in cnt.items() if c >= 10}
+    w = defaultdict(float)
+    for c in cands:
+        for a, b in zip(c, c[1:]):
+            if a != b and a in nodes_adm and b in nodes_adm:
+                w[(a, b)] += 1.0
+                w[(b, a)] += 1.0
+    nodes = sorted({a for a, _ in w})
+    wtot = defaultdict(float)
+    for (a, _b), v in w.items():
+        wtot[a] += v
+    ws = {v: 1.0 for v in nodes}
+    for _ in range(3):
+        nxt = {}
+        for v in nodes:
+            s = sum(
+                w[(u, v)] / wtot[u] * ws[u]
+                for u in nodes
+                if (u, v) in w
+            )
+            nxt[v] = 0.15 + 0.85 * s
+        ws = nxt
+
+    got = {r.word: r.textrank for r in q_textrank_keywords(spark, SF).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - ws[v]) < 1e-5, (v, got[v], ws[v])
+
+
+# ----------------------------------------------------------------- err_at10
+
+
+def test_err_at10_matches_literal_cascade(spark):
+    from webcrawler_spark.queries import q_err_at10
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    stop = {"the", "a", "of", "and", "in", "is", "to", "for"}
+    per_q = defaultdict(list)
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        score = min(
+            1000, 6000 * sum(t in stop for t in toks) // max(1, len(toks))
+        )
+        gain = min(3, d.n_chars // 1000)
+        per_q[d.doc_id % 20].append((-score, d.doc_id, gain))
+    got = {r.qid: r for r in q_err_at10(spark, SF).collect()}
+    for qid, lst in per_q.items():
+        lst.sort()
+        err = 0.0
+        trail = 1.0
+        nano = 0
+        for r, (_, _, g) in enumerate(lst[:10], start=1):
+            rr = (2**g - 1) / 16.0
+            nano += math.floor(1e9 * rr * trail / r)
+            err += rr * trail / r
+            trail *= 1 - rr
+        row = got[qid]
+        assert row.n_ranked == min(10, len(lst))
+        assert row.err_nano == nano, (qid, row.err_nano, nano)
+        assert abs(row.err - err) < 1e-5
+        # cascade metric is bounded by 1
+        assert 0.0 <= row.err <= 1.0
+
+
+# ------------------------------------------------------------ cochran_q_test
+
+
+def test_cochran_q_matches_direct_formula(spark):
+    from webcrawler_spark.queries import q_cochran_q_test
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    stop = {"the", "a", "of", "and", "in", "is", "to", "for"}
+    rows = []
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        score = min(
+            1000, 6000 * sum(t in stop for t in toks) // max(1, len(toks))
+        )
+        rows.append(
+            (int(d.n_chars > 2000), int(score >= 150), int(d.lang == "en"))
+        )
+    c = [sum(r[j] for r in rows) for j in range(3)]
+    t = sum(c)
+    rsq = sum((r[0] + r[1] + r[2]) ** 2 for r in rows)
+    q = 2.0 * (3 * sum(x * x for x in c) - t * t) / (3 * t - rsq)
+    r = q_cochran_q_test(spark, SF).collect()[0]
+    assert (r.n_docs, r.c1, r.c2, r.c3) == (len(rows), c[0], c[1], c[2])
+    assert abs(r.q_stat - q) < 1e-5
+    assert abs(r.p_value - math.exp(-q / 2)) < 1e-6
+    assert r.reject_5pct == int(q > 5.991)
