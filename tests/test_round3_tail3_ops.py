@@ -349,3 +349,126 @@ def test_cochran_q_matches_direct_formula(spark):
     assert abs(r.q_stat - q) < 1e-5
     assert abs(r.p_value - math.exp(-q / 2)) < 1e-6
     assert r.reject_5pct == int(q > 5.991)
+
+
+# ------------------------------------------------------- oph_minhash_audit
+
+
+def test_oph_matches_literal_simulation(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import q_oph_minhash_audit
+
+    K = 16
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    sets, src = {}, {}
+    for d in docs:
+        toks = {t for t in d.text.lower().split() if t}
+        if toks:
+            sets[d.doc_id] = toks
+            src[d.doc_id] = d.source
+
+    def sig(toks):
+        buckets = {}
+        for t in toks:
+            hv = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            b, v = hv % K, hv // K
+            buckets[b] = min(buckets.get(b, v), v)
+        out = []
+        for j in range(K):
+            # nearest non-empty clockwise (distance (b - j) mod K minimal)
+            best = min(buckets.items(), key=lambda kv: (kv[0] - j) % K)
+            out.append(best[1])
+        return out
+
+    sigs = {i: sig(s) for i, s in sets.items()}
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, sum_exact, sum_est, sum_abs
+    ids = sorted(sets)
+    for a in ids:
+        for b in ids:
+            if a < b and src[a] == src[b]:
+                c = len(sets[a] & sets[b])
+                je = 1000 * c // (len(sets[a]) + len(sets[b]) - c)
+                m = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+                js = 1000 * m // K
+                dec = min(9, je // 100)
+                agg[dec][0] += 1
+                agg[dec][1] += je
+                agg[dec][2] += js
+                agg[dec][3] += abs(js - je)
+
+    got = {r.j_decile: r for r in q_oph_minhash_audit(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for dec, (n, se, ss, sa) in agg.items():
+        r = got[dec]
+        assert r.n_pairs == n
+        assert abs(r.mean_exact_milli - se / n) < 1e-6
+        assert abs(r.mean_est_milli - ss / n) < 1e-6
+        assert abs(r.mae_milli - sa / n) < 1e-6
+
+
+# -------------------------------------------------------- em_gaussian_step
+
+
+def test_em_step_matches_closed_form(spark):
+    from webcrawler_spark.queries import q_em_gaussian_step
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ys = sorted(
+        (math.log(len([t for t in d.text.lower().split() if t])), d.doc_id)
+        for d in docs
+        if [t for t in d.text.lower().split() if t]
+    )
+    vals = [y for y, _ in ys]
+    n = len(vals)
+    mu1 = vals[max(1, n // 4) - 1]
+    mu2 = vals[min(n, (3 * n) // 4) - 1]
+    mean = sum(vals) / n
+    sd0 = math.sqrt(sum((v - mean) ** 2 for v in vals) / n)
+    r2 = [
+        1.0
+        / (1.0 + math.exp(((y - mu2) ** 2 - (y - mu1) ** 2) / (2 * sd0 * sd0)))
+        for y in vals
+    ]
+    pi2 = sum(r2) / n
+    m1 = sum((1 - r) * y for r, y in zip(r2, vals)) / sum(1 - r for r in r2)
+    m2 = sum(r * y for r, y in zip(r2, vals)) / sum(r2)
+    got = q_em_gaussian_step(spark, SF).collect()[0]
+    assert got.n == n
+    assert abs(got.mu1_init - mu1) < 1e-6
+    assert abs(got.mu2_init - mu2) < 1e-6
+    assert abs(got.pi2_new - pi2) < 1e-6
+    assert abs(got.mu1_new - m1) < 1e-5
+    assert abs(got.mu2_new - m2) < 1e-5
+    # one EM step must keep the component order and stay inside the hull
+    assert got.mu1_new < got.mu2_new
+    assert min(vals) <= got.mu1_new <= max(vals)
+
+
+# ------------------------------------------------------ dft_seasonal_power
+
+
+def test_dft_power_matches_direct_projection(spark):
+    from datetime import datetime, timedelta
+
+    from webcrawler_spark.queries import q_dft_seasonal_power
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").select("ts").collect()
+    epoch = datetime(1970, 1, 1)
+    counts = defaultdict(int)
+    for r in rows:
+        counts[int((r.ts - epoch) // timedelta(hours=1))] += 1
+    h0 = min(counts)
+    ys = [(h - h0, c) for h, c in sorted(counts.items())]
+    n = len(ys)
+    ybar = sum(c for _, c in ys) / n
+    got = {r.period_hours: r for r in q_dft_seasonal_power(spark, SF).collect()}
+    for p in (12, 24, 168):
+        c = sum((y - ybar) * math.cos(2 * math.pi * i / p) for i, y in ys)
+        s = sum((y - ybar) * math.sin(2 * math.pi * i / p) for i, y in ys)
+        ss = sum((y - ybar) ** 2 for _, y in ys)
+        r = got[p]
+        assert r.n == n
+        assert abs(r.amplitude - 2 * math.sqrt(c * c + s * s) / n) < 1e-5
+        assert abs(r.variance_frac - 2 * (c * c + s * s) / (n * ss)) < 1e-5
+        assert 0.0 <= r.variance_frac <= 1.0 + 1e-9
