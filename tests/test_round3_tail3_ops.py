@@ -472,3 +472,115 @@ def test_dft_power_matches_direct_projection(spark):
         assert abs(r.amplitude - 2 * math.sqrt(c * c + s * s) / n) < 1e-5
         assert abs(r.variance_frac - 2 * (c * c + s * s) / (n * ss)) < 1e-5
         assert 0.0 <= r.variance_frac <= 1.0 + 1e-9
+
+
+# --------------------------------------------------- pacf_durbin_levinson
+
+
+def test_pacf_matches_durbin_levinson_recursion(spark):
+    from webcrawler_spark.queries import q_pacf_durbin_levinson
+
+    xs = [x for _, x in _hourly_x(spark)]
+    n = len(xs)
+    xbar = sum(xs) / n
+    dx = [x - xbar for x in xs]
+    den = sum(d * d for d in dx)
+    rho = [
+        sum(dx[t] * dx[t - k] for t in range(k, n)) / den for k in (1, 2, 3)
+    ]
+    # general Durbin-Levinson, as an independent check on the closed forms
+    phi = {1: {1: rho[0]}}
+    for k in (2, 3):
+        prev = phi[k - 1]
+        num = rho[k - 1] - sum(prev[j] * rho[k - 1 - j] for j in range(1, k))
+        dnm = 1 - sum(prev[j] * rho[j - 1] for j in range(1, k))
+        phi[k] = {k: num / dnm}
+        for j in range(1, k):
+            phi[k][j] = prev[j] - phi[k][k] * prev[k - j]
+    got = {r.lag: r for r in q_pacf_durbin_levinson(spark, SF).collect()}
+    for k in (1, 2, 3):
+        assert abs(got[k].acf - rho[k - 1]) < 1e-5
+        assert abs(got[k].pacf - phi[k][k]) < 1e-5, (k, got[k].pacf, phi[k][k])
+
+
+# --------------------------------------------- mahalanobis_diag_outliers
+
+
+def test_mahalanobis_p_matches_chi2_series_and_scipyless_sanity(spark):
+    from webcrawler_spark.queries import q_mahalanobis_diag_outliers
+
+    vecs = {
+        r.vec_id: [float(v) for v in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    dim = len(next(iter(vecs.values())))
+    assert dim == 64
+    n = len(vecs)
+    mu = [sum(v[d] for v in vecs.values()) / n for d in range(dim)]
+    sd = [
+        math.sqrt(sum((v[d] - mu[d]) ** 2 for v in vecs.values()) / n)
+        for d in range(dim)
+    ]
+    got = {r.vec_id: r for r in q_mahalanobis_diag_outliers(spark, SF).collect()}
+    assert set(got) == set(vecs)
+    for vid, v in vecs.items():
+        x = sum(((v[d] - mu[d]) / sd[d]) ** 2 for d in range(dim))
+        p = math.exp(-x / 2) * sum(
+            (x / 2) ** j / math.factorial(j) for j in range(32)
+        )
+        r = got[vid]
+        assert abs(r.maha_sq - x) < 1e-4, (vid, r.maha_sq, x)
+        assert abs(r.p_value - p) < 1e-5
+        assert r.outlier == int(p < 0.001)
+    # standardized scores: mean of maha_sq over vecs must be ~dim
+    mean_x = sum(r.maha_sq for r in got.values()) / n
+    assert abs(mean_x - dim) < 1.0
+
+
+# ----------------------------------------------------- little_law_audit
+
+
+def test_little_law_matches_literal_sweep(spark):
+    from webcrawler_spark.queries import q_little_law_audit
+
+    from datetime import datetime
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "value")
+        .collect()
+    )
+    epoch = datetime(1970, 1, 1)
+
+    def us(ts):
+        return int((ts - epoch).total_seconds() * 1e6 + 0.5)
+
+    iv = []
+    for r in rows:
+        s = us(r.ts)
+        d = int(math.floor(r.value * 1e6 + 0.5))
+        iv.append((s, s + d))
+    t0 = min(s for s, _ in iv)
+    t1 = max(s for s, _ in iv)
+    busy_total = sum(e - s for s, e in iv)
+    censored = sum(e > t1 for _, e in iv)
+    busy_in = sum(min(e, t1) - s for s, e in iv)
+    # literal sweep
+    deltas = defaultdict(int)
+    for s, e in iv:
+        deltas[s] += 1
+        deltas[min(e, t1)] -= 1
+    ts_sorted = sorted(deltas)
+    area = 0
+    conc = 0
+    for a, b in zip(ts_sorted, ts_sorted[1:]):
+        conc += deltas[a]
+        area += conc * (b - a)
+    r = q_little_law_audit(spark, SF).collect()[0]
+    assert r.n == len(iv)
+    assert r.l_timeavg_milli == 1000 * area // (t1 - t0)
+    assert r.l_littles_milli == 1000 * busy_total // (t1 - t0)
+    assert r.n_censored == censored
+    assert r.l_clipped_milli == 1000 * busy_in // (t1 - t0)
+    # clipped busy time IS the sweep area (same integral, two routes)
+    assert area == busy_in
