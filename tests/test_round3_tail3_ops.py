@@ -584,3 +584,111 @@ def test_little_law_matches_literal_sweep(spark):
     assert r.l_clipped_milli == 1000 * busy_in // (t1 - t0)
     # clipped busy time IS the sweep area (same integral, two routes)
     assert area == busy_in
+
+
+# ------------------------------------------------------------ newey_west_se
+
+
+def test_newey_west_matches_direct_hac_sum(spark):
+    from webcrawler_spark.queries import q_newey_west_se
+
+    xs = [x for _, x in _hourly_x(spark)]
+    n = len(xs)
+    xbar = sum(xs) / n
+    dx = [x - xbar for x in xs]
+    g = [
+        sum(dx[t] * dx[t - k] for t in range(k, n)) / n for k in range(25)
+    ]
+    var_hac = g[0] + 2 * sum((1 - k / 25) * g[k] for k in range(1, 25))
+    r = q_newey_west_se(spark, SF).collect()[0]
+    assert r.n == n
+    assert abs(r.mean_value - xbar) < 1e-6
+    assert abs(r.se_iid - math.sqrt(g[0] / n)) < 1e-6
+    assert abs(r.se_hac - math.sqrt(var_hac / n)) < 1e-6
+    assert abs(r.inflation - math.sqrt(var_hac / g[0])) < 1e-5
+    assert abs(r.n_effective - n * g[0] / var_hac) < 1e-2
+    # HAC variance must stay positive and finite
+    assert r.se_hac > 0
+
+
+# ---------------------------------------------------- seasonal_mann_kendall
+
+
+def test_seasonal_mk_matches_literal_pair_signs(spark):
+    from datetime import datetime, timedelta
+
+    from webcrawler_spark.queries import q_seasonal_mann_kendall
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "value")
+        .collect()
+    )
+    epoch = datetime(1970, 1, 1)
+    acc = defaultdict(lambda: [0.0, 0])
+    for r in rows:
+        h = int((r.ts - epoch) // timedelta(hours=1))
+        acc[h][0] += r.value
+        acc[h][1] += 1
+    per_season = defaultdict(list)
+    for h in sorted(acc):
+        per_season[h % 24].append((h // 24, acc[h][0] / acc[h][1]))
+    s_total = 0
+    var_total = 0
+    for vals in per_season.values():
+        vals.sort()
+        ns = len(vals)
+        var_total += ns * (ns - 1) * (2 * ns + 5) // 18
+        for i in range(ns):
+            for j in range(i + 1, ns):
+                d = vals[j][1] - vals[i][1]
+                s_total += (d > 0) - (d < 0)
+    if s_total > 0:
+        z = (s_total - 1) / math.sqrt(var_total)
+    elif s_total < 0:
+        z = (s_total + 1) / math.sqrt(var_total)
+    else:
+        z = 0.0
+    r = q_seasonal_mann_kendall(spark, SF).collect()[0]
+    assert r.n_seasons == len(per_season)
+    assert r.s_total == s_total
+    assert r.var_total == var_total
+    assert abs(r.z - z) < 1e-6
+    assert r.trend == (
+        "increasing" if s_total > 0 else "decreasing" if s_total < 0 else "none"
+    )
+    # p from the erf polynomial is within its documented 1.5e-7 of math.erf
+    p = 1.0 - math.erf(abs(z) / math.sqrt(2))
+    assert abs(r.p_two_sided - p) < 1e-5
+
+
+# ------------------------------------------------------ coreset_sensitivity
+
+
+def test_coreset_weights_sum_to_one_and_match_formula(spark):
+    from webcrawler_spark.queries import q_coreset_sensitivity
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = [(r.vec_id, r.label, [float(v) for v in r.embedding]) for r in rows]
+    dim = len(vecs[0][2])
+    n = len(vecs)
+    mu = [sum(v[d] for _, _, v in vecs) / n for d in range(dim)]
+    d2 = {
+        vid: sum((v[d] - mu[d]) ** 2 for d in range(dim))
+        for vid, _, v in vecs
+    }
+    sum_d2 = sum(d2.values())
+    by_label = defaultdict(list)
+    for vid, lab, _ in vecs:
+        by_label[lab].append(0.5 / n + d2[vid] / (2 * sum_d2))
+    got = {r.label: r for r in q_coreset_sensitivity(spark, SF).collect()}
+    assert set(got) == set(by_label)
+    total_q = 0.0
+    for lab, qs in by_label.items():
+        r = got[lab]
+        assert r.n_vecs == len(qs)
+        assert abs(r.sum_q - sum(qs)) < 1e-5
+        assert abs(r.max_q - max(qs)) < 1e-6
+        total_q += r.sum_q
+    # q is a probability distribution over the corpus
+    assert abs(total_q - 1.0) < 1e-4
