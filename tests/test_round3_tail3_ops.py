@@ -692,3 +692,115 @@ def test_coreset_weights_sum_to_one_and_match_formula(spark):
         total_q += r.sum_q
     # q is a probability distribution over the corpus
     assert abs(total_q - 1.0) < 1e-4
+
+
+# ----------------------------------------------------- adjusted_rand_index
+
+
+def test_ari_matches_literal_pair_counting(spark):
+    from webcrawler_spark.queries import q_adjusted_rand_index
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = [(r.vec_id, r.label, [float(v) for v in r.embedding]) for r in rows]
+    dim = len(vecs[0][2])
+    by_label = defaultdict(list)
+    for _, lab, v in vecs:
+        by_label[lab].append(v)
+    cent = {
+        lab: [sum(v[d] for v in vs) / len(vs) for d in range(dim)]
+        for lab, vs in by_label.items()
+    }
+    nij = defaultdict(int)
+    for _, lab, v in vecs:
+        best = min(
+            cent.items(),
+            key=lambda kv: (
+                sum((v[d] - kv[1][d]) ** 2 for d in range(dim)),
+                kv[0],
+            ),
+        )[0]
+        nij[(lab, best)] += 1
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    n = sum(nij.values())
+    sij = sum(c2(v) for v in nij.values())
+    a = defaultdict(int)
+    b = defaultdict(int)
+    for (la, as_), v in nij.items():
+        a[la] += v
+        b[as_] += v
+    sa = sum(c2(v) for v in a.values())
+    sb = sum(c2(v) for v in b.values())
+    exp = sa * sb / c2(n)
+    ari = (sij - exp) / ((sa + sb) / 2 - exp)
+    r = q_adjusted_rand_index(spark, SF).collect()[0]
+    assert (r.n, r.sij, r.sa, r.sb) == (n, sij, sa, sb)
+    assert abs(r.ari - ari) < 1e-6
+    # centroid assignment beats chance (ARI ~ 0 under random labels);
+    # the sf0.001 embeddings carry only a weak label signal, so the bar
+    # is above-zero, not high-recovery
+    assert 0.0 < r.ari <= 1.0
+
+
+# --------------------------------------------------------- huber_irls_step
+
+
+def test_huber_step_matches_literal_weights(spark):
+    from webcrawler_spark.queries import q_huber_irls_step
+
+    xs = [
+        r.value
+        for r in spark.read.parquet(f"{SF}/events.parquet").select("value").collect()
+    ]
+    n = len(xs)
+    mu0 = sum(xs) / n
+    sd = math.sqrt(sum((x - mu0) ** 2 for x in xs) / n)
+    c = 1.345 * sd
+    ws = [min(1.0, c / max(abs(x - mu0), 1e-300)) for x in xs]
+    mu1 = sum(w * x for w, x in zip(ws, xs)) / sum(ws)
+    r = q_huber_irls_step(spark, SF).collect()[0]
+    assert r.n == n
+    assert abs(r.mu0 - mu0) < 1e-6
+    assert abs(r.mu1 - mu1) < 1e-5
+    assert abs(r.sum_w - sum(ws)) < 1e-4
+    assert r.n_downweighted == sum(w < 1.0 for w in ws)
+    # a heavy right tail pulls the plain mean above the huberized one
+    assert r.mu1 != r.mu0
+
+
+# ------------------------------------------------- event_mix_overdispersion
+
+
+def test_overdispersion_matches_share_variance(spark):
+    from datetime import datetime, timedelta
+
+    from webcrawler_spark.queries import q_event_mix_overdispersion
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "event_type")
+        .collect()
+    )
+    epoch = datetime(1970, 1, 1)
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[int((r.ts - epoch) // timedelta(days=1))][r.event_type] += 1
+    types = sorted({t for d in daily.values() for t in d})
+    got = {r.event_type: r for r in q_event_mix_overdispersion(spark, SF).collect()}
+    for t in types:
+        ps, nts = [], []
+        for day, cnts in daily.items():
+            nt = sum(cnts.values())
+            if cnts.get(t, 0) > 0:
+                ps.append(cnts[t] / nt)
+                nts.append(nt)
+        pbar = sum(ps) / len(ps)
+        s2 = sum((p - pbar) ** 2 for p in ps) / len(ps)
+        nbar = sum(nts) / len(nts)
+        r = got[t]
+        assert r.n_days == len(ps)
+        assert abs(r.p_bar - pbar) < 1e-6
+        assert abs(r.var_daily_share - s2) < 1e-6
+        assert abs(r.inflation - s2 / (pbar * (1 - pbar) / nbar)) < 1e-4
