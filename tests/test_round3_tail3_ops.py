@@ -804,3 +804,131 @@ def test_overdispersion_matches_share_variance(spark):
         assert abs(r.p_bar - pbar) < 1e-6
         assert abs(r.var_daily_share - s2) < 1e-6
         assert abs(r.inflation - s2 / (pbar * (1 - pbar) / nbar)) < 1e-4
+
+
+# -------------------------------------------------------------- lof_outliers
+
+
+def test_lof_matches_literal_breunig_definition(spark):
+    from webcrawler_spark.queries import q_lof_outliers
+
+    K = 5
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    by_label = defaultdict(dict)
+    for r in rows:
+        by_label[r.label][r.vec_id] = [float(v) for v in r.embedding]
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    kdist, knn = {}, {}
+    for lab, pts in by_label.items():
+        for i, v in pts.items():
+            ds = sorted(
+                (dist(v, w), j) for j, w in pts.items() if j != i
+            )[:K]
+            knn[i] = [j for _, j in ds]
+            kdist[i] = ds[-1][0]
+    lrd = {}
+    for lab, pts in by_label.items():
+        for i in pts:
+            reach = [
+                max(kdist[j], dist(pts[i], pts[j])) for j in knn[i]
+            ]
+            lrd[i] = K / sum(reach)
+    got = {r.vec_id: r for r in q_lof_outliers(spark, SF).collect()}
+    assert set(got) == set(lrd)
+    for i in lrd:
+        lof = sum(lrd[j] for j in knn[i]) / K / lrd[i]
+        r = got[i]
+        assert abs(r.kdist - kdist[i]) < 1e-5
+        assert abs(r.lrd - lrd[i]) < 1e-4 * lrd[i] + 1e-6
+        assert abs(r.lof - lof) < 1e-4, (i, r.lof, lof)
+    # LOF of a uniform-ish cloud concentrates near 1
+    med = sorted(r.lof for r in got.values())[len(got) // 2]
+    assert 0.8 < med < 1.5
+
+
+# -------------------------------------------------------- hopkins_statistic
+
+
+def test_hopkins_matches_literal_probe_scan(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import q_hopkins_statistic
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r.vec_id: [float(v) for v in r.embedding] for r in rows}
+    dim = len(next(iter(vecs.values())))
+    mins = [min(v[d] for v in vecs.values()) for d in range(dim)]
+    maxs = [max(v[d] for v in vecs.values()) for d in range(dim)]
+
+    def probe(pid):
+        out = []
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{pid}_{d}".encode()).hexdigest()[:8], 16
+            )
+            out.append(mins[d] + h / 4294967296.0 * (maxs[d] - mins[d]))
+        return out
+
+    def nn(p, exclude=None):
+        return min(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(p, v)))
+            for j, v in vecs.items()
+            if j != exclude
+        )
+
+    sum_u = sum(nn(probe(i)) for i in range(50))
+    sample = [i for i in sorted(vecs) if i % 10 == 0]
+    sum_w = sum(nn(vecs[i], exclude=i) for i in sample)
+    r = q_hopkins_statistic(spark, SF).collect()[0]
+    assert r.n_probes == 50
+    assert r.n_sample == len(sample)
+    assert abs(r.sum_probe_nn - sum_u) < 1e-3
+    assert abs(r.sum_sample_nn - sum_w) < 1e-3
+    assert abs(r.hopkins - sum_u / (sum_u + sum_w)) < 1e-5
+    # uniform probes sit farther from data than data sits from itself
+    # whenever there is ANY clustering structure; hopkins in (0, 1)
+    assert 0.0 < r.hopkins < 1.0
+
+
+# ------------------------------------------------ segmented_regression_break
+
+
+def test_segmented_break_matches_naive_per_breakpoint_refit(spark):
+    from webcrawler_spark.queries import q_segmented_regression_break
+
+    def _round_half_away(v):
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+    series = [_round_half_away(x * 1000) for _, x in _hourly_x(spark)]
+    n = len(series)
+
+    def sse(seg, off):
+        m = len(seg)
+        si = sum(i + off for i in range(m))
+        sy = sum(seg)
+        sii = sum((i + off) ** 2 for i in range(m))
+        siy = sum((i + off) * y for i, y in enumerate(seg))
+        syy = sum(y * y for y in seg)
+        sxx = sii - si * si / m
+        sxy = siy - si * sy / m
+        return syy - sy * sy / m - sxy * sxy / sxx, sxy / sxx
+
+    best = None
+    for b in range(24, n - 24 + 1):
+        sl, slope_l = sse(series[:b], 1)
+        sr, slope_r = sse(series[b:], b + 1)
+        if best is None or sl + sr < best[1] - 1e-9:
+            best = (b, sl + sr, slope_l, slope_r)
+    sp, _ = sse(series, 1)
+    r = q_segmented_regression_break(spark, SF).collect()[0]
+    assert r.n == n
+    assert r.break_hour_index == best[0], (r.break_hour_index, best[0])
+    assert abs(r.sse_split - best[1]) < max(1e-3, 1e-9 * abs(best[1]))
+    assert abs(r.sse_pooled - sp) < max(1e-3, 1e-9 * abs(sp))
+    assert abs(r.slope_left_milli_per_h - best[2]) < 1e-4
+    assert abs(r.slope_right_milli_per_h - best[3]) < 1e-4
+    chow = ((sp - best[1]) / 2) / (best[1] / (n - 4))
+    assert abs(r.chow_f - chow) < 1e-4
