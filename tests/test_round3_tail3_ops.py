@@ -932,3 +932,99 @@ def test_segmented_break_matches_naive_per_breakpoint_refit(spark):
     assert abs(r.slope_right_milli_per_h - best[3]) < 1e-4
     chow = ((sp - best[1]) / 2) / (best[1] / (n - 4))
     assert abs(r.chow_f - chow) < 1e-4
+
+
+# --------------------------------------------------- horvitz_thompson_total
+
+
+def test_ht_matches_literal_pps_sample(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import q_horvitz_thompson_total
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ys = {
+        d.doc_id: len([t for t in d.text.lower().split() if t]) for d in docs
+    }
+    total = sum(ys.values())
+    ht = 0.0
+    n_sampled = 0
+    for did, y in ys.items():
+        pi = min(1.0, 100.0 * y / total)
+        u = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) / 2**32
+        if u < pi:
+            n_sampled += 1
+            ht += y / pi
+    r = q_horvitz_thompson_total(spark, SF).collect()[0]
+    assert (r.n_docs, r.true_total, r.n_sampled) == (
+        len(ys),
+        total,
+        n_sampled,
+    )
+    assert abs(r.ht_total - ht) < 1e-3
+    assert abs(r.rel_err_milli - abs(ht - total) / total * 1000) < 1e-3
+    # HT is unbiased; on this draw it must land within 25% of truth
+    assert abs(ht - total) / total < 0.25
+
+
+# ------------------------------------------------- jackknife_ratio_variance
+
+
+def test_jackknife_matches_literal_leave_one_out(spark):
+    from webcrawler_spark.queries import q_jackknife_ratio_variance
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    pairs = [
+        (len([t for t in d.text.lower().split() if t]), d.n_chars)
+        for d in docs
+    ]
+    ty = sum(y for y, _ in pairs)
+    tx = sum(x for _, x in pairs)
+    n = len(pairs)
+    reps = [(ty - y) / (tx - x) for y, x in pairs]
+    rbar = sum(reps) / n
+    var_j = (n - 1) / n * sum((r - rbar) ** 2 for r in reps)
+    ratio = ty / tx
+    resid_ss = sum((y - ratio * x) ** 2 for y, x in pairs)
+    var_l = resid_ss * n / (n - 1) / tx**2
+    r = q_jackknife_ratio_variance(spark, SF).collect()[0]
+    assert r.n == n
+    assert abs(r.ratio - ratio) < 1e-6
+    assert abs(r.se_jackknife - math.sqrt(var_j)) < 1e-6
+    assert abs(r.se_linearized - math.sqrt(var_l)) < 1e-6
+    # for a smooth ratio the two variance routes agree to ~O(1/n)
+    assert abs(r.se_jackknife - r.se_linearized) < 0.5 * r.se_linearized
+
+
+# ----------------------------------------------------- jarque_bera_normality
+
+
+def test_jarque_bera_matches_moment_recount(spark):
+    from webcrawler_spark.queries import q_jarque_bera_normality
+
+    xs = [
+        r.value
+        for r in spark.read.parquet(f"{SF}/events.parquet").select("value").collect()
+    ]
+    got = {r.variant: r for r in q_jarque_bera_normality(spark, SF).collect()}
+    for variant, vals in (
+        ("value", xs),
+        ("log_value", [math.log(max(x, 1e-12)) for x in xs]),
+    ):
+        n = len(vals)
+        m1 = sum(vals) / n
+        m2 = sum((v - m1) ** 2 for v in vals) / n
+        m3 = sum((v - m1) ** 3 for v in vals) / n
+        m4 = sum((v - m1) ** 4 for v in vals) / n
+        s = m3 / m2**1.5
+        k = m4 / m2**2
+        jb = n / 6 * (s * s + (k - 3) ** 2 / 4)
+        r = got[variant]
+        assert r.n == n
+        assert abs(r.skewness - s) < 1e-5
+        assert abs(r.kurtosis - k) < 1e-5
+        assert abs(r.jb_stat - jb) < max(1e-3, 1e-6 * jb)
+        assert abs(r.p_value - math.exp(-jb / 2)) < 1e-6
+        assert r.reject_5pct == int(jb > 5.991)
+    # raw values are visibly right-skewed; the raw JB must dwarf the log JB
+    assert got["value"].jb_stat > got["log_value"].jb_stat
