@@ -1028,3 +1028,119 @@ def test_jarque_bera_matches_moment_recount(spark):
         assert r.reject_5pct == int(jb > 5.991)
     # raw values are visibly right-skewed; the raw JB must dwarf the log JB
     assert got["value"].jb_stat > got["log_value"].jb_stat
+
+
+# -------------------------------------------------- mg1_pollaczek_khinchine
+
+
+def test_pk_matches_moment_formula(spark):
+    from datetime import datetime
+
+    from webcrawler_spark.queries import q_mg1_pollaczek_khinchine
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "value")
+        .collect()
+    )
+    epoch = datetime(1970, 1, 1)
+    tss = [(r.ts - epoch).total_seconds() for r in rows]
+    vals = [r.value for r in rows]
+    n = len(vals)
+    horizon = max(tss) - min(tss)
+    lam = (n - 1) / horizon
+    es = sum(vals) / n
+    es2 = sum(v * v for v in vals) / n
+    rho = lam * es
+    assert rho < 1.0  # the workload parses as a stable queue
+    wq_pk = lam * es2 / (2 * (1 - rho))
+    wq_mm1 = rho * es / (1 - rho)
+    r = q_mg1_pollaczek_khinchine(spark, SF).collect()[0]
+    assert r.n == n
+    assert abs(r.lambda_per_s - lam) < 1e-6
+    assert abs(r.rho - rho) < 1e-5
+    assert abs(r.wq_pk_s - wq_pk) < max(1e-4, 1e-6 * wq_pk)
+    assert abs(r.wq_mm1_s - wq_mm1) < max(1e-4, 1e-6 * wq_mm1)
+    # the PK/MM1 ratio is exactly (1 + cv^2)/2 = E[S^2] / (2 E[S]^2)
+    assert abs(r.tail_penalty - es2 / (2 * es * es)) < 1e-5
+    # this corpus's service values are MORE regular than exponential
+    assert 0.0 < r.tail_penalty < 1.0
+
+
+# --------------------------------------------------- triplet_violation_rate
+
+
+def test_triplet_rate_matches_literal_pairing(spark):
+    from webcrawler_spark.queries import q_triplet_violation_rate
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r.vec_id: ([float(v) for v in r.embedding], r.label) for r in rows}
+    ids = sorted(vecs)
+
+    def next_id(vid, same):
+        lab = vecs[vid][1]
+        cands = [
+            j
+            for j in ids
+            if j != vid and (vecs[j][1] == lab) == same
+        ]
+        after = [j for j in cands if j > vid]
+        return after[0] if after else cands[0]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    viol = defaultdict(lambda: [0, 0])
+    for vid in ids:
+        v, lab = vecs[vid]
+        p = vecs[next_id(vid, True)][0]
+        q = vecs[next_id(vid, False)][0]
+        viol[lab][0] += 1
+        viol[lab][1] += d2(v, p) >= d2(v, q)
+    got = {r.label: r for r in q_triplet_violation_rate(spark, SF).collect()}
+    assert set(got) == set(viol)
+    for lab, (na, nv) in viol.items():
+        r = got[lab]
+        assert (r.n_anchors, r.n_violations) == (na, nv)
+        assert r.violation_milli == 1000 * nv // na
+
+
+# ---------------------------------------------- refresh_allocation_freshness
+
+
+def test_refresh_allocation_matches_closed_forms(spark):
+    from datetime import datetime
+
+    from webcrawler_spark.queries import q_refresh_allocation_freshness
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "user_id")
+        .collect()
+    )
+    epoch = datetime(1970, 1, 1)
+    tss = [(r.ts - epoch).total_seconds() for r in rows]
+    days = (max(tss) - min(tss)) / 86400.0
+    cnt = defaultdict(int)
+    for r in rows:
+        cnt[r.user_id] += 1
+    lams = [c / days for c in cnt.values()]
+    b = sum(lams)
+    n = len(lams)
+    ssq = sum(math.sqrt(l) for l in lams)
+    pols = {
+        "uniform": [b / n] * n,
+        "proportional": lams,
+        "sqrt": [b * math.sqrt(l) / ssq for l in lams],
+    }
+    got = {r.policy: r for r in q_refresh_allocation_freshness(spark, SF).collect()}
+    for pol, fs in pols.items():
+        fresh = [f / (f + l) for f, l in zip(fs, lams)]
+        r = got[pol]
+        assert r.n_pages == n
+        assert abs(r.freshness - sum(fresh) / n) < 1e-6
+        assert abs(r.worst_page_freshness - min(fresh)) < 1e-6
+    # the classic result: proportional ties every page at exactly 1/2
+    assert abs(got["proportional"].freshness - 0.5) < 1e-9
+    # and with any rate skew, uniform strictly beats proportional
+    assert got["uniform"].freshness > got["proportional"].freshness
