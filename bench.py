@@ -221,6 +221,14 @@ HEADLINE = [
     "queue_backlog_trace",
     "multi_index_hamming_plan",
     "rake_keywords",
+    # session-11 representatives: control charts, cheap-signature audit,
+    # density outliers, breakpoint scan, graph keywords, queueing
+    "cusum_drift",
+    "oph_minhash_audit",
+    "lof_outliers",
+    "segmented_regression_break",
+    "textrank_keywords",
+    "mg1_pollaczek_khinchine",
 ]
 
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)

@@ -1144,3 +1144,126 @@ def test_refresh_allocation_matches_closed_forms(spark):
     assert abs(got["proportional"].freshness - 0.5) < 1e-9
     # and with any rate skew, uniform strictly beats proportional
     assert got["uniform"].freshness > got["proportional"].freshness
+
+
+# --------------------------------------------------------- count_sketch_audit
+
+
+def test_count_sketch_matches_literal_simulation(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import q_count_sketch_audit
+
+    W, D = 256, 5
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    toks = [t for d in docs for t in d.text.lower().split() if t]
+    cs = [[0] * W for _ in range(D)]
+    cm = [[0] * W for _ in range(D)]
+
+    def hb(r, t):
+        h = int(hashlib.md5(f"{r}_{t}".encode()).hexdigest()[:8], 16)
+        return h % W, 1 if (h // W) % 2 == 0 else -1
+
+    for t in toks:
+        for r in range(D):
+            b, s = hb(r, t)
+            cs[r][b] += s
+            cm[r][b] += 1
+    cnt = defaultdict(int)
+    for t in toks:
+        cnt[t] += 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = {r.tok: r for r in q_count_sketch_audit(spark, SF).collect()}
+    assert set(got) == {t for t, _ in top}
+    for t, c in top:
+        reads = []
+        cms = []
+        for r in range(D):
+            b, s = hb(r, t)
+            reads.append(s * cs[r][b])
+            cms.append(cm[r][b])
+        cs_est = sorted(reads)[D // 2]
+        cm_est = min(cms)
+        row = got[t]
+        assert (row.true_cnt, row.cs_est, row.cm_est) == (c, cs_est, cm_est)
+        assert row.cs_err == cs_est - c
+        assert row.cm_err == cm_est - c
+        # CM error is one-sided by construction
+        assert row.cm_err >= 0
+
+
+# --------------------------------------------------------- haar_synopsis_error
+
+
+def test_haar_synopsis_matches_literal_transform(spark):
+    from datetime import datetime, timedelta
+
+    from webcrawler_spark.queries import q_haar_synopsis_error
+
+    N = 512
+    rows = spark.read.parquet(f"{SF}/events.parquet").select("ts").collect()
+    epoch = datetime(1970, 1, 1)
+    hs = [int((r.ts - epoch) // timedelta(hours=1)) for r in rows]
+    h0 = min(hs)
+    y = [0] * N
+    for h in hs:
+        if h - h0 < N:
+            y[h - h0] += 1
+    # closed-form detail coefficients
+    coefs = []
+    for l in range(9):
+        B = 2 ** (l + 1)
+        for k in range(N // B):
+            lo, mid, hi = k * B, k * B + B // 2, (k + 1) * B
+            diff = sum(y[lo:mid]) - sum(y[mid:hi])
+            coefs.append((diff * diff / B, l, k, lo, mid, hi, diff))
+    coefs.sort(key=lambda t: (-t[0], t[1], t[2]))
+    total = sum(y)
+    sumsq = sum(v * v for v in y)
+    got = {r.k_kept: r for r in q_haar_synopsis_error(spark, SF).collect()}
+    for K in (0, 8, 32, 128):
+        kept = coefs[:K]
+        recon = [total / N] * N
+        for _, l, k, lo, mid, hi, diff in kept:
+            B = 2 ** (l + 1)
+            for i in range(lo, mid):
+                recon[i] += diff / B
+            for i in range(mid, hi):
+                recon[i] -= diff / B
+        sse = sum((a - b) ** 2 for a, b in zip(y, recon))
+        efrac = (sum(e for e, *_ in kept) + total * total / N) / sumsq
+        r = got[K]
+        assert abs(r.sse - sse) < max(1e-3, 1e-9 * sse), (K, r.sse, sse)
+        assert abs(r.energy_frac - efrac) < 1e-5
+    # more coefficients can only help (SSE monotone nonincreasing in K)
+    assert got[128].sse <= got[32].sse <= got[8].sse <= got[0].sse
+    assert got[128].energy_frac <= 1.0 + 1e-9
+
+
+# ----------------------------------------------------- priority_sampling_audit
+
+
+def test_priority_sampling_matches_literal_draw(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import q_priority_sampling_audit
+
+    K = 64
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    pri = []
+    for d in docs:
+        h = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 2**32
+        pri.append((d.n_chars / u, d.doc_id, float(d.n_chars)))
+    pri.sort(key=lambda t: (-t[0], t[1]))
+    tau = pri[K][0]
+    est = sum(max(w, tau) for _, _, w in pri[:K])
+    true_total = sum(w for _, _, w in pri)
+    r = q_priority_sampling_audit(spark, SF).collect()[0]
+    assert r.n_docs == len(pri)
+    assert r.k == K
+    assert abs(r.tau - tau) < 1e-3
+    assert abs(r.ps_estimate - est) < 1e-3
+    assert abs(r.true_total - true_total) < 1e-6
+    # unbiased estimator: this draw must land within 35% of truth
+    assert abs(est - true_total) / true_total < 0.35
