@@ -1267,3 +1267,147 @@ def test_priority_sampling_matches_literal_draw(spark):
     assert abs(r.true_total - true_total) < 1e-6
     # unbiased estimator: this draw must land within 35% of truth
     assert abs(est - true_total) / true_total < 0.35
+
+
+# ---------------------------------------------------------- louvain_local_move
+
+
+def test_louvain_pass_matches_literal_gain_argmax(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import q_louvain_local_move
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "user_id")
+        .collect()
+    )
+    und = set()
+    for r in rows:
+        src = r.user_id % 50
+        dst = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:4], 16) % 50
+        if src != dst:
+            und.add((min(src, dst), max(src, dst)))
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {i: len(ns) for i, ns in adj.items()}
+    m = len(und)
+    labels = {}
+    moved = 0
+    for i in sorted(adj):
+        best = None
+        for j in sorted(adj[i]):
+            gain = 1.0 / m - deg[i] * deg[j] / (2.0 * m * m)
+            if gain > 0 and (best is None or gain > best[0] + 1e-15):
+                best = (gain, j)
+        if best:
+            labels[i] = best[1]
+            moved += 1
+        else:
+            labels[i] = i
+    e_in = defaultdict(int)
+    dsum = defaultdict(int)
+    for u, v in und:
+        if labels[u] == labels[v]:
+            e_in[labels[u]] += 1
+    for i, k in deg.items():
+        dsum[labels[i]] += k
+    q_after = sum(
+        e_in.get(c, 0) / m - (d / (2.0 * m)) ** 2 for c, d in dsum.items()
+    )
+    q_before = sum(-((k / (2.0 * m)) ** 2) for k in deg.values())
+    r = q_louvain_local_move(spark, SF).collect()[0]
+    assert (r.n_nodes, r.m_edges, r.n_moved) == (len(adj), m, moved)
+    assert r.n_communities == len(set(labels.values()))
+    assert abs(r.q_before - q_before) < 1e-6
+    assert abs(r.q_after - q_after) < 1e-6
+    # the synchronous pass is NOT monotone (mutual moves interact —
+    # the classic parallel-Louvain oscillation this audit measures);
+    # on this graph the overshoot is visible:
+    assert r.q_after < r.q_before
+    assert r.n_moved > 0
+
+
+# ------------------------------------------------------- join_order_cost_audit
+
+
+def test_join_order_audit_matches_literal_counts(spark):
+    from datetime import date
+
+    from webcrawler_spark.queries import q_join_order_cost_audit
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    )
+    cut = date(1995, 3, 15)
+    cf = {c.c_custkey for c in cust if c.c_mktsegment == "BUILDING"}
+    of = [
+        (o.o_orderkey, o.o_custkey)
+        for o in orders
+        if (o.o_orderdate.date() if hasattr(o.o_orderdate, "date") else o.o_orderdate) < cut
+    ]
+    lf = [
+        l.l_orderkey
+        for l in li
+        if (l.l_shipdate.date() if hasattr(l.l_shipdate, "date") else l.l_shipdate) > cut
+    ]
+    true_co = sum(ck in cf for _, ck in of)
+    ok_f = {ok for ok, ck in of}
+    from collections import Counter
+
+    lcnt = Counter(lf)
+    true_ol = sum(lcnt.get(ok, 0) for ok in ok_f)
+    co_keys = [ok for ok, ck in of if ck in cf]
+    true_col = sum(lcnt.get(ok, 0) for ok in co_keys)
+    est_co = len(cf) * len(of) / len(cust)
+    est_ol = len(of) * len(lf) / len(orders)
+    est_col = est_co * len(lf) / len(orders)
+    got = {r.plan: r for r in q_join_order_cost_audit(spark, SF).collect()}
+    a = got["CO_then_L"]
+    b = got["OL_then_C"]
+    assert a.true_first_join == true_co
+    assert b.true_first_join == true_ol
+    assert a.true_cost == true_co + true_col
+    assert b.true_cost == true_ol + true_col
+    assert abs(a.est_first_join - est_co) < 1e-3
+    assert abs(b.est_first_join - est_ol) < 1e-3
+    assert abs(a.est_cost - (est_co + est_col)) < 1e-3
+
+
+# ------------------------------------------------------- ctfidf_class_keywords
+
+
+def test_ctfidf_matches_literal_formula(spark):
+    from webcrawler_spark.queries import q_ctfidf_class_keywords
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    tf = defaultdict(int)
+    mass = defaultdict(int)
+    ft = defaultdict(int)
+    for d in docs:
+        for t in d.text.lower().split():
+            if t:
+                tf[(d.source, t)] += 1
+                mass[d.source] += 1
+                ft[t] += 1
+    a = sum(mass.values()) / len(mass)
+    per_source = defaultdict(list)
+    for (s, t), c in tf.items():
+        score = c / mass[s] * math.log(1.0 + a / ft[t])
+        per_source[s].append((-score, t, c))
+    got = defaultdict(dict)
+    for r in q_ctfidf_class_keywords(spark, SF).collect():
+        got[r.source][r.rank] = r
+    for s, lst in per_source.items():
+        lst.sort()
+        for rank, (negscore, t, c) in enumerate(lst[:3], start=1):
+            r = got[s][rank]
+            assert r.term == t, (s, rank, r.term, t)
+            assert r.tf == c
+            assert abs(r.ctfidf - (-negscore)) < 1e-6
