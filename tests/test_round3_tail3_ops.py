@@ -1411,3 +1411,95 @@ def test_ctfidf_matches_literal_formula(spark):
             assert r.term == t, (s, rank, r.term, t)
             assert r.tf == c
             assert abs(r.ctfidf - (-negscore)) < 1e-6
+
+
+# --------------------------------------------------------- turning_points_test
+
+
+def test_turning_points_matches_literal_scan(spark):
+    from webcrawler_spark.queries import q_turning_points_test
+
+    xs = [x for _, x in _hourly_x(spark)]
+    n = len(xs)
+    t = sum(
+        1
+        for i in range(1, n - 1)
+        if (xs[i - 1] < xs[i] > xs[i + 1]) or (xs[i - 1] > xs[i] < xs[i + 1])
+    )
+    exp = 2 * (n - 2) / 3
+    z = (t - exp) / math.sqrt((16 * n - 29) / 90)
+    r = q_turning_points_test(spark, SF).collect()[0]
+    assert (r.n, r.t_obs) == (n, t)
+    assert abs(r.t_expected - exp) < 1e-6
+    assert abs(r.z - z) < 1e-6
+    assert abs(r.p_two_sided - (1 - math.erf(abs(z) / math.sqrt(2)))) < 1e-5
+    assert r.deviation_kind == ("momentum" if t < exp else "alternation")
+
+
+# ------------------------------------------------------------ gpd_pot_moments
+
+
+def test_gpd_matches_literal_moment_fit(spark):
+    from webcrawler_spark.queries import q_gpd_pot_moments
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "value")
+        .collect()
+    )
+    ordered = sorted((r.value, r.event_id) for r in rows)
+    n = len(ordered)
+    u = ordered[math.ceil(0.95 * n) - 1][0]
+    exc = [v - u for v, _ in ordered if v > u]
+    m = sum(exc) / len(exc)
+    v = sum((e - m) ** 2 for e in exc) / len(exc)
+    xi = 0.5 * (1 - m * m / v)
+    sigma = 0.5 * m * (1 + m * m / v)
+    rl = u + sigma / xi * ((len(exc) / (n * 0.001)) ** xi - 1)
+    r = q_gpd_pot_moments(spark, SF).collect()[0]
+    assert r.n_exc == len(exc)
+    assert abs(r.threshold - u) < 1e-6
+    assert abs(r.xi - xi) < 1e-5
+    assert abs(r.sigma - sigma) < 1e-5
+    assert abs(r.return_level_p999 - rl) < max(1e-3, 1e-6 * abs(rl))
+    # the fitted return level extrapolates beyond the threshold
+    assert r.return_level_p999 > u
+
+
+# ------------------------------------------------------ tail_dependence_lambda
+
+
+def test_tail_dependence_matches_literal_thresholds(spark):
+    from webcrawler_spark.queries import q_tail_dependence_lambda
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "event_type")
+        .collect()
+    )
+    acc = defaultdict(lambda: [0, 0])
+    for r in rows:
+        hr = r.ts.strftime("%Y-%m-%d %H:00:00")
+        cell = acc[hr]  # every hour with ANY event joins the series
+        if r.event_type == "click":
+            cell[0] += 1
+        elif r.event_type == "error":
+            cell[1] += 1
+    series = sorted(acc.items())
+    n = len(series)
+    xs = sorted((x, hr) for hr, (x, _) in series)
+    ys = sorted((y, hr) for hr, (_, y) in series)
+    qx = xs[math.ceil(0.9 * n) - 1][0]
+    qy = ys[math.ceil(0.9 * n) - 1][0]
+    joint = sum(1 for _, (x, y) in series if x > qx and y > qy)
+    yex = sum(1 for _, (_, y) in series if y > qy)
+    r = q_tail_dependence_lambda(spark, SF).collect()[0]
+    assert (r.n_hours, r.qx, r.qy, r.n_joint, r.n_y_exceed) == (
+        n,
+        qx,
+        qy,
+        joint,
+        yex,
+    )
+    assert abs(r.lambda_u - joint / yex) < 1e-6
+    assert 0.0 <= r.lambda_u <= 1.0
