@@ -1503,3 +1503,120 @@ def test_tail_dependence_matches_literal_thresholds(spark):
     )
     assert abs(r.lambda_u - joint / yex) < 1e-6
     assert 0.0 <= r.lambda_u <= 1.0
+
+
+# -------------------------------------------------------------- dkw_ecdf_bound
+
+
+def test_dkw_matches_literal_sup_scan(spark):
+    from webcrawler_spark.queries import q_dkw_ecdf_bound
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "value")
+        .collect()
+    )
+    vals = sorted((r.value, r.event_id % 2 == 0) for r in rows)
+    n = len(vals)
+    m = sum(1 for _, h in vals if h)
+    cn = cm = 0
+    d_sup = 0.0
+    for _, h in vals:
+        cn += 1
+        cm += h
+        d_sup = max(d_sup, abs(cm / m - cn / n))
+    eps = math.sqrt(math.log(2 / 0.05) / (2 * m))
+    r = q_dkw_ecdf_bound(spark, SF).collect()[0]
+    assert (r.n, r.m) == (n, m)
+    assert abs(r.d_sup - d_sup) < 1e-6
+    assert abs(r.dkw_eps_95 - eps) < 1e-6
+    assert r.within_bound == int(d_sup <= eps)
+    # a genuinely random half-split should sit inside the envelope
+    assert r.within_bound == 1
+
+
+# -------------------------------------------------------- v_measure_clustering
+
+
+def test_v_measure_matches_literal_entropies(spark):
+    from webcrawler_spark.queries import q_v_measure_clustering
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = [(r.vec_id, r.label, [float(v) for v in r.embedding]) for r in rows]
+    dim = len(vecs[0][2])
+    by_label = defaultdict(list)
+    for _, lab, v in vecs:
+        by_label[lab].append(v)
+    cent = {
+        lab: [sum(v[d] for v in vs) / len(vs) for d in range(dim)]
+        for lab, vs in by_label.items()
+    }
+    nij = defaultdict(int)
+    for _, lab, v in vecs:
+        best = min(
+            cent.items(),
+            key=lambda kv: (
+                sum((v[d] - kv[1][d]) ** 2 for d in range(dim)),
+                kv[0],
+            ),
+        )[0]
+        nij[(lab, best)] += 1
+    n = sum(nij.values())
+    nc = defaultdict(int)
+    nk = defaultdict(int)
+    for (c, k), v in nij.items():
+        nc[c] += v
+        nk[k] += v
+    hck = -sum(v / n * math.log(v / nk[k]) for (c, k), v in nij.items())
+    hkc = -sum(v / n * math.log(v / nc[c]) for (c, k), v in nij.items())
+    hc = -sum(v / n * math.log(v / n) for v in nc.values())
+    hk = -sum(v / n * math.log(v / n) for v in nk.values())
+    hom = 1 - hck / hc
+    com = 1 - hkc / hk
+    r = q_v_measure_clustering(spark, SF).collect()[0]
+    assert abs(r.homogeneity - hom) < 1e-5
+    assert abs(r.completeness - com) < 1e-5
+    assert abs(r.v_measure - 2 * hom * com / (hom + com)) < 1e-5
+    assert 0.0 <= r.v_measure <= 1.0
+
+
+# ---------------------------------------------------- successive_halving_audit
+
+
+def test_successive_halving_matches_literal_elimination(spark):
+    from webcrawler_spark.queries import q_successive_halving_audit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    stop = {"the", "a", "of", "and", "in", "is", "to", "for"}
+    per_arm = defaultdict(list)
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        toks = [t for t in d.text.lower().split() if t]
+        q = min(1000, 6000 * sum(t in stop for t in toks) // max(1, len(toks)))
+        per_arm[d.source].append(float(q))
+    survivors = sorted(per_arm)
+    table = {}
+    for rnd, b in enumerate((2, 4, 8, 16, 32), start=1):
+        scored = sorted(
+            (
+                (-sum(per_arm[s][:b]) / len(per_arm[s][:b]), s)
+                for s in survivors
+            )
+        )
+        keep = (len(scored) + 1) // 2
+        for rk, (negm, s) in enumerate(scored, start=1):
+            table[(rnd, s)] = (-negm, int(rk <= keep))
+        survivors = [s for _, s in scored[: keep]]
+    winner = survivors[0]
+    full = {s: sum(v) / len(v) for s, v in per_arm.items()}
+    best = max(full.items(), key=lambda kv: (kv[1], kv[0]))[1]
+    regret = best - full[winner]
+    got = q_successive_halving_audit(spark, SF).collect()
+    got_rows = {(r.round, r.source): r for r in got}
+    for (rnd, s), (pm, kept) in table.items():
+        r = got_rows[(rnd, s)]
+        assert abs(r.prefix_mean - pm) < 1e-6, (rnd, s)
+        assert r.kept == kept
+    reg = got_rows[(99, "=regret=")]
+    assert abs(reg.prefix_mean - regret) < 1e-6
+    # regret is nonnegative by construction
+    assert reg.prefix_mean >= 0.0
