@@ -1620,3 +1620,144 @@ def test_successive_halving_matches_literal_elimination(spark):
     assert abs(reg.prefix_mean - regret) < 1e-6
     # regret is nonnegative by construction
     assert reg.prefix_mean >= 0.0
+
+
+# ---------------------------------------------------------------- logrank_test
+
+
+def test_logrank_matches_literal_hypergeometric_fold(spark):
+    from datetime import datetime
+
+    from webcrawler_spark.queries import q_logrank_test
+
+    # sf0.001 has only 15 users, all right-censored (every last event
+    # inside the 48h window) — use sf0.01 where real deaths exist
+    sf = "/root/testdata/sf0.01"
+    rows = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("ts", "user_id")
+        .collect()
+    )
+    epoch = datetime(1970, 1, 1)
+    per = defaultdict(list)
+    for r in rows:
+        per[r.user_id].append((r.ts - epoch).total_seconds() * 1e6)
+    tmax = max(max(v) for v in per.values())
+    lives = []
+    for uid, ts in per.items():
+        life = (max(ts) - min(ts)) / 3.6e9
+        death = int(max(ts) < tmax - 48 * 3600e6)
+        lives.append((uid % 2 == 0, life, death))
+    death_times = sorted({l for g, l, d in lives if d == 1})
+    o1 = e1 = v = 0.0
+    n_times = 0
+    for t in death_times:
+        at = [(g, l, d) for g, l, d in lives if l >= t]
+        n = len(at)
+        if n <= 1:
+            continue
+        n1 = sum(1 for g, _, _ in at if g)
+        deaths = [(g, l, d) for g, l, d in at if d == 1 and l == t]
+        dd = len(deaths)
+        d1 = sum(1 for g, _, _ in deaths if g)
+        o1 += d1
+        e1 += dd * n1 / n
+        v += dd * (n1 / n) * (1 - n1 / n) * (n - dd) / (n - 1)
+        n_times += 1
+    z = (o1 - e1) / math.sqrt(v)
+    r = q_logrank_test(spark, sf).collect()[0]
+    assert r.n_users == len(per)
+    assert r.n_censored == sum(1 - d for _, _, d in lives)
+    assert r.n_times == n_times
+    assert abs(r.observed_g1 - o1) < 1e-6
+    assert abs(r.expected_g1 - e1) < 1e-5
+    assert abs(r.z - z) < 1e-5
+    assert abs(r.p_two_sided - (1 - math.erf(abs(z) / math.sqrt(2)))) < 1e-5
+
+
+# --------------------------------------------------------------- risk_ratio_ci
+
+
+def test_risk_ratio_matches_katz_formula(spark):
+    from webcrawler_spark.queries import q_risk_ratio_ci
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    n1 = sum(1 for r in rows if r.user_id % 2 == 0)
+    x1 = sum(1 for r in rows if r.user_id % 2 == 0 and r.event_type == "purchase")
+    n2 = len(rows) - n1
+    x2 = sum(1 for r in rows if r.user_id % 2 == 1 and r.event_type == "purchase")
+    rr = (x1 / n1) / (x2 / n2)
+    se = math.sqrt(1 / x1 - 1 / n1 + 1 / x2 - 1 / n2)
+    lo = math.exp(math.log(rr) - 1.96 * se)
+    hi = math.exp(math.log(rr) + 1.96 * se)
+    r = q_risk_ratio_ci(spark, SF).collect()[0]
+    assert (r.n_even, r.purchases_even, r.n_odd, r.purchases_odd) == (
+        n1,
+        x1,
+        n2,
+        x2,
+    )
+    assert abs(r.risk_ratio - rr) < 1e-6
+    assert abs(r.ci_lo - lo) < 1e-6
+    assert abs(r.ci_hi - hi) < 1e-6
+    assert r.significant_5pct == int(lo > 1.0 or hi < 1.0)
+    # hash-split cohorts: no real effect should be detected
+    assert r.significant_5pct == 0
+
+
+# --------------------------------------------------------- bm25_k1_sensitivity
+
+
+def test_bm25_k1_matches_literal_scoring(spark):
+    from webcrawler_spark.queries import q_bm25_k1_sensitivity
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    stop = ["the", "a", "of", "and", "in", "is", "to", "for"]
+    parsed = []
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        parsed.append((d.doc_id, toks))
+    n_docs = len(parsed)
+    avgdl = sum(len(t) for _, t in parsed) / n_docs
+    dfv = defaultdict(int)
+    for _, toks in parsed:
+        for t in set(toks) & set(stop):
+            dfv[t] += 1
+    rankings = {}
+    for k1 in (0.5, 1.2, 2.0):
+        scores = []
+        for did, toks in parsed:
+            dl = len(toks)
+            s = 0.0
+            for t in stop:
+                tfv = toks.count(t)
+                if tfv:
+                    idf = math.log((n_docs - dfv[t] + 0.5) / (dfv[t] + 0.5) + 1)
+                    s += idf * tfv * (k1 + 1) / (
+                        tfv + k1 * (0.25 + 0.75 * dl / avgdl)
+                    )
+            scores.append((-s, did))
+        scores.sort()
+        rankings[k1] = {did: i + 1 for i, (_, did) in enumerate(scores)}
+    got = {(r.k1_a, r.k1_b): r for r in q_bm25_k1_sensitivity(spark, SF).collect()}
+    for a, b in ((0.5, 1.2), (0.5, 2.0), (1.2, 2.0)):
+        d2 = sum(
+            (rankings[a][did] - rankings[b][did]) ** 2
+            for did, _ in parsed
+        )
+        rho = 1 - 6 * d2 / (n_docs * (n_docs**2 - 1))
+        ov = sum(
+            1
+            for did, _ in parsed
+            if rankings[a][did] <= 10 and rankings[b][did] <= 10
+        )
+        r = got[(a, b)]
+        assert r.n_docs == n_docs
+        assert abs(r.spearman_rho - rho) < 1e-6, (a, b)
+        assert r.top10_overlap == ov
+    # adjacent k1 values agree more than the extremes
+    assert got[(0.5, 1.2)].spearman_rho >= got[(0.5, 2.0)].spearman_rho
