@@ -1761,3 +1761,94 @@ def test_bm25_k1_matches_literal_scoring(spark):
         assert r.top10_overlap == ov
     # adjacent k1 values agree more than the extremes
     assert got[(0.5, 1.2)].spearman_rho >= got[(0.5, 2.0)].spearman_rho
+
+
+# ------------------------------------------------------ bland_altman_agreement
+
+
+def test_bland_altman_matches_literal_formula(spark):
+    from webcrawler_spark.queries import q_bland_altman_agreement
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    pairs = [
+        (float(len([t for t in d.text.lower().split() if t])), float(d.n_chars))
+        for d in docs
+    ]
+    k = sum(b for _, b in pairs) / sum(m for m, _ in pairs)
+    diffs = [(b / k - m, (m + b / k) / 2) for m, b in pairs]
+    n = len(diffs)
+    bias = sum(d for d, _ in diffs) / n
+    sd = math.sqrt(sum((d - bias) ** 2 for d, _ in diffs) / n)
+    mm = sum(x for _, x in diffs) / n
+    cov = sum((d - bias) * (x - mm) for d, x in diffs) / n
+    var_m = sum((x - mm) ** 2 for _, x in diffs) / n
+    outside = sum(1 for d, _ in diffs if abs(d - bias) > 1.96 * sd)
+    r = q_bland_altman_agreement(spark, SF).collect()[0]
+    assert r.n == n
+    assert abs(r.bias_tokens - bias) < 1e-6
+    # calibration makes the mean difference exactly zero
+    assert abs(r.bias_tokens) < 1e-6
+    assert abs(r.loa_lo - (bias - 1.96 * sd)) < 1e-5
+    assert abs(r.loa_hi - (bias + 1.96 * sd)) < 1e-5
+    assert r.outside_milli == 1000 * outside // n
+    assert abs(r.proportional_bias_slope - cov / var_m) < 1e-6
+
+
+# --------------------------------------------------- krippendorff_alpha_binary
+
+
+def test_krippendorff_matches_coincidence_formula(spark):
+    from webcrawler_spark.queries import q_krippendorff_alpha_binary
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    stop = {"the", "a", "of", "and", "in", "is", "to", "for"}
+    os_ = []
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        score = min(1000, 6000 * sum(t in stop for t in toks) // max(1, len(toks)))
+        os_.append(
+            int(d.n_chars > 2000) + int(score >= 150) + int(d.lang == "en")
+        )
+    n_units = len(os_)
+    N = 3 * n_units
+    n1 = sum(os_)
+    do = sum(o * (3 - o) for o in os_) / 2  # mismatched pairs / (n_u - 1)
+    de = n1 * (N - n1) / (N - 1)
+    alpha = 1 - do / de
+    r = q_krippendorff_alpha_binary(spark, SF).collect()[0]
+    assert (r.n_units, r.n_values, r.n1) == (n_units, N, n1)
+    assert abs(r.alpha - alpha) < 1e-6
+    assert -1.0 <= r.alpha <= 1.0
+
+
+# ------------------------------------------------------------- youden_threshold
+
+
+def test_youden_matches_literal_threshold_sweep(spark):
+    from webcrawler_spark.queries import q_youden_threshold
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    stop = {"the", "a", "of", "and", "in", "is", "to", "for"}
+    pts = []
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        score = min(1000, 6000 * sum(t in stop for t in toks) // max(1, len(toks)))
+        pts.append((score, int(d.lang == "en")))
+    p = sum(l for _, l in pts)
+    ng = len(pts) - p
+    best = None
+    for t in sorted({s for s, _ in pts}):
+        tp = sum(1 for s, l in pts if s >= t and l)
+        fp = sum(1 for s, l in pts if s >= t and not l)
+        j = tp / p - fp / ng
+        key = (-j, t)
+        if best is None or key < best[0]:
+            best = (key, t, tp / p, 1 - fp / ng, j, (tp + ng - fp) / len(pts))
+    r = q_youden_threshold(spark, SF).collect()[0]
+    assert r.best_threshold == best[1]
+    assert abs(r.sensitivity - best[2]) < 1e-6
+    assert abs(r.specificity - best[3]) < 1e-6
+    assert abs(r.youden_j - best[4]) < 1e-6
+    assert abs(r.accuracy - best[5]) < 1e-6
+    # the optimum dominates the trivial accept-all / reject-all points
+    assert r.youden_j >= 0.0
