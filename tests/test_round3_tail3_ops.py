@@ -1852,3 +1852,92 @@ def test_youden_matches_literal_threshold_sweep(spark):
     assert abs(r.accuracy - best[5]) < 1e-6
     # the optimum dominates the trivial accept-all / reject-all points
     assert r.youden_j >= 0.0
+
+
+# ------------------------------------------------- classifier_confusion_metrics
+
+
+def _lang_points(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    stop = {"the", "a", "of", "and", "in", "is", "to", "for"}
+    pts = []
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        score = min(1000, 6000 * sum(t in stop for t in toks) // max(1, len(toks)))
+        pts.append((d.doc_id, score, int(d.lang == "en")))
+    return pts
+
+
+def test_confusion_metrics_match_literal_cells(spark):
+    from webcrawler_spark.queries import q_classifier_confusion_metrics
+
+    pts = _lang_points(spark)
+    tp = sum(1 for _, s, y in pts if s >= 150 and y)
+    fp = sum(1 for _, s, y in pts if s >= 150 and not y)
+    fn = sum(1 for _, s, y in pts if s < 150 and y)
+    tn = sum(1 for _, s, y in pts if s < 150 and not y)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    r = q_classifier_confusion_metrics(spark, SF).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    assert abs(r.precision_ - tp / (tp + fp)) < 1e-6
+    assert abs(r.recall - tp / (tp + fn)) < 1e-6
+    assert abs(r.f1 - 2 * tp / (2 * tp + fp + fn)) < 1e-6
+    assert abs(r.mcc - mcc) < 1e-6
+    assert -1.0 <= r.mcc <= 1.0
+
+
+# -------------------------------------------------------------- average_precision
+
+
+def test_average_precision_matches_literal_sweep(spark):
+    from webcrawler_spark.queries import q_average_precision
+
+    pts = sorted(_lang_points(spark), key=lambda t: (-t[1], t[0]))
+    p = sum(y for _, _, y in pts)
+    cum = 0
+    ap = 0.0
+    prec10 = rprec = None
+    for k, (_, _, y) in enumerate(pts, start=1):
+        cum += y
+        if y:
+            ap += cum / k
+        if k == 10:
+            prec10 = cum / 10
+        if k == p:
+            rprec = cum / p
+    ap /= p
+    r = q_average_precision(spark, SF).collect()[0]
+    assert r.n_pos == p
+    assert abs(r.average_precision - ap) < 1e-6
+    assert abs(r.precision_at_10 - prec10) < 1e-6
+    assert abs(r.r_precision - rprec) < 1e-6
+    # structural bounds (on this corpus the capped score ties many
+    # non-English docs at 1000, so AP can sit BELOW prevalence —
+    # exactly the head-sensitivity AP exists to expose)
+    assert 0.0 < r.average_precision <= 1.0
+    assert 0.0 <= r.precision_at_10 <= 1.0
+
+
+# --------------------------------------------------- spiegelhalter_z_calibration
+
+
+def test_spiegelhalter_matches_literal_fold(spark):
+    from webcrawler_spark.queries import q_spiegelhalter_z_calibration
+
+    pts = _lang_points(spark)
+    num = den = brier = 0.0
+    for _, s, y in pts:
+        pr = max(0.001, min(0.999, s / 1000))
+        num += (y - pr) * (1 - 2 * pr)
+        den += (1 - 2 * pr) ** 2 * pr * (1 - pr)
+        brier += (y - pr) ** 2
+    z = num / math.sqrt(den)
+    r = q_spiegelhalter_z_calibration(spark, SF).collect()[0]
+    assert r.n == len(pts)
+    assert abs(r.brier_score - brier / len(pts)) < 1e-6
+    assert abs(r.z - z) < 1e-5
+    assert r.miscalibrated_5pct == int(abs(z) > 1.96)
+    # the raw stopword score is NOT a calibrated probability
+    assert r.miscalibrated_5pct == 1
