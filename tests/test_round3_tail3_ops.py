@@ -1941,3 +1941,97 @@ def test_spiegelhalter_matches_literal_fold(spark):
     assert r.miscalibrated_5pct == int(abs(z) > 1.96)
     # the raw stopword score is NOT a calibrated probability
     assert r.miscalibrated_5pct == 1
+
+
+# ------------------------------------------------------------ learned_bloom_audit
+
+
+def test_learned_bloom_matches_kraska_sizing(spark):
+    from webcrawler_spark.queries import q_learned_bloom_audit
+
+    pts = _lang_points(spark)
+    n_keys = sum(y for _, _, y in pts)
+    n_nonkeys = len(pts) - n_keys
+    n_fn = sum(1 for _, s, y in pts if y and s < 500)
+    n_fp = sum(1 for _, s, y in pts if not y and s >= 500)
+    fpr = n_fp / n_nonkeys
+    r = q_learned_bloom_audit(spark, SF).collect()[0]
+    assert (r.n_keys, r.n_fn) == (n_keys, n_fn)
+    assert abs(r.fpr_clf - fpr) < 1e-6
+    plain = 1.44 * n_keys * math.log2(1 / 0.05)
+    assert abs(r.plain_bits - plain) < 1e-3
+    if fpr < 0.05:
+        pb = (0.05 - fpr) / (1 - fpr)
+        learned = 1.44 * n_fn * math.log2(1 / pb)
+        assert r.feasible == 1
+        assert abs(r.p_backup - pb) < 1e-6
+        assert abs(r.learned_backup_bits - learned) < 1e-3
+        assert r.savings_milli == int(1000 * (1 - learned / plain))
+    else:
+        assert r.feasible == 0
+
+
+# ------------------------------------------------------------- shannon_code_audit
+
+
+def test_shannon_code_lengths_exact_and_kraft_valid(spark):
+    from webcrawler_spark.queries import q_shannon_code_audit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    cnt = defaultdict(int)
+    for d in docs:
+        for t in d.text.lower().split():
+            if t:
+                cnt[t] += 1
+    N = sum(cnt.values())
+    V = len(cnt)
+    lens = {}
+    kraft = 0.0
+    avg = 0.0
+    for t, n in cnt.items():
+        m = (N + n - 1) // n
+        l = 0 if m == 1 else (m - 1).bit_length()
+        lens[t] = l
+        kraft += 2.0 ** (-l)
+        avg += n * l
+    avg /= N
+    ent = -sum(n / N * math.log2(n / N) for n in cnt.values())
+    r = q_shannon_code_audit(spark, SF).collect()[0]
+    assert (r.n_tokens, r.vocab) == (N, V)
+    assert abs(r.entropy_bits - ent) < 1e-5
+    assert abs(r.shannon_avg_bits - avg) < 1e-6
+    assert r.fixed_bits == (V - 1).bit_length()
+    # Shannon coding theorem: H <= avg < H + 1, and Kraft holds
+    assert ent - 1e-9 <= r.shannon_avg_bits < ent + 1.0
+    assert kraft <= 1.0 + 1e-9
+
+
+# ------------------------------------------------------------ hash_bit_bias_audit
+
+
+def test_hash_bit_bias_matches_hashlib_counts(spark):
+    import hashlib
+
+    from webcrawler_spark.queries import q_hash_bit_bias_audit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    vocab = {t for d in docs for t in d.text.lower().split() if t}
+    ones = [0] * 32
+    for t in vocab:
+        hv = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for b in range(32):
+            ones[b] += (hv >> b) & 1
+    got = {r.bit_pos: r for r in q_hash_bit_bias_audit(spark, SF).collect()}
+    assert set(got) == set(range(32))
+    n = len(vocab)
+    n_flagged = 0
+    for b in range(32):
+        r = got[b]
+        assert (r.n, r.ones) == (n, ones[b])
+        assert abs(r.bias - (ones[b] / n - 0.5)) < 1e-6
+        chi2 = (2 * ones[b] - n) ** 2 / n
+        assert abs(r.chi2 - chi2) < 1e-4
+        n_flagged += r.biased_5pct
+    # md5 bits are unbiased: expect ~1.6 false flags in 32 at 5%; allow
+    # slack but catch a systematically broken generator
+    assert n_flagged <= 6
