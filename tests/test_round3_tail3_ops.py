@@ -2035,3 +2035,112 @@ def test_hash_bit_bias_matches_hashlib_counts(spark):
     # md5 bits are unbiased: expect ~1.6 false flags in 32 at 5%; allow
     # slack but catch a systematically broken generator
     assert n_flagged <= 6
+
+
+# ---------------------------------------------------- diurnal_coherence_phase
+
+
+def test_coherence_matches_literal_projections(spark):
+    from datetime import datetime, timedelta
+
+    from webcrawler_spark.queries import q_diurnal_coherence_phase
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "event_type")
+        .collect()
+    )
+    epoch = datetime(1970, 1, 1)
+    acc = defaultdict(lambda: [0, 0])
+    for r in rows:
+        h = int((r.ts - epoch) // timedelta(hours=1))
+        cell = acc[h]
+        if r.event_type == "click":
+            cell[0] += 1
+        elif r.event_type == "error":
+            cell[1] += 1
+    h0 = min(acc)
+    n = len(acc)
+    xbar = sum(v[0] for v in acc.values()) / n
+    ybar = sum(v[1] for v in acc.values()) / n
+    xc = xs = yc = ys = 0.0
+    for h, (x, y) in acc.items():
+        w = 2 * math.pi * (h - h0) / 24.0
+        xc += (x - xbar) * math.cos(w)
+        xs += (x - xbar) * math.sin(w)
+        yc += (y - ybar) * math.cos(w)
+        ys += (y - ybar) * math.sin(w)
+    re = xc * yc + xs * ys
+    im = xs * yc - xc * ys
+    coh = (re * re + im * im) / ((xc**2 + xs**2) * (yc**2 + ys**2))
+    phase = math.atan2(im, re) * 24 / (2 * math.pi)
+    r = q_diurnal_coherence_phase(spark, SF).collect()[0]
+    assert r.n == n
+    assert abs(r.coherence_sq - coh) < 1e-5
+    assert abs(r.phase_lag_hours - phase) < 1e-4
+    assert 0.0 <= r.coherence_sq <= 1.0 + 1e-9
+    assert -12.0 <= r.phase_lag_hours <= 12.0
+
+
+# ------------------------------------------------------------- tukey_hsd_pairs
+
+
+def test_tukey_hsd_matches_literal_contrasts(spark):
+    from webcrawler_spark.queries import q_tukey_hsd_pairs
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    by = defaultdict(list)
+    for r in rows:
+        by[r.event_type].append(r.value)
+    mse_num = sum(
+        sum((v - sum(vs) / len(vs)) ** 2 for v in vs) for vs in by.values()
+    )
+    mse = mse_num / (sum(len(v) for v in by.values()) - len(by))
+    got = {(r.type_a, r.type_b): r for r in q_tukey_hsd_pairs(spark, SF).collect()}
+    types = sorted(by)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            ma, mb = sum(by[a]) / len(by[a]), sum(by[b]) / len(by[b])
+            q = abs(ma - mb) / math.sqrt(
+                mse / 2 * (1 / len(by[a]) + 1 / len(by[b]))
+            )
+            r = got[(a, b)]
+            assert abs(r.mean_diff - (ma - mb)) < 1e-5
+            assert abs(r.q_stat - q) < 1e-4
+            assert r.significant == int(q > 3.858)
+
+
+# ------------------------------------------------------------ tost_equivalence
+
+
+def test_tost_matches_literal_two_one_sided(spark):
+    from webcrawler_spark.queries import q_tost_equivalence
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "value")
+        .collect()
+    )
+    g1 = [r.value for r in rows if r.user_id % 2 == 0]
+    g2 = [r.value for r in rows if r.user_id % 2 == 1]
+    m1, m2 = sum(g1) / len(g1), sum(g2) / len(g2)
+    v1 = sum((v - m1) ** 2 for v in g1) / len(g1)
+    v2 = sum((v - m2) ** 2 for v in g2) / len(g2)
+    se = math.sqrt(v1 / len(g1) + v2 / len(g2))
+    allv = [r.value for r in rows]
+    mu = sum(allv) / len(allv)
+    sd = math.sqrt(sum((v - mu) ** 2 for v in allv) / len(allv))
+    delta = 0.05 * sd
+    diff = m1 - m2
+    zl, zu = (diff + delta) / se, (delta - diff) / se
+    r = q_tost_equivalence(spark, SF).collect()[0]
+    assert (r.n_even, r.n_odd) == (len(g1), len(g2))
+    assert abs(r.mean_diff - diff) < 1e-5
+    assert abs(r.margin - delta) < 1e-6
+    assert abs(r.z_lower - zl) < 1e-4
+    assert abs(r.z_upper - zu) < 1e-4
+    assert r.equivalent_5pct == int(min(zl, zu) > 1.645)
