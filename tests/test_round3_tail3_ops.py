@@ -2144,3 +2144,118 @@ def test_tost_matches_literal_two_one_sided(spark):
     assert abs(r.z_lower - zl) < 1e-4
     assert abs(r.z_upper - zu) < 1e-4
     assert r.equivalent_5pct == int(min(zl, zu) > 1.645)
+
+
+# ----------------------------------------------------------- gumbel_copula_fit
+
+
+def test_gumbel_fit_matches_literal_tau_and_forms(spark):
+    from datetime import datetime, timedelta
+
+    from webcrawler_spark.queries import q_gumbel_copula_fit
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "event_type")
+        .collect()
+    )
+    epoch = datetime(1970, 1, 1)
+    acc = defaultdict(lambda: [0, 0])
+    for r in rows:
+        h = int((r.ts - epoch) // timedelta(hours=1))
+        cell = acc[h]
+        if r.event_type == "click":
+            cell[0] += 1
+        elif r.event_type == "error":
+            cell[1] += 1
+    series = [tuple(v) for _, v in sorted(acc.items())]
+    c = d = tx = ty = 0
+    n0 = 0
+    for i in range(len(series)):
+        for j in range(i + 1, len(series)):
+            dx = series[j][0] - series[i][0]
+            dy = series[j][1] - series[i][1]
+            n0 += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+    r = q_gumbel_copula_fit(spark, SF).collect()[0]
+    assert abs(r.tau_b - tau) < 1e-6
+    assert abs(r.theta - 1 / (1 - tau)) < 1e-5
+    assert abs(r.lambda_implied - (2 - 2 ** (1 - tau))) < 1e-5
+    assert abs(r.model_gap - abs(r.lambda_implied - r.lambda_empirical)) < 2e-6
+    # Gumbel requires positive dependence for a valid theta >= 1
+    assert r.theta >= 1.0 or r.tau_b < 0
+
+
+# --------------------------------------------------------- extremal_index_runs
+
+
+def test_extremal_index_matches_literal_declustering(spark):
+    from datetime import datetime, timedelta
+
+    from webcrawler_spark.queries import q_extremal_index_runs
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").select("ts").collect()
+    epoch = datetime(1970, 1, 1)
+    cnt = defaultdict(int)
+    for r in rows:
+        cnt[int((r.ts - epoch) // timedelta(hours=1))] += 1
+    hours = sorted(cnt.items())
+    ys = sorted((y, h) for h, y in hours)
+    u = ys[math.ceil(0.9 * len(ys)) - 1][0]
+    exc = [h for h, y in hours if y > u]
+    clusters = 0
+    prev = None
+    for h in exc:
+        if prev is None or h - prev > 24:
+            clusters += 1
+        prev = h
+    r = q_extremal_index_runs(spark, SF).collect()[0]
+    assert (r.n_hours, r.threshold, r.n_exceed, r.n_clusters) == (
+        len(hours),
+        u,
+        len(exc),
+        clusters,
+    )
+    assert abs(r.theta - clusters / len(exc)) < 1e-6
+    assert 0.0 < r.theta <= 1.0
+
+
+# ----------------------------------------------------------- mmd_rbf_twosample
+
+
+def test_mmd_matches_literal_kernel_means(spark):
+    from webcrawler_spark.queries import q_mmd_rbf_twosample
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r.vec_id: [float(v) for v in r.embedding] for r in rows}
+    ids = sorted(vecs)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d2 = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+            pairs.append((d2, a, b))
+    pairs.sort()
+    h = pairs[(len(pairs) + 1) // 2 - 1][0]  # lower median
+    sxx = [math.exp(-d2 / h) for d2, a, b in pairs if a % 2 == 0 and b % 2 == 0]
+    syy = [math.exp(-d2 / h) for d2, a, b in pairs if a % 2 == 1 and b % 2 == 1]
+    sxy = [math.exp(-d2 / h) for d2, a, b in pairs if a % 2 != b % 2]
+    mxx, myy, mxy = (sum(s) / len(s) for s in (sxx, syy, sxy))
+    r = q_mmd_rbf_twosample(spark, SF).collect()[0]
+    assert r.nx == sum(1 for i in ids if i % 2 == 0)
+    assert r.ny == len(ids) - r.nx
+    assert abs(r.bandwidth_d2 - h) < 1e-4
+    assert abs(r.mean_kxx - mxx) < 1e-6
+    assert abs(r.mean_kyy - myy) < 1e-6
+    assert abs(r.mean_kxy - mxy) < 1e-6
+    mmd = mxx + myy - 2 * mxy
+    assert abs(r.mmd_sq - mmd) < 1e-6
+    # null hash split: the two halves are the same distribution
+    assert abs(r.mmd_sq) < 0.05
