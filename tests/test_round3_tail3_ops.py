@@ -2259,3 +2259,148 @@ def test_mmd_matches_literal_kernel_means(spark):
     assert abs(r.mmd_sq - mmd) < 1e-6
     # null hash split: the two halves are the same distribution
     assert abs(r.mmd_sq) < 0.05
+
+
+# --------------------------------------------------------- distance_correlation
+
+
+def test_dcor_matches_literal_double_centering(spark):
+    from webcrawler_spark.queries import q_distance_correlation
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "value")
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0.0])
+    for r in rows:
+        per[r.user_id][0] += 1
+        per[r.user_id][1] += r.value
+    pts = [(math.log(c), s / c) for c, s in per.values()]
+    n = len(pts)
+    ax = [[abs(pts[i][0] - pts[j][0]) for j in range(n)] for i in range(n)]
+    ay = [[abs(pts[i][1] - pts[j][1]) for j in range(n)] for i in range(n)]
+
+    def center(m):
+        rm = [sum(row) / n for row in m]
+        g = sum(rm) / n
+        return [
+            [m[i][j] - rm[i] - rm[j] + g for j in range(n)] for i in range(n)
+        ]
+
+    A, B = center(ax), center(ay)
+    dcov2 = sum(A[i][j] * B[i][j] for i in range(n) for j in range(n)) / n**2
+    dvx = sum(A[i][j] ** 2 for i in range(n) for j in range(n)) / n**2
+    dvy = sum(B[i][j] ** 2 for i in range(n) for j in range(n)) / n**2
+    dcor = math.sqrt(max(dcov2, 0)) / math.sqrt(math.sqrt(dvx * dvy))
+    r = q_distance_correlation(spark, SF).collect()[0]
+    assert abs(r.dcor - dcor) < 1e-5
+    assert abs(r.dcov - math.sqrt(max(dcov2, 0))) < 1e-5
+    assert abs(r.dvar_x - dvx) < 1e-5
+    assert abs(r.dvar_y - dvy) < 1e-5
+    assert 0.0 <= r.dcor <= 1.0
+
+
+# --------------------------------------------------------- wilcoxon_signed_rank
+
+
+def test_wilcoxon_matches_literal_rank_sum(spark):
+    from datetime import datetime, timedelta
+
+    from webcrawler_spark.queries import q_wilcoxon_signed_rank
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "value")
+        .collect()
+    )
+    epoch = datetime(1970, 1, 1)
+    hs = [
+        (int((r.ts - epoch) // timedelta(hours=1)), r.value) for r in rows
+    ]
+    h0 = min(h for h, _ in hs)
+    h1 = max(h for h, _ in hs)
+    acc = defaultdict(lambda: [0.0, 0])
+    for h, v in hs:
+        key = (h % 168, int(h - h0 < (h1 - h0 + 1) // 2))
+        acc[key][0] += v
+        acc[key][1] += 1
+    ds = []
+    for how in range(168):
+        a = acc.get((how, 1))
+        b = acc.get((how, 0))
+        if a and b:
+            d = b[0] / b[1] - a[0] / a[1]
+            if d != 0:
+                ds.append(d)
+    n = len(ds)
+    ds_sorted = sorted(range(n), key=lambda i: abs(ds[i]))
+    # midranks (ties measure-zero for these means)
+    w_plus = sum(
+        rank + 1 for rank, i in enumerate(ds_sorted) if ds[i] > 0
+    )
+    mu = n * (n + 1) / 4
+    sigma = math.sqrt(n * (n + 1) * (2 * n + 1) / 24)
+    if w_plus > mu:
+        z = (w_plus - mu - 0.5) / sigma
+    elif w_plus < mu:
+        z = (w_plus - mu + 0.5) / sigma
+    else:
+        z = 0.0
+    r = q_wilcoxon_signed_rank(spark, SF).collect()[0]
+    assert r.n == n
+    assert abs(r.w_plus - w_plus) < 1e-6
+    assert abs(r.w_expected - mu) < 1e-6
+    assert abs(r.z - z) < 1e-5
+    assert abs(r.p_two_sided - (1 - math.erf(abs(z) / math.sqrt(2)))) < 1e-5
+
+
+# --------------------------------------------------------- obrien_fleming_looks
+
+
+def test_obf_looks_match_literal_cumulative_z(spark):
+    from datetime import datetime
+
+    from webcrawler_spark.queries import q_obrien_fleming_looks
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "user_id", "event_type")
+        .collect()
+    )
+    epoch = datetime(1970, 1, 1)
+    ts_us = [int((r.ts - epoch).total_seconds() * 1e6 + 0.5) for r in rows]
+    t0, t1 = min(ts_us), max(ts_us)
+    per = defaultdict(lambda: [0, 0, 0, 0])
+    for r, t in zip(rows, ts_us):
+        b = min(4, 5 * (t - t0) // (t1 - t0 + 1))
+        g = r.user_id % 2 == 0
+        y = r.event_type == "purchase"
+        cell = per[b]
+        if g:
+            cell[0] += 1
+            cell[1] += y
+        else:
+            cell[2] += 1
+            cell[3] += y
+    bounds = [4.56, 3.23, 2.63, 2.28, 2.04]
+    got = {r.look: r for r in q_obrien_fleming_looks(spark, SF).collect()}
+    n1 = x1 = n2 = x2 = 0
+    for look in range(5):
+        c = per.get(look, [0, 0, 0, 0])
+        n1 += c[0]
+        x1 += c[1]
+        n2 += c[2]
+        x2 += c[3]
+        p = (x1 + x2) / (n1 + n2)
+        z = (x1 / n1 - x2 / n2) / math.sqrt(
+            p * (1 - p) * (1 / n1 + 1 / n2)
+        )
+        r = got[look + 1]
+        assert r.n_cum == n1 + n2
+        assert abs(r.z - z) < 1e-5, (look, r.z, z)
+        assert r.obf_boundary == bounds[look]
+        assert r.crossed_obf == int(abs(z) > bounds[look])
+        assert r.crossed_naive == int(abs(z) > 1.96)
+    # null hash split must never cross the OBF boundary
+    assert all(got[k].crossed_obf == 0 for k in got)
