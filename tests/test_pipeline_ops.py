@@ -640,28 +640,37 @@ def test_ngram_novelty_python_recount(spark):
 
 
 def test_bitext_mine_numpy_recount(spark):
+    """Round-4 bucketed semantics: assign every vector to its max-cosine
+    anchor (lowest _BT_CELLS vec_ids), then mutual-best + margin WITHIN
+    each cell — recounted independently in numpy."""
     import numpy as np
 
-    from webcrawler_spark.queries import _BT_MARGIN, q_bitext_mine
+    from webcrawler_spark.queries import _BT_CELLS, _BT_MARGIN, q_bitext_mine
 
     rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    rows.sort(key=lambda r: r.vec_id)
     ids = np.array([r.vec_id for r in rows])
     V = np.array([r.embedding for r in rows], dtype=np.float64)
-    a_ids, b_ids = ids[ids % 2 == 0], ids[ids % 2 == 1]
-    A, B = V[ids % 2 == 0], V[ids % 2 == 1]
-    C = (A / np.linalg.norm(A, axis=1, keepdims=True)) @ (
-        B / np.linalg.norm(B, axis=1, keepdims=True)
-    ).T
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    anchors = Vn[ids < _BT_CELLS]
+    cell = (Vn @ anchors.T).argmax(1)
     want = {}
-    fb, bb = C.argmax(1), C.argmax(0)
-    order = np.argsort(-C, axis=1)
-    for i in range(len(a_ids)):
-        j = fb[i]
-        if bb[j] != i:
+    for c in range(_BT_CELLS):
+        sel_a = (ids % 2 == 0) & (cell == c)
+        sel_b = (ids % 2 == 1) & (cell == c)
+        a_ids, b_ids = ids[sel_a], ids[sel_b]
+        if len(a_ids) == 0 or len(b_ids) < 2:
             continue
-        margin = C[i, j] / C[i, order[i][1]]
-        if margin >= _BT_MARGIN - 1e-9:
-            want[(int(a_ids[i]), int(b_ids[j]))] = margin
+        C = Vn[sel_a] @ Vn[sel_b].T
+        fb, bb = C.argmax(1), C.argmax(0)
+        order = np.argsort(-C, axis=1)
+        for i in range(len(a_ids)):
+            j = fb[i]
+            if bb[j] != i:
+                continue
+            margin = C[i, j] / C[i, order[i][1]]
+            if margin >= _BT_MARGIN - 1e-9:
+                want[(int(a_ids[i]), int(b_ids[j]))] = margin
     got = {(r.src, r.dst): r for r in q_bitext_mine(spark, SF).collect()}
     # numpy's float32->float64 matmul differs in ulps from the engines'
     # sequential fold; pairs at the exact threshold may differ — allow

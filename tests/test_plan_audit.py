@@ -504,13 +504,16 @@ def test_calibration_bins_single_agg_shuffle(spark):
     assert "SinglePartition" not in p
 
 
-def test_bitext_mine_broadcasts_pool_and_reuses_one_frame(spark):
-    """The scored cross frame is built once (B side broadcast); both
-    direction ranks and the margin are windows over it — a second join
-    would double the pair-stream."""
+def test_bitext_mine_bucketed_no_cross_join(spark):
+    """Round-4: the pair stream is IVF-cell-bucketed — the join on
+    `cell` must be a hash equi-join, never a cross product, and the
+    anchor assignment is a pure projection (no join buys the bucketing).
+    Both direction ranks and the margin are windows over the one scored
+    frame — a second join would double the pair-stream."""
     p = plan_str(_q("bitext_mine", spark))
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
-    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
 
 
 def test_pmi_collocations_broadcasts_unigram_sides(spark):
