@@ -56,8 +56,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent per query; entries absent here
-    (crawl_wave_e2e, ann_ivf, ann_pq, tune_vocabulary, sampler_pivot)
-    are genuinely non-SQL-expressible — iterative feedback loop /
-    k-means codebook training / perceptron epochs / dynamic pivot — and
-    get the rows-only check."""
+    (crawl_wave_e2e, tune_vocabulary, sampler_pivot) are genuinely
+    non-SQL-expressible — iterative crawl feedback loop / perceptron
+    epochs / dynamic pivot — and get the rows-only check. ann_ivf and
+    ann_pq moved to full oracles in round 4 (deterministic 6-dp-rounded
+    Lloyd training, unrolled CTE chains)."""
     return _q.oracle_sql()

@@ -370,11 +370,18 @@ class SparkCrawler:
 
         self._commit_pool = _TPE1(max_workers=1)
         self._commit_fut = None
-        #: background materialization of the hot tables dispatch does NOT
-        #: touch (seen/url_ids/vocab/page_terms) — overlapped with the next
-        #: wave's dispatch+fetch+parse, swapped in at the fence in _run_wave
+        #: background materialization of ALL hot tables — overlapped with
+        #: the next wave's dispatch+fetch+parse, swapped in at the fence in
+        #: _run_wave. frontier/net_edges (which the next dispatch mutates
+        #: via elimination anti-joins before the fence) have those
+        #: eliminations re-applied at swap-in from _postckpt_elim — the
+        #: round-4 change that takes the former eager ckpt_hot phase
+        #: (~9.5 s/run at local[32]) off the wave critical path entirely
         self._ckpt_pool = _TPE1(max_workers=1)
         self._ckpt_fut = None
+        #: seed_ids eliminated by dispatch since the last hot-table
+        #: materialization was submitted; re-applied at the fence
+        self._postckpt_elim: list[int] = []
 
         #: D2 allowlist — tiny driver state, grown with every fetched host
         self.hosts_set: set[str] = {
@@ -532,6 +539,9 @@ class SparkCrawler:
         if not rows:
             return []
         ids = [r["seed_id"] for r in rows]
+        # the in-flight background materialization (if any) was submitted
+        # BEFORE this elimination — record it for re-application at the fence
+        self._postckpt_elim.extend(ids)
         self._pend_delete("net_edges", "dst", ids)
         # eliminate (NetworkEstimator.scala:131-141)
         self._set(
@@ -779,13 +789,13 @@ class SparkCrawler:
             .join(F.broadcast(new_ids.withColumnRenamed("url", "dst")), "dst")
         )
         add = self._robots_filter(add)
-        # the wave delta is a pure broadcast-join chain over checkpointed
-        # inputs when no robots filter is active — recomputing it for its
-        # 2-3 consumers is a narrow scan, cheaper than a dedicated
-        # materialization job; with robots the anti-join makes it worth one
+        # ALWAYS materialize the wave delta (round 4): with the frontier
+        # checkpoint moved off the critical path, the lazy frontier now
+        # feeds the next dispatch top-k AND the background materialization
+        # AND the commit write — one wave-sized localCheckpoint here beats
+        # recomputing the broadcast-join chain in each of those consumers
         with self._timer("merge_build"):
-            if self.robots_flat is not None or cfg.sample_every > 0:
-                add = add.localCheckpoint()
+            add = add.localCheckpoint()
         self._set(
             "frontier",
             self._t("frontier").unionByName(
@@ -1453,40 +1463,50 @@ class SparkCrawler:
             return self._checkpoint_inner(force)
 
     def _ckpt_fence(self):
-        """Swap in the background-materialized hot tables (if any)."""
+        """Swap in the background-materialized hot tables (if any).
+
+        frontier/net_edges were materialized from the state BEFORE the
+        current wave's dispatch elimination, so the recorded elimination
+        anti-joins are re-applied lazily on swap-in (idempotent: an id
+        already absent is a no-op)."""
         if self._ckpt_fut is not None:
-            tables, avg_scalars = self._ckpt_fut.result()
+            with self._timer("ckpt_fence"):
+                tables, avg_scalars = self._ckpt_fut.result()
+            elim = self._postckpt_elim
             for n, df in tables.items():
+                if elim and n == "frontier":
+                    df = df.join(
+                        self._ids_df(elim),
+                        F.col("seed_id") == F.col("sid"),
+                        "left_anti",
+                    )
+                elif elim and n == "net_edges":
+                    df = df.join(
+                        self._ids_df(elim),
+                        F.col("dst") == F.col("sid"),
+                        "left_anti",
+                    )
                 self._set(n, df)
             if avg_scalars is not None:
                 self._avg_norm_sqr, self._avg_pruned_sqr = avg_scalars
             self._ckpt_fut = None
+        self._postckpt_elim = []
 
     def _checkpoint_inner(self, force: bool = False):
         # in-memory lineage truncation runs EVERY wave (commit waves too).
-        # Only frontier/net_edges block the next dispatch — they checkpoint
-        # eagerly; the other hot tables materialize in the background,
-        # overlapped with the next wave's dispatch+fetch+parse and swapped
-        # in at the fence before the admission/vocab/fold chains need them.
+        # ALL hot tables (frontier/net_edges included, round 4) materialize
+        # in the background, overlapped with the next wave's
+        # dispatch+fetch+parse and swapped in at the fence before the
+        # admission/vocab/fold chains need them. The next dispatch top-k
+        # runs over the LAZY frontier — cheap, because its lineage is one
+        # materialized snapshot + the (always-localCheckpointed) wave delta
+        # + broadcast elimination anti-joins; the elimination it performs
+        # is re-applied to the materialized table at the fence.
         from concurrent.futures import ThreadPoolExecutor
 
         self._ckpt_fence()  # safety: never double-materialize
-        eager = ("frontier", "net_edges")
-        with self._timer("ckpt_hot"):
-            with ThreadPoolExecutor(max_workers=len(eager)) as ex:
-                futs = {
-                    n: ex.submit(
-                        lambda df: df.localCheckpoint(),
-                        self._t(n).coalesce(self._nparts),
-                    )
-                    for n in eager
-                }
-                for n, f in futs.items():
-                    self._set(n, f.result())
         snap = {
-            n: self._t(n).coalesce(self._nparts)
-            for n in self._hot_tables
-            if n not in eager
+            n: self._t(n).coalesce(self._nparts) for n in self._hot_tables
         }
         # cold (export-feed) tables: lineage-truncate every 4 waves, also
         # off the critical path
@@ -1496,7 +1516,12 @@ class SparkCrawler:
         acc = self.cfg.accuracy
 
         def _materialize():
-            out = {n: df.localCheckpoint() for n, df in snap.items()}
+            # concurrent localCheckpoint jobs: the tables are independent
+            # scans, and this whole block is off the critical path — finish
+            # before the next wave's fence (dispatch+parse hide it)
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                futs = {n: ex.submit(df.localCheckpoint) for n, df in snap.items()}
+                out = {n: f.result() for n, f in futs.items()}
             scalars = None
             if "avg_sum" in out:
                 # the two average scalars the next wave's fold needs —
