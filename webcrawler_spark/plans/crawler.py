@@ -370,6 +370,11 @@ class SparkCrawler:
 
         self._commit_pool = _TPE1(max_workers=1)
         self._commit_fut = None
+        #: per-wave vocab chain runs here; its barrier is deferred to the
+        #: first vocab-table read (wave_vocab slice / recalc) via
+        #: _await_vocab — see _run_wave
+        self._vocab_pool = _TPE1(max_workers=1)
+        self._vocab_fut = None
         #: background materialization of ALL hot tables — overlapped with
         #: the next wave's dispatch+fetch+parse, swapped in at the fence in
         #: _run_wave. frontier/net_edges (which the next dispatch mutates
@@ -618,14 +623,19 @@ class SparkCrawler:
         # swapped in before the chains below read those tables
         self._ckpt_fence()
 
-        # admission/dedup chain and the driver fold collect are independent
-        # given `parsed` — run them as concurrent Spark jobs
+        # admission/dedup chain, the vocab chain and the driver fold
+        # collect are independent given `parsed` — run them as concurrent
+        # Spark jobs. The vocab barrier is DEFERRED (round 4): nothing
+        # reads the vocab table until the merge section's wave_vocab slice
+        # (or a rare recalc), so the chain keeps running concurrently with
+        # the fold tail + first-seen ids + src_ids instead of gating the
+        # concurrent block.
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
         use_bounded = cfg.fold_mode == "bounded" and self.sense is not None
-        with _TPE(max_workers=2) as _ex:
+        self._vocab_fut = self._vocab_pool.submit(self._vocab_chain, parsed)
+        with _TPE(max_workers=1) as _ex:
             _fut = _ex.submit(self._admission_chain, parsed)
-            _fut_vocab = _ex.submit(self._vocab_chain, parsed)
             if use_bounded:
                 scores, stop_dr, recalc_pre, recalc_post, dr2url = (
                     self._fold_bounded(parsed)
@@ -635,12 +645,12 @@ class SparkCrawler:
                     self._fold_exact(parsed)
                 )
             admitted, first_emit, new_links = _fut.result()
-            _fut_vocab.result()
 
         # Gather-side state applies to every parsed page, all phases
         self._merge_gather_state(parsed, admitted, new_links)
 
         if self.sense is None:
+            self._await_vocab()  # early return below skips the merge barrier
             # init wave: build wave-1 FIFO (shuffled — :200) and the estimator;
             # robots compliance applies to the FIFO exactly as to the frontier
             wave1 = [
@@ -823,7 +833,10 @@ class SparkCrawler:
             if before // cfg.sample_every != self._sampler_nseed // cfg.sample_every:
                 self._dump_sample()
         # dictionary-encode: only the wave's words of the (potentially
-        # huge) vocab are broadcast — semi-join slice first
+        # huge) vocab are broadcast — semi-join slice first. This is the
+        # deferred vocab barrier: the chain overlapped everything since
+        # the concurrent block.
+        self._await_vocab()
         wave_terms = parsed_epm.select(
             "dr", F.explode("terms").alias("e")
         ).select("dr", F.col("e.word").alias("word"), F.col("e.tf").alias("tf"))
@@ -1319,7 +1332,16 @@ class SparkCrawler:
         self._pend("linkctx", linkctx_delta)
         self._set("linkctx", self._t("linkctx").unionByName(linkctx_delta))
 
+    def _await_vocab(self):
+        """Deferred vocab-chain barrier: must run before anything reads
+        the vocab table (recalc factor join, wave_vocab slice, hot-table
+        snapshot)."""
+        if self._vocab_fut is not None:
+            self._vocab_fut.result()
+            self._vocab_fut = None
+
     def _calculate(self, factor):
+        self._await_vocab()  # _calculate_apply joins the vocab table
         with self._timer("calculate"):
             if isinstance(factor, tuple):  # bounded mode's distributed
                 # factor snapshot: ("dist", t, normalized, frozen_avg)
@@ -1505,6 +1527,7 @@ class SparkCrawler:
         from concurrent.futures import ThreadPoolExecutor
 
         self._ckpt_fence()  # safety: never double-materialize
+        self._await_vocab()  # snapshot must see the wave's vocab update
         snap = {
             n: self._t(n).coalesce(self._nparts) for n in self._hot_tables
         }
@@ -1515,12 +1538,24 @@ class SparkCrawler:
                 snap[n] = self._t(n)
         acc = self.cfg.accuracy
 
+        def _ckpt_job(df):
+            # low-priority FAIR pool ('ckpt'): background jobs yield to the
+            # in-path dispatch/parse jobs instead of splitting cores evenly
+            # (a no-op under FIFO scheduling, e.g. in tests)
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "ckpt"
+            )
+            return df.localCheckpoint()
+
         def _materialize():
             # concurrent localCheckpoint jobs: the tables are independent
             # scans, and this whole block is off the critical path — finish
             # before the next wave's fence (dispatch+parse hide it)
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "ckpt"
+            )
             with ThreadPoolExecutor(max_workers=4) as ex:
-                futs = {n: ex.submit(df.localCheckpoint) for n, df in snap.items()}
+                futs = {n: ex.submit(_ckpt_job, df) for n, df in snap.items()}
                 out = {n: f.result() for n, f in futs.items()}
             scalars = None
             if "avg_sum" in out:
@@ -1610,10 +1645,17 @@ class SparkCrawler:
         if self._commit_fut is not None:
             self._commit_fut.result()
         state = _json.loads(_json.dumps(state))
-        self._commit_fut = self._commit_pool.submit(
-            self.catalog.commit, self.wave, tables, state,
-            modes=modes, deletes=deletes,
-        )
+        def _commit_job(wave=self.wave, tables=tables, state=state,
+                        modes=modes, deletes=deletes):
+            # durable writes also ride the low-priority pool
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "ckpt"
+            )
+            return self.catalog.commit(
+                wave, tables, state, modes=modes, deletes=deletes
+            )
+
+        self._commit_fut = self._commit_pool.submit(_commit_job)
         self._pending_deltas.clear()
         self._pending_deletes.clear()
         if force:  # finalize: block until durable
