@@ -38,6 +38,8 @@ HEADLINE = [
     "simhash",
     "ann_cosine_topk",
     "ann_hamming",
+    "ann_ivf",
+    "ann_pq",
     "dedup_components",
     "audio_decode",
     "video_frame_sample",

@@ -1040,23 +1040,25 @@ class SparkCrawler:
             from webcrawler_spark.kernels.vectors import SparseVector as SV
 
             t0 = SV(t0n, acc_cut)
-            pages = []  # (dr, url, host, pri, score0, terms)
+            pages = []  # (dr, url, host, pri, score0, raw terms)
             for pdf in batches:
                 for dr, url, host, terms, dot_a in zip(
                     pdf["dr"], pdf["url"], pdf["host"], pdf["terms"], pdf["dot_a"]
                 ):
-                    tlist = (
-                        [
-                            {"word": str(e["word"]), "tf": float(e["tf"])}
-                            for e in terms
-                        ]
-                        if terms is not None
-                        else []
+                    # SV directly from the Arrow structs — the list-of-dict
+                    # payload is built ONLY for retained candidates below
+                    # (same values, same order => bit-identical dots)
+                    v = SV(
+                        (
+                            ((str(e["word"]), float(e["tf"])) for e in terms)
+                            if terms is not None
+                            else ()
+                        ),
+                        acc_cut,
                     )
-                    v = SV([(e["word"], e["tf"]) for e in tlist], acc_cut)
                     pri = v.normal.dot(t0)
                     score0 = v.dot(t0) - float(dot_a)
-                    pages.append((int(dr), url, host, pri, score0, tlist))
+                    pages.append((int(dr), url, host, pri, score0, terms))
             # candidate retention: first n_first by dispatch rank (unfilled
             # cluster slots accept unconditionally) UNION top n_cand by pri
             # (sigma policy ranks by distance — monotone decreasing in pri,
@@ -1075,7 +1077,17 @@ class SparkCrawler:
                 out["host"].append(host)
                 out["pri"].append(pri)
                 out["score0"].append(score0)
-                out["terms"].append(terms if dr in keep else None)
+                if dr not in keep:
+                    out["terms"].append(None)
+                elif terms is None:
+                    out["terms"].append([])
+                else:
+                    out["terms"].append(
+                        [
+                            {"word": str(e["word"]), "tf": float(e["tf"])}
+                            for e in terms
+                        ]
+                    )
             if out["kind"]:  # empty partitions yield nothing (an empty
                 # DataFrame infers float64 columns, which Arrow rejects
                 # for the list<struct> terms field)
