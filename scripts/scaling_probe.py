@@ -1,0 +1,128 @@
+"""Capacity-probed scaling measurement (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N parallelism).
+
+The sandbox host's capacity oscillates 2-3x on ~10-minute scales
+(BASELINE.md session-5 pinned this with a zero-coordination pure-Python
+burn). A scaling ratio computed from reps taken in different bands
+measures the host, not the engine. This harness:
+
+1. probes effective capacity IMMEDIATELY before each rep with a fixed
+   8-process integer burn (no Spark, no coordination);
+2. interleaves the two levels (8, 2, 8, 2, ...) so neither level is
+   systematically luckier;
+3. reports every (burn_sec, crawl_sec) pair, plus the efficiency
+   computed from each level's best rep AND from the subset of reps
+   whose probe was within 1.3x of the session-best probe (the
+   "nominal-capacity" estimate).
+
+Usage: python scripts/scaling_probe.py [rounds]
+Env: SPARK_GRAFT_CRAWL_PAGES/LIMIT/BUDGET control the workload
+(default here: the 2x-waves gate workload 65536/32768/16384).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_CRAWL_PAGES", "65536")
+os.environ.setdefault("SPARK_GRAFT_CRAWL_LIMIT", "32768")
+os.environ.setdefault("SPARK_GRAFT_CRAWL_BUDGET", "16384")
+
+
+def _burn_one(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def probe(procs: int = 8, n: int = 12_000_000) -> float:
+    """Wall seconds for `procs` independent integer burns — pure Python,
+    zero coordination; measures the host, not Spark."""
+    from multiprocessing import Pool
+
+    t0 = time.time()
+    with Pool(procs) as p:
+        p.map(_burn_one, [n] * procs)
+    return time.time() - t0
+
+
+def main():
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    import bench
+
+    reps = []  # (cpus, burn_sec, crawl_sec, urls_per_sec)
+    from webcrawler_spark.sources.synth import gen_pages_df
+
+    for rnd in range(rounds):
+        for cpus in (8, 2):
+            b = probe()
+            spark = bench.make_spark(cpus, f"sclprobe_{cpus}_{rnd}")
+            spark.sparkContext.setLogLevel("ERROR")
+            spec = bench._bench_spec()
+            pages = (
+                gen_pages_df(spark, spec)
+                .select(*bench._bench_cols(spec))
+                .persist()
+            )
+            pages.count()
+            b2 = probe()  # second probe after generation, right before the rep
+            with tempfile.TemporaryDirectory() as td:
+                r = bench.crawl_bench(spark, td, pages=pages)
+            pages.unpersist()
+            spark.stop()
+            reps.append(
+                {
+                    "cpus": cpus,
+                    "round": rnd,
+                    "burn_pre": round(b, 2),
+                    "burn_at": round(b2, 2),
+                    "crawl_sec": r["crawl_sec"],
+                    "urls_per_sec": r["urls_per_sec"],
+                }
+            )
+            print(json.dumps(reps[-1]), flush=True)
+
+    best_burn = min(min(x["burn_pre"], x["burn_at"]) for x in reps)
+    nominal = [
+        x for x in reps if min(x["burn_pre"], x["burn_at"]) <= 1.3 * best_burn
+    ]
+
+    def eff(pool):
+        lo = [x for x in pool if x["cpus"] == 2]
+        hi = [x for x in pool if x["cpus"] == 8]
+        if not lo or not hi:
+            return None, None, None
+        bl = max(x["urls_per_sec"] for x in lo)
+        bh = max(x["urls_per_sec"] for x in hi)
+        return round((bh / bl) / 4.0, 3), bl, bh
+
+    e_all, l_all, h_all = eff(reps)
+    e_nom, l_nom, h_nom = eff(nominal)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency local[2] -> local[8] (2x waves)",
+                "best_of_all_reps": {"eff": e_all, "lo_urls_s": l_all, "hi_urls_s": h_all},
+                "nominal_capacity_reps": {
+                    "eff": e_nom,
+                    "lo_urls_s": l_nom,
+                    "hi_urls_s": h_nom,
+                    "n_reps": len(nominal),
+                },
+                "best_burn_sec": best_burn,
+                "reps": reps,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -384,9 +384,9 @@ class SparkCrawler:
         #: (~9.5 s/run at local[32]) off the wave critical path entirely
         self._ckpt_pool = _TPE1(max_workers=1)
         self._ckpt_fut = None
-        #: seed_ids eliminated by dispatch since the last hot-table
-        #: materialization was submitted; re-applied at the fence
-        self._postckpt_elim: list[int] = []
+        #: broadcast id frames eliminated by dispatch since the last
+        #: hot-table materialization was submitted; re-applied at the fence
+        self._postckpt_elim: list[DataFrame] = []
 
         #: D2 allowlist — tiny driver state, grown with every fetched host
         self.hosts_set: set[str] = {
@@ -544,21 +544,25 @@ class SparkCrawler:
         if not rows:
             return []
         ids = [r["seed_id"] for r in rows]
+        # ONE O(budget) local relation per dispatch, reused by both
+        # eliminations here AND the fence re-application (was 4
+        # createDataFrame serializations of the same 16k ids per wave)
+        ids_df = self._ids_df(ids)
         # the in-flight background materialization (if any) was submitted
         # BEFORE this elimination — record it for re-application at the fence
-        self._postckpt_elim.extend(ids)
+        self._postckpt_elim.append(ids_df)
         self._pend_delete("net_edges", "dst", ids)
         # eliminate (NetworkEstimator.scala:131-141)
         self._set(
             "frontier",
             self._t("frontier").join(
-                self._ids_df(ids), F.col("seed_id") == F.col("sid"), "left_anti"
+                ids_df, F.col("seed_id") == F.col("sid"), "left_anti"
             ),
         )
         self._set(
             "net_edges",
             self._t("net_edges").join(
-                self._ids_df(ids), F.col("dst") == F.col("sid"), "left_anti"
+                ids_df, F.col("dst") == F.col("sid"), "left_anti"
             ),
         )
         return [(i, r["url"]) for i, r in enumerate(rows)]
@@ -1506,20 +1510,18 @@ class SparkCrawler:
         if self._ckpt_fut is not None:
             with self._timer("ckpt_fence"):
                 tables, avg_scalars = self._ckpt_fut.result()
-            elim = self._postckpt_elim
+            elim_dfs = self._postckpt_elim
             for n, df in tables.items():
-                if elim and n == "frontier":
-                    df = df.join(
-                        self._ids_df(elim),
-                        F.col("seed_id") == F.col("sid"),
-                        "left_anti",
-                    )
-                elif elim and n == "net_edges":
-                    df = df.join(
-                        self._ids_df(elim),
-                        F.col("dst") == F.col("sid"),
-                        "left_anti",
-                    )
+                if elim_dfs and n == "frontier":
+                    for ids_df in elim_dfs:
+                        df = df.join(
+                            ids_df, F.col("seed_id") == F.col("sid"), "left_anti"
+                        )
+                elif elim_dfs and n == "net_edges":
+                    for ids_df in elim_dfs:
+                        df = df.join(
+                            ids_df, F.col("dst") == F.col("sid"), "left_anti"
+                        )
                 self._set(n, df)
             if avg_scalars is not None:
                 self._avg_norm_sqr, self._avg_pruned_sqr = avg_scalars
@@ -1559,6 +1561,12 @@ class SparkCrawler:
             )
             return df.localCheckpoint()
 
+        # background job width scales with task slots: FAIR weights cap the
+        # ckpt pool's SHARE, but running tasks are never preempted — at 8
+        # slots a 4-job burst churns slots between the dispatch top-k's
+        # stages; at 32 slots there is headroom to spare
+        bg_width = 4 if self.spark.sparkContext.defaultParallelism >= 16 else 2
+
         def _materialize():
             # concurrent localCheckpoint jobs: the tables are independent
             # scans, and this whole block is off the critical path — finish
@@ -1566,7 +1574,7 @@ class SparkCrawler:
             self.spark.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", "ckpt"
             )
-            with ThreadPoolExecutor(max_workers=4) as ex:
+            with ThreadPoolExecutor(max_workers=bg_width) as ex:
                 futs = {n: ex.submit(_ckpt_job, df) for n, df in snap.items()}
                 out = {n: f.result() for n, f in futs.items()}
             scalars = None
