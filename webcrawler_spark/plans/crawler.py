@@ -1762,6 +1762,9 @@ class SparkCrawler:
         wave loop so callers can account commit cost independently)."""
         self._checkpoint(force=True)
         self._write_vocabulary()
+        # drain the background materialization before the caller may stop
+        # the session — otherwise spark.stop() races in-flight ckpt tasks
+        self._ckpt_fence()
 
     def _record_accepts(self):
         if self._accepts_wave:
