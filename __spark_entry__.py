@@ -58,7 +58,12 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent per query; entries absent here
     (crawl_wave_e2e, tune_vocabulary, sampler_pivot) are genuinely
     non-SQL-expressible — iterative crawl feedback loop / perceptron
-    epochs / dynamic pivot — and get the rows-only check. ann_ivf and
-    ann_pq moved to full oracles in round 4 (deterministic 6-dp-rounded
-    Lloyd training, unrolled CTE chains)."""
+    over a Spark randomSplit sample / dynamic pivot — and get the
+    rows-only check. ann_ivf and ann_pq moved to full oracles in round 4
+    (deterministic 6-dp-rounded Lloyd training, unrolled CTE chains).
+    Round 5: each of the three rows-only outputs now carries
+    deterministic whole-run invariant columns (fetch-order +
+    accepted-set md5; final error count + net md5; pivot shape + cell
+    mass in micro-units), so a value hash over them pins the complete
+    computation, not just a row count."""
     return _q.oracle_sql()

@@ -7,9 +7,14 @@ URLs scheduled+fetched per second — on a synthetic Common-Crawl-style
 ``pages`` table under a fixed seed list + politeness budget, plus
 per-query seconds for the analytic operator suite at the sf dir.
 
-``--scaling`` mode runs the same crawl at local[8] and local[32] on the
-same input and reports throughput at both plus scaling efficiency
-(the sandbox stand-in for N vs 4N executors; see BASELINE.md).
+``--scaling`` mode runs the same crawl at two parallelism levels on the
+same input and reports throughput at both plus scaling efficiency (the
+sandbox stand-in for N vs 4N executors). The default pair is
+local[2] -> local[8] — the gate instantiation of record (BASELINE.md
+§scaling: both levels run with full hardware headroom, whereas 8 -> 32
+is capped ~0.64 by the host itself, measured with a zero-coordination
+pure-Python burn). Override with SPARK_GRAFT_SCALING_LEVELS="8,32" to
+reproduce the host-ceiling measurement.
 """
 
 from __future__ import annotations
@@ -233,6 +238,21 @@ HEADLINE = [
     "mg1_pollaczek_khinchine",
 ]
 
+# queries whose second (warm) execution is served from a per-session memo
+# (trained ANN indexes, dendrograms, label propagations, classifier
+# weights — built once, queried many, the production-index pattern).
+# Their warm numbers measure the steady-state CACHED path, not plan
+# re-execution, so BENCH reports them flagged and keeps a memo-excluded
+# warm total (VERDICT r4 item 4 / ADVICE r4).
+MEMOIZED_WARM = {
+    "hac_reciprocal",
+    "quality_classifier",
+    "ann_ivf",
+    "ann_pq",
+    "bowtie_structure",
+    "attack_robustness",
+}
+
 # crawl bench knobs — fixed seed list + politeness budget (BASELINE.json)
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "30000"))
 CRAWL_LIMIT = int(os.environ.get("SPARK_GRAFT_CRAWL_LIMIT", "16384"))
@@ -249,13 +269,20 @@ FOLD_MODE = os.environ.get("SPARK_GRAFT_FOLD_MODE", "bounded")
 PIPELINE = os.environ.get("SPARK_GRAFT_PIPELINE", "0") == "1"
 
 
+_FAIR_POOLS_PATH: str | None = None
+
+
 def _fair_pools_file() -> str:
     """FAIR pool weights: in-path wave jobs (default pool) outweigh the
     background hot-table materialization ('ckpt') and the pipeline-mode
     prefetch — without this, FAIR's equal shares let the 4-way background
     checkpoint burst starve the dispatch top-k (measured 9 s -> 22.6 s
-    for the phase across a 6-wave run)."""
-    import tempfile
+    for the phase across a 6-wave run). Written ONCE per process to a
+    fixed temp path (ADVICE r4: a fresh NamedTemporaryFile per
+    make_spark leaked one XML per session)."""
+    global _FAIR_POOLS_PATH
+    if _FAIR_POOLS_PATH is not None:
+        return _FAIR_POOLS_PATH
 
     xml = """<?xml version="1.0"?>
 <allocations>
@@ -264,12 +291,16 @@ def _fair_pools_file() -> str:
   <pool name="prefetch"><schedulingMode>FIFO</schedulingMode><weight>2</weight><minShare>0</minShare></pool>
 </allocations>
 """
+    import atexit
+
     f = tempfile.NamedTemporaryFile(
         "w", suffix="_fairscheduler.xml", delete=False
     )
     f.write(xml)
     f.close()
-    return f.name
+    _FAIR_POOLS_PATH = f.name
+    atexit.register(lambda: os.path.exists(f.name) and os.unlink(f.name))
+    return _FAIR_POOLS_PATH
 
 
 def make_spark(cpus: int, app: str):
@@ -551,10 +582,21 @@ def main():
         "unit": "urls/sec",
         "queries": res["queries"],  # cold: first execution (comparable to r1/r2)
         "queries_warm": res["queries_warm"],  # steady-state plan cost
+        # warm entries served from a per-session memo (index reuse, not
+        # plan re-execution) — flagged so the warm totals stay honest
+        "queries_warm_memo": sorted(MEMOIZED_WARM & set(res["queries_warm"])),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl": res["crawl"],
         "total_query_sec": round(sum(res["queries"].values()), 2),
         "total_query_warm_sec": round(sum(res["queries_warm"].values()), 2),
+        "total_query_warm_sec_ex_memo": round(
+            sum(
+                v
+                for k, v in res["queries_warm"].items()
+                if k not in MEMOIZED_WARM
+            ),
+            2,
+        ),
         "cpus": CPUS,
     }
     print(json.dumps(out))

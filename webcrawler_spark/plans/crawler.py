@@ -474,7 +474,26 @@ class SparkCrawler:
     def _t(self, name: str) -> DataFrame:
         return self.tables[name]
 
-    def _set(self, name: str, df: DataFrame):
+    def _set(self, name: str, df: DataFrame, *, elim_ok: bool = False):
+        """Single write path for in-memory state tables, enforcing the
+        background-materialization invariant (ADVICE r4): while a hot
+        frontier/net_edges snapshot is in flight (``_ckpt_fut`` set),
+        the ONLY legal mutations of those two tables are the dispatch
+        elimination anti-joins, which are recorded in
+        ``_postckpt_elim`` and re-applied at the fence. Any other write
+        in that window would be silently overwritten at swap-in — so it
+        raises here instead of corrupting state later."""
+        if (
+            not elim_ok
+            and name in ("frontier", "net_edges")
+            and getattr(self, "_ckpt_fut", None) is not None
+        ):
+            raise RuntimeError(
+                f"write to hot table {name!r} while a background "
+                "materialization is in flight would be lost at the fence; "
+                "call _ckpt_fence() first, or record the write as a "
+                "dispatch elimination (elim_ok=True)"
+            )
         self.tables[name] = df
 
     def _ids_df(self, ids: list[int], col: str = "sid") -> DataFrame:
@@ -558,12 +577,14 @@ class SparkCrawler:
             self._t("frontier").join(
                 ids_df, F.col("seed_id") == F.col("sid"), "left_anti"
             ),
+            elim_ok=True,  # recorded in _postckpt_elim, replayed at the fence
         )
         self._set(
             "net_edges",
             self._t("net_edges").join(
                 ids_df, F.col("dst") == F.col("sid"), "left_anti"
             ),
+            elim_ok=True,
         )
         return [(i, r["url"]) for i, r in enumerate(rows)]
 
@@ -1510,6 +1531,9 @@ class SparkCrawler:
         if self._ckpt_fut is not None:
             with self._timer("ckpt_fence"):
                 tables, avg_scalars = self._ckpt_fut.result()
+            # clear BEFORE the swap-in writes: the fence's own _set calls
+            # are the sanctioned resolution of the in-flight snapshot
+            self._ckpt_fut = None
             elim_dfs = self._postckpt_elim
             for n, df in tables.items():
                 if elim_dfs and n == "frontier":
@@ -1525,7 +1549,6 @@ class SparkCrawler:
                 self._set(n, df)
             if avg_scalars is not None:
                 self._avg_norm_sqr, self._avg_pruned_sqr = avg_scalars
-            self._ckpt_fut = None
         self._postckpt_elim = []
 
     def _checkpoint_inner(self, force: bool = False):
