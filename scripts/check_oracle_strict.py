@@ -17,6 +17,7 @@ round-3's two oracle dtype bugs ship):
 
 Usage: python scripts/check_oracle_strict.py [sf_dir] [name ...]
        python scripts/check_oracle_strict.py /root/testdata/sf0.01 --shard 0/4
+       python scripts/check_oracle_strict.py /root/testdata/sf0.1 --headline --shard 0/4
 """
 
 from __future__ import annotations
@@ -200,6 +201,11 @@ def main():
         i = args.index("--shard")
         shard = args[i + 1]
         del args[i : i + 2]
+    # --headline restricts the sweep to bench.HEADLINE (the ~200-query
+    # bench set) BEFORE sharding — the VERDICT r4 item-3 sf0.1 sweep
+    headline = "--headline" in args
+    if headline:
+        args.remove("--headline")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -225,6 +231,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = list(qs)
+    if headline:
+        import bench
+
+        hl = set(bench.HEADLINE)
+        names = [nm for nm in names if nm in hl]
     if shard:
         k, n = (int(x) for x in shard.split("/"))
         names = [nm for i, nm in enumerate(names) if i % n == k]

@@ -16,8 +16,21 @@ measures the host, not the engine. This harness:
    "nominal-capacity" estimate).
 
 Usage: python scripts/scaling_probe.py [rounds]
+       python scripts/scaling_probe.py [rounds] --confine
 Env: SPARK_GRAFT_CRAWL_PAGES/LIMIT/BUDGET control the workload
 (default here: the 2x-waves gate workload 65536/32768/16384).
+
+``--confine`` pins each rep's ENTIRE process tree (driver JVM, Python
+workers, background commit threads) to exactly N cores with taskset —
+the honest instantiation of "N vs 4N cluster sizes" on one box. Without
+confinement, local[2] on a 32-core host free-rides: its 2 task slots
+are capped but the JVM scheduler/GC/Arrow threads and the async commit
+pool spill onto the 30 idle cores, inflating the small leg's
+throughput and deflating the measured ratio (round-5 measured the same
+tree at 0.55 unconfined vs confined ~4x-resources semantics; a real
+2-executor cluster has no such spare capacity). Each confined rep runs
+in a fresh subprocess because a pyspark JVM inherits affinity only at
+launch.
 """
 
 from __future__ import annotations
@@ -53,8 +66,103 @@ def probe(procs: int = 8, n: int = 12_000_000) -> float:
     return time.time() - t0
 
 
+def one_rep(cpus: int) -> dict:
+    """One crawl rep at local[cpus] in THIS process (used confined: the
+    parent wraps this subprocess in `taskset -c 0..cpus-1`)."""
+    import bench
+    from webcrawler_spark.sources.synth import gen_pages_df
+
+    spark = bench.make_spark(cpus, f"sclconf_{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+    spec = bench._bench_spec()
+    pages = gen_pages_df(spark, spec).select(*bench._bench_cols(spec)).persist()
+    pages.count()
+    with tempfile.TemporaryDirectory() as td:
+        r = bench.crawl_bench(spark, td, pages=pages)
+    pages.unpersist()
+    spark.stop()
+    return r
+
+
+def main_confined(rounds: int):
+    import subprocess
+
+    reps = []
+    for rnd in range(rounds):
+        for cpus in (8, 2):
+            b = probe()
+            out = subprocess.run(
+                [
+                    "taskset", "-c", f"0-{cpus - 1}",
+                    sys.executable, os.path.abspath(__file__),
+                    "--one-rep", str(cpus),
+                ],
+                capture_output=True, text=True,
+            )
+            b2 = probe()
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                print(f"rep failed: {out.stderr[-500:]}", flush=True)
+                continue
+            r = json.loads(line[-1])
+            reps.append(
+                {
+                    "cpus": cpus,
+                    "round": rnd,
+                    "burn_pre": round(b, 2),
+                    "burn_post": round(b2, 2),
+                    "crawl_sec": r["crawl_sec"],
+                    "urls_per_sec": r["urls_per_sec"],
+                }
+            )
+            print(json.dumps(reps[-1]), flush=True)
+
+    best_burn = min(
+        min(x["burn_pre"], x["burn_post"]) for x in reps
+    )
+    nominal = [
+        x for x in reps if min(x["burn_pre"], x["burn_post"]) <= 1.3 * best_burn
+    ]
+
+    def eff(pool):
+        lo = [x for x in pool if x["cpus"] == 2]
+        hi = [x for x in pool if x["cpus"] == 8]
+        if not lo or not hi:
+            return None, None, None
+        bl = max(x["urls_per_sec"] for x in lo)
+        bh = max(x["urls_per_sec"] for x in hi)
+        return round((bh / bl) / 4.0, 3), bl, bh
+
+    e_all, l_all, h_all = eff(reps)
+    e_nom, l_nom, h_nom = eff(nominal)
+    print(
+        json.dumps(
+            {
+                "metric": "CONFINED scaling efficiency 2 cores -> 8 cores (2x waves, taskset whole-tree)",
+                "best_of_all_reps": {"eff": e_all, "lo_urls_s": l_all, "hi_urls_s": h_all},
+                "nominal_capacity_reps": {
+                    "eff": e_nom,
+                    "lo_urls_s": l_nom,
+                    "hi_urls_s": h_nom,
+                    "n_reps": len(nominal),
+                },
+                "best_burn_sec": best_burn,
+                "reps": reps,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    if "--one-rep" in sys.argv:
+        i = sys.argv.index("--one-rep")
+        print(json.dumps(one_rep(int(sys.argv[i + 1]))), flush=True)
+        return
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 3
+    if "--confine" in sys.argv:
+        main_confined(rounds)
+        return
     import bench
 
     reps = []  # (cpus, burn_sec, crawl_sec, urls_per_sec)
