@@ -66,13 +66,60 @@ def probe(procs: int = 8, n: int = 12_000_000) -> float:
     return time.time() - t0
 
 
+def make_spark_cluster(n_exec: int, app: str):
+    """A REAL multi-executor cluster on one box: ``local-cluster[N,1,m]``
+    spawns N separate single-core executor JVMs (own heap, own Python
+    workers, own Arrow serialization) under an in-process master — the
+    faithful single-host instantiation of "N executors vs 4N executors"
+    from the north rule. The driver JVM is NOT part of the scaled
+    resource (a real cluster's driver node is constant across cluster
+    sizes), so driver memory/cores are identical in both legs."""
+    import shutil
+
+    from pyspark.sql import SparkSession
+    import bench
+
+    # the north rule's deployment: the package ships to executors as a
+    # --py-files zip (local[*] shares the driver's sys.path; a REAL
+    # multi-executor cluster does not — exactly what this mode catches)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), "webcrawler_spark_pyfiles"),
+        "zip", root_dir=root, base_dir="webcrawler_spark",
+    )
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_exec},1,10240]")
+        .appName(app)
+        .config("spark.scheduler.allocation.file", bench._fair_pools_file())
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # heavy ~100 KB pages: bound Arrow batch memory on 1-core executors
+        # (default 10k records/batch is a ~1 GB allocation spike -> exit 52)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    return spark
+
+
 def one_rep(cpus: int) -> dict:
     """One crawl rep at local[cpus] in THIS process (used confined: the
-    parent wraps this subprocess in `taskset -c 0..cpus-1`)."""
+    parent wraps this subprocess in `taskset -c 0..cpus-1`), or at
+    local-cluster[cpus,1,10240] when SPARK_GRAFT_CLUSTER=1."""
     import bench
     from webcrawler_spark.sources.synth import gen_pages_df
 
-    spark = bench.make_spark(cpus, f"sclconf_{cpus}")
+    if os.environ.get("SPARK_GRAFT_CLUSTER") == "1":
+        spark = make_spark_cluster(cpus, f"sclclus_{cpus}")
+    else:
+        spark = bench.make_spark(cpus, f"sclconf_{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
     spec = bench._bench_spec()
     pages = gen_pages_df(spark, spec).select(*bench._bench_cols(spec)).persist()
@@ -84,20 +131,31 @@ def one_rep(cpus: int) -> dict:
     return r
 
 
-def main_confined(rounds: int):
+def main_confined(rounds: int, cluster: bool = False):
     import subprocess
 
     reps = []
     for rnd in range(rounds):
         for cpus in (8, 2):
             b = probe()
-            out = subprocess.run(
-                [
+            if cluster:
+                # N separate executor JVMs; no taskset — the executor
+                # processes ARE the scaled resource, the driver is the
+                # constant (both fit in the 32-core host with headroom)
+                env = dict(os.environ, SPARK_GRAFT_CLUSTER="1")
+                cmd = [
+                    sys.executable, os.path.abspath(__file__),
+                    "--one-rep", str(cpus),
+                ]
+            else:
+                env = dict(os.environ)
+                cmd = [
                     "taskset", "-c", f"0-{cpus - 1}",
                     sys.executable, os.path.abspath(__file__),
                     "--one-rep", str(cpus),
-                ],
-                capture_output=True, text=True,
+                ]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env,
             )
             b2 = probe()
             line = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -138,7 +196,11 @@ def main_confined(rounds: int):
     print(
         json.dumps(
             {
-                "metric": "CONFINED scaling efficiency 2 cores -> 8 cores (2x waves, taskset whole-tree)",
+                "metric": (
+                    "CLUSTER scaling efficiency 2 -> 8 single-core executor JVMs (2x waves, local-cluster)"
+                    if cluster
+                    else "CONFINED scaling efficiency 2 cores -> 8 cores (2x waves, taskset whole-tree)"
+                ),
                 "best_of_all_reps": {"eff": e_all, "lo_urls_s": l_all, "hi_urls_s": h_all},
                 "nominal_capacity_reps": {
                     "eff": e_nom,
@@ -160,6 +222,9 @@ def main():
         print(json.dumps(one_rep(int(sys.argv[i + 1]))), flush=True)
         return
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 3
+    if "--cluster" in sys.argv:
+        main_confined(rounds, cluster=True)
+        return
     if "--confine" in sys.argv:
         main_confined(rounds)
         return
