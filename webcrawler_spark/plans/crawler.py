@@ -497,7 +497,17 @@ class SparkCrawler:
         self.tables[name] = df
 
     def _ids_df(self, ids: list[int], col: str = "sid") -> DataFrame:
-        return F.broadcast(self.spark.createDataFrame([(i,) for i in ids], f"{col} long"))
+        import pandas as pd
+
+        # pandas + Arrow upload: a 16k-tuple py4j createDataFrame is
+        # ~seconds of serial driver wall per wave; the Arrow path ships
+        # one batch
+        return F.broadcast(
+            self.spark.createDataFrame(
+                pd.DataFrame({col: pd.Series(ids, dtype="int64")}),
+                f"{col} long",
+            )
+        )
 
     # ------------------------------------------------------------------
     # dispatch (F1/F4/F5 + robots)
@@ -553,16 +563,18 @@ class SparkCrawler:
             else [F.desc("priority"), F.asc("seed_id")]
         )
         # TakeOrdered ships only the two columns the driver needs — not
-        # priority/parents (the parents arrays dominate row weight)
-        rows = (
+        # priority/parents (the parents arrays dominate row weight).
+        # Arrow transfer (toPandas), not .collect(): py4j deserialization
+        # of an O(budget) row list is per-wave serial driver wall
+        rows_pdf = (
             cand.orderBy(*order)
             .limit(cfg.budget)
             .select("seed_id", "url")
-            .collect()
+            .toPandas()
         )
-        if not rows:
+        if rows_pdf.empty:
             return []
-        ids = [r["seed_id"] for r in rows]
+        ids = [int(x) for x in rows_pdf["seed_id"]]
         # ONE O(budget) local relation per dispatch, reused by both
         # eliminations here AND the fence re-application (was 4
         # createDataFrame serializations of the same 16k ids per wave)
@@ -586,7 +598,7 @@ class SparkCrawler:
             ),
             elim_ok=True,
         )
-        return [(i, r["url"]) for i, r in enumerate(rows)]
+        return [(i, u) for i, u in enumerate(rows_pdf["url"])]
 
     # ------------------------------------------------------------------
     # one wave
@@ -596,8 +608,18 @@ class SparkCrawler:
         run the single parse pass. Touches only the immutable pages table,
         so it is safe to run concurrently with the previous wave's
         processing (pipeline mode)."""
+        import pandas as pd
+
         batch_df = F.broadcast(
-            self.spark.createDataFrame(list(batch), "dr long, url string")
+            self.spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "dr": pd.Series([d for d, _ in batch], dtype="int64"),
+                        "url": [u for _, u in batch],
+                    }
+                ),
+                "dr long, url string",
+            )
         )
         hits = self.pages.join(batch_df, "url")
         if "content_type" in self.pages.columns:
@@ -633,10 +655,22 @@ class SparkCrawler:
         self.result.dispatched.extend(u for _, u in batch)
         # dispatch order is durable TABLE state (ord = global dispatch
         # position), not manifest JSON — commits stay O(wave), VERDICT r1 #3
+        import pandas as pd
+
+        # Arrow upload — a 16k-tuple py4j createDataFrame per wave is
+        # serial driver wall (see the scaling-law notes in BASELINE.md)
         self._pend(
             "dispatch_log",
             spark.createDataFrame(
-                [(self.next_ord + i, u) for i, u in batch], "ord long, url string"
+                pd.DataFrame(
+                    {
+                        "ord": pd.Series(
+                            [self.next_ord + i for i, _ in batch], dtype="int64"
+                        ),
+                        "url": [u for _, u in batch],
+                    }
+                ),
+                "ord long, url string",
             ),
         )
         #: dispatch ranks this wave are in [0, _wave_nb) — the contiguous
@@ -771,14 +805,24 @@ class SparkCrawler:
             # it as a local relation — every downstream broadcast join then
             # reads driver memory instead of re-running the url_ids join
             # (was: localCheckpoint + collect, two jobs per wave)
-            src_rows = [
-                (r["dr"], r["src_id"])
-                for r in F.broadcast(parsed_epm.select("dr", "url"))
+            import pandas as pd
+
+            # Arrow round trip (toPandas down, pandas createDataFrame up):
+            # the wave-sized map is O(budget) rows and the py4j row path
+            # was per-wave serial driver wall
+            src_pdf = (
+                F.broadcast(parsed_epm.select("dr", "url"))
                 .join(self._t("url_ids"), "url")
                 .select("dr", F.col("seed_id").alias("src_id"))
-                .collect()
-            ]
-            src_ids = spark.createDataFrame(src_rows, "dr long, src_id long")
+                .toPandas()
+            )
+            src_rows = list(
+                zip(
+                    (int(x) for x in src_pdf["dr"]),
+                    (int(x) for x in src_pdf["src_id"]),
+                )
+            )
+            src_ids = spark.createDataFrame(src_pdf, "dr long, src_id long")
             # re-fetch overwrite tracking (NetworkEstimator.scala:102): a
             # page fetched before gets its old rows delete-keyed; the wave
             # delta re-adds the fresh ones under the same stable id
@@ -814,7 +858,17 @@ class SparkCrawler:
 
         # ---- new frontier rows: priority = dot(src vector, update factor) --
         scores_df = F.broadcast(
-            spark.createDataFrame(scores, "dr long, score double")
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "dr": pd.Series([d for d, _ in scores], dtype="int64"),
+                        "score": pd.Series(
+                            [s for _, s in scores], dtype="float64"
+                        ),
+                    }
+                ),
+                "dr long, score double",
+            )
             if scores
             else spark.createDataFrame([], "dr long, score double")
         )
@@ -1122,7 +1176,20 @@ class SparkCrawler:
             "kind int, dr long, url string, host string, pri double, "
             "score0 double, terms array<struct<word:string,tf:double>>"
         )
-        return summ_in.mapInPandas(summarize, schema).collect()
+        # Arrow transfer, not .collect(): the O(budget) summary is the
+        # per-wave driver boundary, and py4j row deserialization of 16k
+        # rows is seconds of SERIAL wall per wave (the Amdahl term the
+        # 2->8 executor scaling measurement exposed); toPandas moves the
+        # same float64/struct values bit-identically in one Arrow batch
+        pdf = summ_in.mapInPandas(summarize, schema).toPandas()
+        recs = pdf.to_dict("records")
+        for r in recs:
+            t = r["terms"]
+            # Arrow hands list<struct> back as numpy object arrays whose
+            # truthiness is ambiguous; normalize to list/None for the fold
+            r["terms"] = None if t is None else list(t)
+            r["dr"] = int(r["dr"])
+        return recs
 
     def _avg_restricted(self, support: set) -> _FrozenAvg:
         """Collect the running average's weights on a bounded support set
@@ -1223,6 +1290,14 @@ class SparkCrawler:
         #: factor rule) — snapshot the wave-start table for them
         avg_t0 = self._t("avg_sum")
         fv = frozen.factor_view(self.sense.target.normal)
+        # the two per-page phase-transition dots depend ONLY on fv (central
+        # and pfactor are wave-constant, fv changes only on a cluster
+        # admission — bounded per wave): memoized per fv identity, the
+        # per-page fold cost drops from O(|factor|) sparse-dot work to
+        # O(1) — this was the dominant per-URL serial driver cost the
+        # N->4N executor scaling fit exposed (~1.4 ms/URL)
+        fv_dot_central = fv.dot(self.sense.central)
+        fv_ndot_pfactor = fv.normal_dot(self.pfactor)
         stop_dr = None
         recalc_pre = None
         recalc_post = None
@@ -1242,6 +1317,8 @@ class SparkCrawler:
                 new_target = self.sense.target.add(vn, lambda: acc.append(url))
                 if new_target is not self.sense.target:
                     fv = frozen.factor_view(new_target.normal)
+                    fv_dot_central = fv.dot(self.sense.central)
+                    fv_ndot_pfactor = fv.normal_dot(self.pfactor)
                 self.sense = SemanticEstimator(
                     central=self.sense.central,
                     target=new_target,
@@ -1251,13 +1328,13 @@ class SparkCrawler:
             # frozen-average factor for this page's state
             scores.append((dr, float(r["score0"])))
             if self.phase == "targeting":
-                if fv.dot(self.sense.central) > cfg.targeting:
+                if fv_dot_central > cfg.targeting:
                     recalc_post = (
                         "dist", self.sense.target.normal, False, frozen, avg_t0
                     )
                     self.phase = "estimating"
             else:
-                if fv.normal_dot(self.pfactor) < cfg.prioriting:
+                if fv_ndot_pfactor < cfg.prioriting:
                     recalc_pre = (
                         "dist", self.sense.target.normal, True, frozen, avg_t0
                     )
